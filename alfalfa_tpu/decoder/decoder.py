@@ -1,0 +1,131 @@
+"""Decoder: explicit-state VP8 decoding driver.
+
+``Decoder`` carries (DecoderState, References) as values; decoding a frame
+is ``decoder.decode(bits) -> raster`` which advances the state exactly like
+the reference (decoder.cc:83-159).  The reconstruction backend is pluggable:
+"numpy" (scalar oracle) or "jax" (device path).
+"""
+import numpy as np
+
+from alfalfa_tpu.bitstream.header import UncompressedChunk
+from alfalfa_tpu.state.decoder_state import DecoderState, References
+from alfalfa_tpu.state import hashing
+from .parse import FrameParser
+from . import reconstruct_np
+
+
+class Decoder:
+    def __init__(self, width, height, state=None, references=None,
+                 backend="numpy", error_concealment=False):
+        self.state = state if state is not None else DecoderState.initial(width, height)
+        self.references = (references if references is not None
+                           else References.create(width, height))
+        self.backend = backend
+        self.error_concealment = error_concealment
+
+    @property
+    def width(self):
+        return self.state.width
+
+    @property
+    def height(self):
+        return self.state.height
+
+    def decode_frame(self, payload):
+        """Decode one compressed frame; returns (shown, Raster) and advances
+        the decoder state and references."""
+        chunk = UncompressedChunk(payload, self.width, self.height,
+                                  accept_partial=self.error_concealment)
+        if not chunk.key_frame and chunk.experimental:
+            raise ValueError("experimental interframes not supported in decode path")
+
+        parser = FrameParser(self.state)
+        header, arrays, _frame_probs = parser.parse(chunk)
+
+        if self.backend == "jax":
+            from . import reconstruct_jax
+            raster = reconstruct_jax.reconstruct(header, arrays, self.state,
+                                                 self.references, chunk.key_frame)
+        else:
+            raster = reconstruct_np.reconstruct(header, arrays, self.state,
+                                                self.references, chunk.key_frame)
+
+        self._update_references(chunk.key_frame, header, raster)
+        return chunk.show_frame, raster
+
+    def _update_references(self, key_frame, header, raster):
+        """Reference refresh/copy semantics (frame.cc:271-307)."""
+        refs = self.references
+        if key_frame:
+            refs.last = refs.golden = refs.alternative = raster
+            return
+        if header.copy_buffer_to_alternate == 1:
+            refs.alternative = refs.last
+        elif header.copy_buffer_to_alternate == 2:
+            refs.alternative = refs.golden
+        if header.copy_buffer_to_golden == 1:
+            refs.golden = refs.last
+        elif header.copy_buffer_to_golden == 2:
+            refs.golden = refs.alternative
+        if header.refresh_golden_frame:
+            refs.golden = raster
+        if header.refresh_alternate_frame:
+            refs.alternative = raster
+        if header.refresh_last:
+            refs.last = raster
+
+    # -- state identity ------------------------------------------------------
+
+    def get_hash(self):
+        return (self.state.hash(), self.references.last.hash(),
+                self.references.golden.hash(), self.references.alternative.hash())
+
+    def minihash(self):
+        return hashing.minihash(hashing.decoder_hash(*self.get_hash()))
+
+    def minihash_match(self, other_minihash):
+        return other_minihash == 0 or self.minihash() == other_minihash
+
+
+class FramePlayer:
+    """Decoder + dimensions; mirrors reference player.hh:40-70."""
+
+    def __init__(self, width, height, backend="numpy"):
+        self.width, self.height = width, height
+        self.decoder = Decoder(width, height, backend=backend)
+
+    def decode(self, payload):
+        """Returns the raster if the frame is shown, else None."""
+        shown, raster = self.decoder.decode_frame(payload)
+        return raster if shown else None
+
+
+class FilePlayer(FramePlayer):
+    """IVF file + frame cursor (player.hh:72-97)."""
+
+    def __init__(self, path, backend="numpy"):
+        from alfalfa_tpu.util.ivf import IVFReader
+        self.ivf = IVFReader(path)
+        super().__init__(self.ivf.width, self.ivf.height, backend=backend)
+        if not self.decoder.minihash_match(self.ivf.expected_decoder_minihash):
+            raise ValueError("IVF expects decoder to start in different state")
+        self.frame_no = 0
+
+    def eof(self):
+        return self.frame_no >= len(self.ivf)
+
+    def advance(self):
+        """Decode frames until one is shown; returns its raster."""
+        while not self.eof():
+            raster = self.decode(self.ivf.frame(self.frame_no))
+            self.frame_no += 1
+            if raster is not None:
+                return raster
+        raise EOFError("no more frames")
+
+    def __iter__(self):
+        while not self.eof():
+            try:
+                yield self.advance()
+            except EOFError:
+                return
