@@ -1,0 +1,139 @@
+"""Batched VP8 normal loop filter (JAX), window formulation.
+
+Each macroblock is filtered on a local window [4 halo + size] wide/high:
+Y: (20, 20), chroma: (12, 12).  The four passes (left MB edge, vertical
+subblock edges, top MB edge, horizontal subblock edges) mirror
+loopfilter.cc:133-154; the arithmetic mirrors the signed-char kernels in
+loopfilter_filters.hh:58-186.
+
+All functions take int32 arrays in [0, 255] and per-MB scalar parameters;
+designed for vmap over the macroblocks of one wavefront diagonal.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def _c8(x):
+    return jnp.clip(x, -128, 127)
+
+
+def _common_filter(p1, p0, q0, q1, mask, hev):
+    fv = jnp.where(hev, _c8(p1 - q1), 0)
+    fv = jnp.where(mask, _c8(fv + 3 * (q0 - p0)), 0)
+    f1 = _c8(fv + 4) >> 3
+    f2 = _c8(fv + 3) >> 3
+    q0n = _c8(q0 - f1)
+    p0n = _c8(p0 + f2)
+    outer = jnp.where(hev, 0, (f1 + 1) >> 1)
+    return _c8(p1 + outer), p0n, q0n, _c8(q1 - outer)
+
+
+def _mb_filter(p2, p1, p0, q0, q1, q2, mask, hev):
+    fv = jnp.where(mask, _c8(_c8(p1 - q1) + 3 * (q0 - p0)), 0)
+    f = jnp.where(hev, fv, 0)
+    f1 = _c8(f + 4) >> 3
+    f2 = _c8(f + 3) >> 3
+    q0 = _c8(q0 - f1)
+    p0 = _c8(p0 + f2)
+    w = jnp.where(hev, 0, fv)
+    u = _c8((63 + w * 27) >> 7)
+    q0, p0 = _c8(q0 - u), _c8(p0 + u)
+    u = _c8((63 + w * 18) >> 7)
+    q1, p1 = _c8(q1 - u), _c8(p1 + u)
+    u = _c8((63 + w * 9) >> 7)
+    q2, p2 = _c8(q2 - u), _c8(p2 + u)
+    return p2, p1, p0, q0, q1, q2
+
+
+def _mask_hev(limit, blimit, thresh, p3, p2, p1, p0, q0, q1, q2, q3):
+    m = ((jnp.abs(p3 - p2) > limit) | (jnp.abs(p2 - p1) > limit)
+         | (jnp.abs(p1 - p0) > limit) | (jnp.abs(q1 - q0) > limit)
+         | (jnp.abs(q2 - q1) > limit) | (jnp.abs(q3 - q2) > limit)
+         | (jnp.abs(p0 - q0) * 2 + jnp.abs(p1 - q1) // 2 > blimit))
+    hev = (jnp.abs(p1 - p0) > thresh) | (jnp.abs(q1 - q0) > thresh)
+    return ~m, hev
+
+
+def filter_v_edge(window, x, limit, blimit, thresh, mb_edge):
+    """Filter the vertical edge at column ``x`` (static) of a (..., S, S)
+    window, touching only the MB's own rows (the 4 halo rows are read-only
+    context). Params broadcast over leading dims. Returns updated window."""
+    cols = [window[..., 4:, x - 4 + i] for i in range(8)]  # p3..p0 q0..q3
+    mask, hev = _mask_hev(limit, blimit, thresh, *cols)
+    s = [c - 128 for c in cols]
+    if mb_edge:
+        p2, p1, p0, q0, q1, q2 = _mb_filter(s[1], s[2], s[3], s[4], s[5], s[6],
+                                            mask, hev)
+        new = [s[0], p2, p1, p0, q0, q1, q2, s[7]]
+    else:
+        p1, p0, q0, q1 = _common_filter(s[2], s[3], s[4], s[5], mask, hev)
+        new = [s[0], s[1], p1, p0, q0, q1, s[6], s[7]]
+    for i, v in enumerate(new):
+        window = window.at[..., 4:, x - 4 + i].set(v + 128)
+    return window
+
+
+def filter_h_edge(window, y, limit, blimit, thresh, mb_edge):
+    cols = [window[..., y - 4 + i, 4:] for i in range(8)]
+    mask, hev = _mask_hev(limit, blimit, thresh, *cols)
+    s = [c - 128 for c in cols]
+    if mb_edge:
+        p2, p1, p0, q0, q1, q2 = _mb_filter(s[1], s[2], s[3], s[4], s[5], s[6],
+                                            mask, hev)
+        new = [s[0], p2, p1, p0, q0, q1, q2, s[7]]
+    else:
+        p1, p0, q0, q1 = _common_filter(s[2], s[3], s[4], s[5], mask, hev)
+        new = [s[0], s[1], p1, p0, q0, q1, s[6], s[7]]
+    for i, v in enumerate(new):
+        window = window.at[..., y - 4 + i, 4:].set(v + 128)
+    return window
+
+
+def filter_mb_window(window, size, limit, blimit_mb, blimit_sb, thresh,
+                     do_left, do_top, do_sb):
+    """All four filter passes on one MB window of shape (size+4, size+4)
+    (4-pixel halo above and left). Per-MB scalars: limit/blimits/thresh
+    (int32), do_left/do_top/do_sb (bool). Returns the filtered window."""
+    halo = 4
+
+    w = filter_v_edge(window, halo, limit, blimit_mb, thresh, True)
+    window = jnp.where(do_left, w, window)
+
+    w = window
+    for off in range(4, size, 4):
+        w = filter_v_edge(w, halo + off, limit, blimit_sb, thresh, False)
+    window = jnp.where(do_sb, w, window)
+
+    w = filter_h_edge(window, halo, limit, blimit_mb, thresh, True)
+    window = jnp.where(do_top, w, window)
+
+    w = window
+    for off in range(4, size, 4):
+        w = filter_h_edge(w, halo + off, limit, blimit_sb, thresh, False)
+    window = jnp.where(do_sb, w, window)
+
+    return window
+
+
+def loopfilter_params(filter_level, sharpness, key_frame):
+    """Vectorized limit derivation (loopfilter.cc:82-128).
+
+    filter_level: int array (pre-adjustment sum, may be out of range).
+    Returns dict of int32 arrays: level, interior, mb_limit, sb_limit, hev.
+    """
+    import numpy as np
+    fl = np.clip(filter_level, 0, 63).astype(np.int32)
+    interior = fl.copy()
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        interior = np.minimum(interior, 9 - sharpness)
+    interior = np.maximum(interior, 1)
+    return {
+        "level": fl,
+        "interior": interior,
+        "mb_limit": (fl + 2) * 2 + interior,
+        "sb_limit": fl * 2 + interior,
+        "hev": ((fl >= 15).astype(np.int32)
+                + (fl >= 40).astype(np.int32)
+                + ((fl >= 20) & (not key_frame)).astype(np.int32)),
+    }
