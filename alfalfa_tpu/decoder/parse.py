@@ -208,6 +208,25 @@ class FrameParser:
         read_segment_id = (header.update_segmentation is not None
                            and header.update_segmentation.update_mb_segmentation_map)
 
+        if not error_concealment:
+            try:
+                from alfalfa_tpu.native import bitwork
+                ok = bitwork.parse_mb_headers(
+                    bd, self.mb_rows, self.mb_cols, key_frame,
+                    read_segment_id, seg_tree_probs, header.prob_skip_false,
+                    0 if key_frame else header.prob_inter,
+                    0 if key_frame else header.prob_references_last,
+                    0 if key_frame else header.prob_references_golden,
+                    False if key_frame else header.sign_bias_golden,
+                    False if key_frame else header.sign_bias_alternate,
+                    frame_probs.y_mode_probs, frame_probs.uv_mode_probs,
+                    T.KF_B_MODE_PROBS, frame_probs.mv_probs,
+                    arrays, self._segment_updates)
+                if ok:
+                    return arrays
+            except Exception:
+                pass
+
         # per-subblock intra-mode context for keyframe B_PRED parsing
         self._bmode_above = np.full((self.mb_cols * 4,), T.B_DC_PRED, np.int8)
 
@@ -464,6 +483,20 @@ class FrameParser:
 
     def _parse_tokens(self, chunk, header, arrays, frame_probs):
         parts = chunk.dct_partitions(1 << header.log2_number_of_dct_partitions)
+
+        if chunk.corruption_level == 0:
+            try:
+                from alfalfa_tpu.native import bitwork
+                nz = np.zeros((self.mb_rows, self.mb_cols), np.uint8)
+                if bitwork.parse_tokens(parts, self.mb_rows, self.mb_cols,
+                                        frame_probs.coeff_probs,
+                                        arrays.skip_coeff, arrays.y2_coded,
+                                        arrays.coeffs, nz):
+                    arrays.has_nonzero[:] = nz.astype(bool)
+                    return
+            except Exception:
+                pass
+
         decoders = [BoolDecoder(p) for p in parts]
 
         # per-subblock nonzero context planes (frame-wide, cross-MB)

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from alfalfa_tpu.bitstream import tables as T
+from alfalfa_tpu.util import jaxcache
+
+jaxcache.enable()
 from alfalfa_tpu.ops import transforms, sixtap, intra, loopfilter as lf_ops
 from alfalfa_tpu.state.decoder_state import Raster
 
@@ -56,8 +59,7 @@ def wavefront_schedule(mb_rows, mb_cols):
 # the jitted frame kernel
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mb_rows", "mb_cols", "key_frame"))
-def _reconstruct_device(mb_rows, mb_cols, key_frame,
+def reconstruct_core(mb_rows, mb_cols, key_frame,
                         coeffs, qf, y2_coded, has_nonzero,
                         ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
                         ref_y, ref_u, ref_v,
@@ -132,8 +134,13 @@ def _reconstruct_device(mb_rows, mb_cols, key_frame,
 
     # ---- stage C: intra wavefront ----
     def intra_step(tiles, xs):
-        y_t, u_t, v_t = tiles
         rs, cs, valid = xs
+        any_intra = jnp.any(valid & intra_mask_full[rs, cs])
+        return (jax.lax.cond(any_intra, _intra_step_work,
+                             lambda t, *_: t, tiles, rs, cs, valid), None)
+
+    def _intra_step_work(tiles, rs, cs, valid):
+        y_t, u_t, v_t = tiles
         L = rs.shape[0]
         has_row = rs > 0
         has_col = cs > 0
@@ -182,7 +189,7 @@ def _reconstruct_device(mb_rows, mb_cols, key_frame,
         y_t = y_t.at[rs_w, cs].set(new_y, mode="drop")
         u_t = u_t.at[rs_w, cs].set(new_u, mode="drop")
         v_t = v_t.at[rs_w, cs].set(new_v, mode="drop")
-        return (y_t, u_t, v_t), None
+        return (y_t, u_t, v_t)
 
     (y_tiles, u_tiles, v_tiles), _ = jax.lax.scan(
         intra_step, (y_tiles, u_tiles, v_tiles),
@@ -241,6 +248,10 @@ def _reconstruct_device(mb_rows, mb_cols, key_frame,
         return t.transpose(0, 2, 1, 3).reshape(R * size, C * size).astype(jnp.uint8)
 
     return untile(y_tiles, 16), untile(u_tiles, 8), untile(v_tiles, 8)
+
+
+_reconstruct_device = jax.jit(reconstruct_core,
+                              static_argnames=("mb_rows", "mb_cols", "key_frame"))
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +339,4 @@ def reconstruct(header, arrays, state, references, key_frame):
         tuple(jnp.asarray(x) for x in lf_params),
         jnp.asarray(diag_rs), jnp.asarray(diag_cs), jnp.asarray(diag_valid))
 
-    raster = Raster(state.width, state.height,
-                    np.asarray(y), np.asarray(u), np.asarray(v))
-    return raster
+    return Raster(state.width, state.height, y, u, v)

@@ -495,6 +495,8 @@ def reconstruct(header, arrays, state, references, key_frame):
     Returns a new Raster. (KeyFrame/InterFrame::decode + Frame::loopfilter,
     frame.cc:208-250, 139-182.)"""
     raster = Raster(state.width, state.height)
+    for ref in (references.last, references.golden, references.alternative):
+        ref.to_host()
     seg = state.segmentation
 
     # per-segment quantizers (frame.cc:186-205)

@@ -1,0 +1,266 @@
+/* bitwork: native host-side bit-serial kernels for the TPU codec framework.
+ *
+ * The entropy layer of VP8 is inherently sequential (RFC 6386 section 7);
+ * it runs on the host CPU while the pixel pipeline runs on the TPU.  This
+ * library implements the hot host loops:
+ *   - vp8_parse_tokens: coefficient token decode for a whole frame
+ *     (semantics of reference decoder/tokens.cc:50-135 + frame.cc:121-137)
+ *   - vp8_hash_range: golden-ratio hash combine over arrays (state hashing)
+ *
+ * Exposed via a plain C ABI and loaded with ctypes (no pybind11 in image).
+ */
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BoolDecoder {
+  const uint8_t *data;
+  int64_t pos, size;
+  uint32_t range_, value;
+  int bit_count;
+
+  void init(const uint8_t *d, int64_t n) {
+    data = d;
+    pos = 0;
+    size = n;
+    range_ = 255;
+    value = 0;
+    bit_count = 0;
+    load_octet();
+    value <<= 8;
+    load_octet();
+  }
+
+  inline void load_octet() {
+    if (pos < size) value |= data[pos++];
+    /* complete chunks zero-extend silently (bool_decoder.hh:56-65) */
+  }
+
+  inline int get(int probability) {
+    const uint32_t split = 1 + (((range_ - 1) * (uint32_t)probability) >> 8);
+    const uint32_t big_split = split << 8;
+    int ret;
+    if (value >= big_split) {
+      ret = 1;
+      range_ -= split;
+      value -= big_split;
+    } else {
+      ret = 0;
+      range_ = split;
+    }
+    while (range_ < 128) {
+      value <<= 1;
+      range_ <<= 1;
+      if (++bit_count == 8) {
+        bit_count = 0;
+        load_octet();
+      }
+    }
+    return ret;
+  }
+};
+
+constexpr uint8_t kZigzag[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15};
+constexpr uint8_t kBand[16] = {0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7};
+
+struct TokenExtra {
+  uint16_t base;
+  uint8_t nbits;
+  uint8_t probs[11];
+};
+
+constexpr TokenExtra kExtra[5] = {
+    {7, 2, {165, 145}},
+    {11, 3, {173, 148, 140}},
+    {19, 4, {176, 155, 140, 135}},
+    {35, 5, {180, 157, 141, 134, 130}},
+    {67, 11, {254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129}},
+};
+
+/* Returns 1 if the block has any nonzero coefficient. coeff_probs indexed
+ * [block_type][band][ctx][node] = ((bt*8 + band)*3 + ctx)*11 + node. */
+inline int parse_block(BoolDecoder &bd, const uint8_t *coeff_probs,
+                       int block_type, int ctx, int first, int16_t *out16) {
+  const uint8_t *probs_bt = coeff_probs + block_type * 8 * 3 * 11;
+  int has_nonzero = 0;
+  bool last_was_zero = false;
+  int token_context = ctx;
+
+  for (int index = first; index < 16; index++) {
+    const uint8_t *prob = probs_bt + (kBand[index] * 3 + token_context) * 11;
+    if (!last_was_zero) {
+      if (!bd.get(prob[0])) break; /* EOB */
+    }
+    if (!bd.get(prob[1])) {
+      last_was_zero = true;
+      token_context = 0;
+      continue;
+    }
+    last_was_zero = false;
+    has_nonzero = 1;
+    int value;
+    if (!bd.get(prob[2])) {
+      value = 1;
+      token_context = 1;
+    } else {
+      token_context = 2;
+      if (!bd.get(prob[3])) {
+        if (!bd.get(prob[4])) {
+          value = 2;
+        } else {
+          value = bd.get(prob[5]) ? 4 : 3;
+        }
+      } else {
+        int cat;
+        if (!bd.get(prob[6])) {
+          if (!bd.get(prob[7])) {
+            value = 5 + bd.get(159);
+            cat = -1;
+          } else {
+            cat = 0;
+          }
+        } else {
+          if (!bd.get(prob[8])) {
+            cat = bd.get(prob[9]) ? 2 : 1;
+          } else {
+            cat = bd.get(prob[10]) ? 4 : 3;
+          }
+        }
+        if (cat >= 0) {
+          const TokenExtra &te = kExtra[cat];
+          int extra = 0;
+          for (int i = 0; i < te.nbits; i++) {
+            extra = (extra << 1) + bd.get(te.probs[i]);
+          }
+          value = te.base + extra;
+        }
+      }
+    }
+    if (bd.get(128)) value = -value;
+    out16[kZigzag[index]] = (int16_t)value;
+  }
+  return has_nonzero;
+}
+
+} // namespace
+
+extern "C" {
+
+int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
+                     int num_parts, int mb_rows, int mb_cols,
+                     const uint8_t *coeff_probs, const uint8_t *skip,
+                     const uint8_t *y2_coded, int16_t *coeffs,
+                     uint8_t *has_nonzero_out) {
+  BoolDecoder decs[8];
+  if (num_parts < 1 || num_parts > 8) return -1;
+  for (int i = 0; i < num_parts; i++) {
+    decs[i].init(part_data + part_offsets[i],
+                 part_offsets[i + 1] - part_offsets[i]);
+  }
+
+  const int C = mb_cols, R = mb_rows;
+  /* per-subblock nonzero context planes */
+  uint8_t *y_nz = new uint8_t[R * 4 * C * 4]();
+  uint8_t *u_nz = new uint8_t[R * 2 * C * 2]();
+  uint8_t *v_nz = new uint8_t[R * 2 * C * 2]();
+  /* Y2 contexts with skip-non-coded relinking (frame.cc:252-269) */
+  uint8_t *y2_above = new uint8_t[C]();
+  uint8_t *y2_above_valid = new uint8_t[C]();
+
+  for (int r = 0; r < R; r++) {
+    BoolDecoder &bd = decs[r % num_parts];
+    uint8_t y2_left = 0, y2_left_valid = 0;
+    for (int c = 0; c < C; c++) {
+      const int mb = r * C + c;
+      int16_t *mb_coeffs = coeffs + (int64_t)mb * 25 * 16;
+      const int y2c = y2_coded[mb];
+
+      if (skip[mb]) {
+        /* contexts cleared; has_nonzero stays 0 */
+        for (int sr = 0; sr < 4; sr++)
+          memset(y_nz + (r * 4 + sr) * C * 4 + c * 4, 0, 4);
+        for (int sr = 0; sr < 2; sr++) {
+          memset(u_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+          memset(v_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+        }
+        if (y2c) {
+          y2_above[c] = 0;
+          y2_above_valid[c] = 1;
+          y2_left = 0;
+          y2_left_valid = 1;
+        }
+        continue;
+      }
+
+      int mb_nonzero = 0;
+      if (y2c) {
+        const int ctx = (y2_above_valid[c] ? y2_above[c] : 0) +
+                        (y2_left_valid ? y2_left : 0);
+        const int nz = parse_block(bd, coeff_probs, 1 /*Y2*/, ctx, 0,
+                                   mb_coeffs + 24 * 16);
+        y2_above[c] = (uint8_t)nz;
+        y2_above_valid[c] = 1;
+        y2_left = (uint8_t)nz;
+        y2_left_valid = 1;
+        mb_nonzero |= nz;
+      }
+
+      const int block_type = y2c ? 0 /*Y_after_Y2*/ : 3 /*Y_without_Y2*/;
+      const int first = y2c ? 1 : 0;
+      for (int sr = 0; sr < 4; sr++) {
+        for (int sc = 0; sc < 4; sc++) {
+          const int gr = r * 4 + sr, gc = c * 4 + sc;
+          const int ctx = (gr > 0 ? y_nz[(gr - 1) * C * 4 + gc] : 0) +
+                          (gc > 0 ? y_nz[gr * C * 4 + gc - 1] : 0);
+          const int nz = parse_block(bd, coeff_probs, block_type, ctx, first,
+                                     mb_coeffs + (sr * 4 + sc) * 16);
+          y_nz[gr * C * 4 + gc] = (uint8_t)nz;
+          mb_nonzero |= nz;
+        }
+      }
+
+      uint8_t *nz_planes[2] = {u_nz, v_nz};
+      for (int plane = 0; plane < 2; plane++) {
+        uint8_t *nzp = nz_planes[plane];
+        const int base = 16 + plane * 4;
+        for (int sr = 0; sr < 2; sr++) {
+          for (int sc = 0; sc < 2; sc++) {
+            const int gr = r * 2 + sr, gc = c * 2 + sc;
+            const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
+                            (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
+            const int nz = parse_block(bd, coeff_probs, 2 /*UV*/, ctx, 0,
+                                       mb_coeffs + (base + sr * 2 + sc) * 16);
+            nzp[gr * C * 2 + gc] = (uint8_t)nz;
+            mb_nonzero |= nz;
+          }
+        }
+      }
+      has_nonzero_out[mb] = (uint8_t)mb_nonzero;
+    }
+  }
+
+  delete[] y_nz;
+  delete[] u_nz;
+  delete[] v_nz;
+  delete[] y2_above;
+  delete[] y2_above_valid;
+  return 0;
+}
+
+uint64_t vp8_hash_range(uint64_t seed, const uint64_t *values, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    seed ^= values[i] + 0x9e3779b9ULL + (seed << 6) + (seed >> 2);
+  }
+  return seed;
+}
+
+/* byte-array fast path: hashes uint8 values directly */
+uint64_t vp8_hash_bytes(uint64_t seed, const uint8_t *values, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    seed ^= (uint64_t)values[i] + 0x9e3779b9ULL + (seed << 6) + (seed >> 2);
+  }
+  return seed;
+}
+
+} // extern "C"

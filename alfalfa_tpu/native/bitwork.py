@@ -1,0 +1,143 @@
+"""ctypes loader for the native bitwork library (auto-built on first use)."""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libbitwork.so")
+_SRC = os.path.join(_HERE, "bitwork.cc")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO)
+    lib.vp8_parse_tokens.restype = ctypes.c_int
+    lib.vp8_parse_tokens.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.vp8_hash_range.restype = ctypes.c_uint64
+    lib.vp8_hash_range.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
+                                   ctypes.c_int64]
+    lib.vp8_hash_bytes.restype = ctypes.c_uint64
+    lib.vp8_hash_bytes.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
+                                   ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
+                 coeffs_out, has_nonzero_out):
+    """Token-parse a whole frame. partitions: list of bytes.
+
+    coeffs_out (r, c, 25, 16) int16 and has_nonzero_out (r, c) uint8 are
+    filled in place. Returns True on success."""
+    lib = _load()
+    data = b"".join(partitions)
+    offsets = np.zeros(len(partitions) + 1, np.int64)
+    np.cumsum([len(p) for p in partitions], out=offsets[1:])
+    probs = np.ascontiguousarray(coeff_probs, np.uint8)
+    skip_u8 = np.ascontiguousarray(skip, np.uint8)
+    y2_u8 = np.ascontiguousarray(y2_coded, np.uint8)
+    assert coeffs_out.flags.c_contiguous and coeffs_out.dtype == np.int16
+    rc = lib.vp8_parse_tokens(
+        data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
+        probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
+        coeffs_out.ctypes.data, has_nonzero_out.ctypes.data)
+    return rc == 0
+
+
+def hash_range(seed, values_u64):
+    lib = _load()
+    arr = np.ascontiguousarray(values_u64, np.uint64)
+    return int(lib.vp8_hash_range(ctypes.c_uint64(seed), arr.ctypes.data,
+                                  arr.size))
+
+
+def hash_bytes(seed, values_u8):
+    lib = _load()
+    arr = np.ascontiguousarray(values_u8, np.uint8)
+    return int(lib.vp8_hash_bytes(ctypes.c_uint64(seed), arr.ctypes.data,
+                                  arr.size))
+
+
+_mblib = None
+_MB_SO = os.path.join(_HERE, "libmbparse.so")
+_MB_SRC = os.path.join(_HERE, "mbparse.cc")
+
+
+def _load_mb():
+    global _mblib
+    if _mblib is not None:
+        return _mblib
+    if (not os.path.exists(_MB_SO)
+            or os.path.getmtime(_MB_SO) < os.path.getmtime(_MB_SRC)):
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _MB_SO, _MB_SRC],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_MB_SO)
+    lib.vp8_parse_mb_headers.restype = ctypes.c_int
+    lib.vp8_parse_mb_headers.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64,
+         ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+         ctypes.c_int, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_void_p,
+         ctypes.c_int, ctypes.c_uint8,
+         ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+         ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p] * 9
+        + [ctypes.c_void_p])
+    _mblib = lib
+    return lib
+
+
+def parse_mb_headers(bd, mb_rows, mb_cols, key_frame, read_segment_id,
+                     seg_tree_probs, prob_skip, prob_inter, prob_last,
+                     prob_golden, sign_bias_golden, sign_bias_alt,
+                     y_mode_probs, uv_mode_probs, kf_b_mode_probs, mv_probs,
+                     arrays, segment_update):
+    """Runs the MB-header parse natively, resuming from Python BoolDecoder
+    ``bd`` (whose state is advanced on success). Fills ``arrays`` fields and
+    ``segment_update`` ((r, c) int16, -1 = no update) in place."""
+    lib = _load_mb()
+    data = bytes(bd.data)
+    out_state = np.zeros(4, np.int64)
+    seg_probs = np.ascontiguousarray(seg_tree_probs, np.uint8)
+    ymp = np.ascontiguousarray(y_mode_probs, np.uint8)
+    uvp = np.ascontiguousarray(uv_mode_probs, np.uint8)
+    kfb = np.ascontiguousarray(kf_b_mode_probs, np.uint8)
+    mvp = np.ascontiguousarray(mv_probs, np.uint8)
+    skip_u8 = np.zeros((mb_rows, mb_cols), np.uint8)
+    y2_u8 = np.zeros((mb_rows, mb_cols), np.uint8)
+    rc = lib.vp8_parse_mb_headers(
+        data, len(data), bd.pos, bd.range, bd.value, bd.bit_count,
+        mb_rows, mb_cols, int(key_frame),
+        int(read_segment_id), seg_probs.ctypes.data,
+        int(prob_skip is not None), prob_skip or 0,
+        prob_inter, prob_last, prob_golden,
+        int(sign_bias_golden), int(sign_bias_alt),
+        ymp.ctypes.data, uvp.ctypes.data, kfb.ctypes.data, mvp.ctypes.data,
+        arrays.ymode.ctypes.data, arrays.uvmode.ctypes.data,
+        arrays.ref.ctypes.data, segment_update.ctypes.data,
+        skip_u8.ctypes.data, y2_u8.ctypes.data, arrays.bmode.ctypes.data,
+        arrays.sub_mv.ctypes.data, arrays.uv_mv.ctypes.data,
+        out_state.ctypes.data)
+    if rc != 0:
+        return False
+    arrays.skip_coeff[:] = skip_u8.astype(bool)
+    arrays.y2_coded[:] = y2_u8.astype(bool)
+    bd.pos = int(out_state[0])
+    bd.range = int(out_state[1])
+    bd.value = int(out_state[2])
+    bd.bit_count = int(out_state[3])
+    return True

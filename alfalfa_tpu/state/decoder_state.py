@@ -222,13 +222,23 @@ class Raster:
         return Raster(self.display_width, self.display_height,
                       self.y.copy(), self.u.copy(), self.v.copy())
 
+    def to_host(self):
+        """Materialize planes as numpy (no-op if already on host)."""
+        if not isinstance(self.y, np.ndarray):
+            self.y = np.asarray(self.y)
+            self.u = np.asarray(self.u)
+            self.v = np.asarray(self.v)
+        return self
+
     def hash(self):
         if self._hash is None:
+            self.to_host()
             self._hash = hashing.raster_hash(self.y, self.u, self.v)
         return self._hash
 
     def display(self):
         """(y, u, v) cropped to display dimensions."""
+        self.to_host()
         dw, dh = self.display_width, self.display_height
         return (self.y[:dh, :dw], self.u[:(dh + 1) // 2, :(dw + 1) // 2],
                 self.v[:(dh + 1) // 2, :(dw + 1) // 2])

@@ -2,7 +2,10 @@ import os
 
 # Unit tests run on a virtual 8-device CPU mesh so multi-chip sharding logic
 # is exercised without TPU hardware. Benchmarks (bench.py) use the real chip.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the axon TPU hook (sitecustomize triggered by PALLAS_AXON_POOL_IPS)
+# re-forces JAX_PLATFORMS=axon, so it must be disabled, not just overridden.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 
