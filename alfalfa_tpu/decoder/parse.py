@@ -46,6 +46,8 @@ class FrameArrays:
     sub_mv: np.ndarray = None       # i16 (r, c, 4, 4, 2): (x, y) per Y subblock
     uv_mv: np.ndarray = None        # i16 (r, c, 2, 2, 2): (x, y) per chroma subblock
     coeffs: np.ndarray = None       # i16 (r, c, 25, 16) raster (de-zigzagged) order
+    splitmv_pid: np.ndarray = None  # i8 (r, c): SPLITMV partition scheme, -1 if n/a
+    segment_update: np.ndarray = None  # i16 (r, c): coded segment id, -1 if none
 
     def __post_init__(self):
         r, c = self.mb_rows, self.mb_cols
@@ -61,6 +63,8 @@ class FrameArrays:
             self.sub_mv = np.zeros((r, c, 4, 4, 2), np.int16)
             self.uv_mv = np.zeros((r, c, 2, 2, 2), np.int16)
             self.coeffs = np.zeros((r, c, NUM_BLOCKS, 16), np.int16)
+            self.splitmv_pid = np.full((r, c), -1, np.int8)
+            self.segment_update = np.full((r, c), -1, np.int16)
 
 
 def _read_mv_component(bd, probs):
@@ -111,6 +115,58 @@ def luma_to_chroma(mv1, mv2, mv3, mv4):
 
 _IMPLIED_BMODE = {T.DC_PRED: T.B_DC_PRED, T.V_PRED: T.B_VE_PRED,
                   T.H_PRED: T.B_HE_PRED, T.TM_PRED: T.B_TM_PRED}
+
+
+def mv_census(arrays, flipped_map, r, c, flipped):
+    """Motion-vector census over above/left/above-left neighbors
+    (scorer.hh:36-79, macroblock.cc:144-172, 301-312).
+
+    Returns (best, nearest, near, mode_context[4])."""
+    scores = [0, 0, 0, 0]
+    mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    splitmv_score = 0
+    index = 0
+
+    def add(score, rr, cc):
+        nonlocal index, splitmv_score
+        if rr < 0 or cc < 0:
+            return
+        if arrays.ref[rr, cc] == T.CURRENT_FRAME:
+            return
+        mv = (int(arrays.sub_mv[rr, cc, 3, 3, 0]), int(arrays.sub_mv[rr, cc, 3, 3, 1]))
+        if bool(flipped_map[rr, cc]) != flipped:
+            mv = (-mv[0], -mv[1])
+        if mv == (0, 0):
+            scores[0] += score
+        else:
+            if mv != mvs[index]:
+                index += 1
+                mvs[index] = mv
+            scores[index] += score
+        if arrays.ymode[rr, cc] == T.SPLITMV:
+            splitmv_score += score
+
+    add(2, r - 1, c)
+    add(2, r, c - 1)
+    add(1, r - 1, c - 1)
+
+    # Scorer::calculate (macroblock.cc:156-172)
+    if scores[3]:
+        if mvs[index] == mvs[1]:
+            scores[1] += scores[3]
+    if scores[2] > scores[1]:
+        scores[1], scores[2] = scores[2], scores[1]
+        mvs[1], mvs[2] = mvs[2], mvs[1]
+    if scores[1] >= scores[0]:
+        mvs[0] = mvs[1]
+
+    return mvs[0], mvs[1], mvs[2], (scores[0], scores[1], scores[2], splitmv_score)
+
+
+def flipped_map_for(arrays, header):
+    """Per-MB motion_vectors_flipped_ flags from reference + sign biases."""
+    return (((arrays.ref == T.GOLDEN_FRAME) & header.sign_bias_golden)
+            | ((arrays.ref == T.ALTREF_FRAME) & header.sign_bias_alternate))
 
 
 class FrameParser:
@@ -199,9 +255,9 @@ class FrameParser:
     def _parse_macroblock_headers(self, bd, header, frame_probs, key_frame,
                                   error_concealment):
         arrays = FrameArrays(self.mb_rows, self.mb_cols)
-        # segment-id updates are only remembered here; the persistent map is
-        # applied afterwards (mirrors two-phase update in frame.cc:115-119)
-        self._segment_updates = np.full((self.mb_rows, self.mb_cols), -1, np.int16)
+        # segment-id updates are only remembered in the arrays; the persistent
+        # map is applied afterwards (two-phase update, frame.cc:115-119)
+        self._segment_updates = arrays.segment_update
 
         seg_tree_probs = ([255, 255, 255] if header.update_segmentation is None
                           else header.update_segmentation.segment_tree_probs())
@@ -323,50 +379,7 @@ class FrameParser:
     # -- inter modes ---------------------------------------------------------
 
     def _census(self, arrays, r, c, flipped):
-        """Motion-vector census over above/left/above-left neighbors
-        (scorer.hh:36-79, macroblock.cc:144-172, 301-312).
-
-        Returns (best, nearest, near, mode_context[4])."""
-        scores = [0, 0, 0, 0]
-        mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
-        splitmv_score = 0
-        index = 0
-
-        def add(score, rr, cc):
-            nonlocal index, splitmv_score
-            if rr < 0 or cc < 0:
-                return
-            if arrays.ref[rr, cc] == T.CURRENT_FRAME:
-                return
-            mv = (int(arrays.sub_mv[rr, cc, 3, 3, 0]), int(arrays.sub_mv[rr, cc, 3, 3, 1]))
-            if bool(self._flipped[rr, cc]) != flipped:
-                mv = (-mv[0], -mv[1])
-            if mv == (0, 0):
-                scores[0] += score
-            else:
-                if mv != mvs[index]:
-                    index += 1
-                    mvs[index] = mv
-                scores[index] += score
-            if arrays.ymode[rr, cc] == T.SPLITMV:
-                splitmv_score += score
-
-        add(2, r - 1, c)
-        add(2, r, c - 1)
-        add(1, r - 1, c - 1)
-
-        # Scorer::calculate (macroblock.cc:156-172)
-        if scores[3]:
-            if mvs[index] == mvs[1]:
-                scores[1] += scores[3]
-        if scores[2] > scores[1]:
-            scores[1], scores[2] = scores[2], scores[1]
-            mvs[1], mvs[2] = mvs[2], mvs[1]
-        if scores[1] >= scores[0]:
-            mvs[0] = mvs[1]
-
-        mode_context = (scores[0], scores[1], scores[2], splitmv_score)
-        return mvs[0], mvs[1], mvs[2], mode_context
+        return mv_census(arrays, self._flipped, r, c, flipped)
 
     def _parse_inter_modes(self, bd, header, frame_probs, arrays, r, c,
                            flipped, concealed):
@@ -419,7 +432,7 @@ class FrameParser:
     def _parse_splitmv(self, bd, frame_probs, arrays, r, c, best):
         partition_id = bd.tree(T.SPLIT_MV_TREE, T.SPLIT_MV_PROBS)
         arrays.bmode[r, c, :, :] = 0
-        self._splitmv_partition_id[r, c] = partition_id
+        arrays.splitmv_pid[r, c] = partition_id
 
         for partition in T.MV_PARTITIONS[partition_id]:
             first_c, first_r = partition[0]

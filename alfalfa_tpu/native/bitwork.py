@@ -95,7 +95,7 @@ def _load_mb():
          ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
          ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 4
-        + [ctypes.c_void_p] * 9
+        + [ctypes.c_void_p] * 10
         + [ctypes.c_void_p])
     _mblib = lib
     return lib
@@ -131,6 +131,7 @@ def parse_mb_headers(bd, mb_rows, mb_cols, key_frame, read_segment_id,
         arrays.ref.ctypes.data, segment_update.ctypes.data,
         skip_u8.ctypes.data, y2_u8.ctypes.data, arrays.bmode.ctypes.data,
         arrays.sub_mv.ctypes.data, arrays.uv_mv.ctypes.data,
+        arrays.splitmv_pid.ctypes.data,
         out_state.ctypes.data)
     if rc != 0:
         return False

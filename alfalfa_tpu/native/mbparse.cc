@@ -155,6 +155,7 @@ int vp8_parse_mb_headers(
     int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
     uint8_t *skip, uint8_t *y2_coded, int8_t *bmode /* r*c*16 */,
     int16_t *sub_mv /* r*c*16*2 */, int16_t *uv_mv /* r*c*4*2 */,
+    int8_t *splitmv_pid /* r*c, -1 default */,
     int64_t *out_state) {
   BoolDecoder bd;
   bd.data = fp_data;
@@ -299,6 +300,7 @@ int vp8_parse_mb_headers(
         case SPLITMV: {
           have_base = false;
           const int pid = bd.tree(kSplitMvTree, kSplitMvProbs);
+          splitmv_pid[mb] = (int8_t)pid;
           const MvPartition &scheme = kMvPartitions[pid];
           const MV best = clamp_mv(mvs[0], c, r, C, R);
           int done[16] = {0};
