@@ -123,3 +123,7 @@ def quantizer_values(y_ac_qi, y_dc_delta=0, y2_dc_delta=0, y2_ac_delta=0,
     uv_dc = np.minimum(uv_dc, 132)
     return {"y_dc": y_dc, "y_ac": y_ac, "y2_dc": y2_dc, "y2_ac": y2_ac,
             "uv_dc": uv_dc, "uv_ac": uv_ac}
+
+
+# ---- entropy-coder bit-cost table (encoder; 1/256-bit units x2) ----
+VP8_PROB_COST = np.array(_T["vp8_prob_cost"], dtype=np.uint16)

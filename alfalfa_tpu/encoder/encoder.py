@@ -1,0 +1,188 @@
+"""Encoder: explicit-state VP8 encoding driver.
+
+Like the reference Encoder (encoder/encoder.hh:95-383), this carries
+(DecoderState, References) and encodes each frame against them, inlining a
+full decode so the references match what any decoder reconstructs.
+
+Modes: constant quantizer, minimum-SSIM search, (target-size to come).
+"""
+import numpy as np
+
+from alfalfa_tpu.bitstream import tables as T
+from alfalfa_tpu.bitstream.header import KeyFrameHeader, InterFrameHeader, QuantIndices
+from alfalfa_tpu.decoder import reconstruct_np as R
+from alfalfa_tpu.decoder.parse import FrameArrays
+from alfalfa_tpu.state.decoder_state import DecoderState, References, Raster
+from alfalfa_tpu.state import hashing
+from alfalfa_tpu.util.ssim import ssim
+from . import encode_intra_np
+from .costs import rd_multipliers
+from .serializer import serialize_frame
+
+
+def _pad_raster(y, u, v, width, height):
+    r = Raster(width, height)
+    r.y[:y.shape[0], :y.shape[1]] = y
+    r.u[:u.shape[0], :u.shape[1]] = u
+    r.v[:v.shape[0], :v.shape[1]] = v
+    return r
+
+
+def calc_prob(false_count, total):
+    """encoder.cc:48-55"""
+    if false_count == 0:
+        return 0
+    return max(1, min(255, 256 * false_count // total))
+
+
+class Encoder:
+    def __init__(self, width, height, quality="best", two_pass=False):
+        self.width, self.height = width, height
+        self.mb_cols = (width + 15) // 16
+        self.mb_rows = (height + 15) // 16
+        self.state = DecoderState.initial(width, height)
+        self.references = References.create(width, height)
+        self.frame_no = 0
+        self.quality = quality
+        self.two_pass = two_pass
+        self.last_loop_filter_level = None
+
+    # -- public API -----------------------------------------------------------
+
+    def encode_with_quantizer(self, yuv, y_ac_qi, key_frame=None):
+        """Encode one frame at a fixed quantizer index; returns the frame
+        bytes and advances the encoder state."""
+        if key_frame is None:
+            key_frame = self.frame_no == 0
+        qi = QuantIndices(y_ac_qi=int(y_ac_qi))
+        payload, _ssim = self._encode_frame(yuv, qi, key_frame, update=True)
+        self.frame_no += 1
+        return payload
+
+    def encode_with_minimum_ssim(self, yuv, minimum_ssim, key_frame=None):
+        """Binary search on y_ac_qi for the target SSIM
+        (encoder.cc:518-557)."""
+        if key_frame is None:
+            key_frame = self.frame_no == 0
+        lo, hi = 0, 127
+        found = False
+        best_qi = 0
+        while lo <= hi:
+            qi = (lo + hi) // 2
+            _, cur = self._encode_frame(yuv, QuantIndices(y_ac_qi=qi),
+                                        key_frame, update=False)
+            if cur >= minimum_ssim or (lo == hi and not found):
+                found = True
+                best_qi = qi
+            if lo == hi:
+                break
+            if cur < minimum_ssim:
+                hi = qi - 1
+            else:
+                lo = qi + 1
+        payload, _ = self._encode_frame(yuv, QuantIndices(y_ac_qi=best_qi),
+                                        key_frame, update=True)
+        self.frame_no += 1
+        return payload
+
+    def minihash(self):
+        return hashing.minihash(hashing.decoder_hash(
+            self.state.hash(), self.references.last.hash(),
+            self.references.golden.hash(), self.references.alternative.hash()))
+
+    # -- core -----------------------------------------------------------------
+
+    def _encode_frame(self, yuv, quant_indices, key_frame, update):
+        if key_frame:
+            return self._encode_keyframe(yuv, quant_indices, update)
+        return self._encode_interframe(yuv, quant_indices, update)
+
+    def _encode_keyframe(self, yuv, quant_indices, update):
+        orig = _pad_raster(*yuv, self.width, self.height)
+        header = KeyFrameHeader()
+        header.quant_indices = quant_indices
+        header.refresh_entropy_probs = True
+
+        arrays = FrameArrays(self.mb_rows, self.mb_cols)
+        recon = Raster(self.width, self.height)
+        q = quant_indices.quantizer()
+        q = {k: int(v) for k, v in q.items()}
+        rate_mult, dist_mult = rd_multipliers(q["y_ac"])
+
+        oplanes = (orig.y, orig.u, orig.v)
+        for r in range(self.mb_rows):
+            for c in range(self.mb_cols):
+                encode_intra_np.encode_intra_mb(oplanes, recon, arrays, r, c,
+                                                q, rate_mult, dist_mult,
+                                                interframe=False)
+
+        # skip flags + prob (encoder.cc:441-457, 657)
+        no_skip = int(arrays.has_nonzero.sum())
+        total = arrays.has_nonzero.size
+        header.prob_skip_false = calc_prob(no_skip, total)
+        arrays.skip_coeff[:] = ~arrays.has_nonzero
+
+        # keyframes reset decoder state (update_decoder_state, encode_intra.cc:36-46)
+        new_state = DecoderState.from_keyframe_header(header, self.width, self.height)
+
+        # per-frame coefficient probability optimization (encoder.cc:418-439)
+        from .serializer import count_token_branches, optimize_token_probs
+        counts = count_token_branches(arrays)
+        header.token_prob_update = optimize_token_probs(
+            counts, new_state.probability_tables.coeff_probs)
+        frame_probs = new_state.probability_tables.copy()
+        frame_probs.coeff_prob_update(header)
+
+        lf_level, filtered = self._search_loopfilter(header, arrays, new_state,
+                                                     recon, orig, True)
+        header.loop_filter_level = lf_level
+
+        payload = serialize_frame(header, arrays, frame_probs,
+                                  True, self.width, self.height)
+        quality = ssim(*(filtered.display()[0], orig.display()[0]))
+
+        if update:
+            self.state = new_state
+            # refresh_entropy_probs=True persists the per-frame tables
+            self.state.probability_tables = frame_probs.copy()
+            self.references.last = filtered
+            self.references.golden = filtered
+            self.references.alternative = filtered
+            self.last_loop_filter_level = lf_level
+        return payload, quality
+
+    def _encode_interframe(self, yuv, quant_indices, update):
+        from . import encode_inter_np
+        return encode_inter_np.encode_interframe(self, yuv, quant_indices, update)
+
+    # -- loop filter search (encoder.cc:459-516) -------------------------------
+
+    def _search_loopfilter(self, header, arrays, state, recon, orig, key_frame):
+        """Hill-climb the loop filter level by SSIM vs the original; returns
+        (level, filtered_raster). Starts near the last frame's level in
+        realtime mode; full climb from 0 otherwise."""
+        # the reference emits mode_lf_adjustments with explicit zero updates
+        from alfalfa_tpu.bitstream.header import ModeRefLFDeltaUpdate
+        header.mode_lf_adjustments_enabled = True
+        header.mode_lf_adjustments = ModeRefLFDeltaUpdate([0] * 4, [0] * 4)
+        from alfalfa_tpu.state.decoder_state import FilterAdjustments
+        state.filter_adjustments = FilterAdjustments.create(header)
+
+        min_lf, max_lf = 0, 63
+        if self.quality == "rt" and self.last_loop_filter_level is not None:
+            min_lf = max(0, self.last_loop_filter_level - 1)
+            max_lf = min(63, self.last_loop_filter_level + 1)
+
+        best = (-1.0, 0, None)
+        oy = orig.display()[0]
+        for level in range(min_lf, max_lf + 1):
+            candidate = recon.copy()
+            header.loop_filter_level = level
+            R._loopfilter_frame(header, arrays, state, candidate, key_frame)
+            s = ssim(candidate.display()[0], oy)
+            if s > best[0]:
+                best = (s, level, candidate)
+            else:
+                break
+        _, level, filtered = best
+        return level, filtered

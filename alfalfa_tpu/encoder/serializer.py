@@ -323,64 +323,12 @@ class FrameSerializer:
         return self._serialize_tokens_py()
 
     def _serialize_tokens_py(self):
-        a = self.a
         n_parts = 1 << self.h.log2_number_of_dct_partitions
         encoders = [BoolEncoder() for _ in range(n_parts)]
         coeff_probs = self.probs.coeff_probs
-
-        R, C = a.mb_rows, a.mb_cols
-        y_nz = np.zeros((R * 4, C * 4), bool)
-        u_nz = np.zeros((R * 2, C * 2), bool)
-        v_nz = np.zeros((R * 2, C * 2), bool)
-        y2_above = np.zeros(C, bool)
-        y2_above_valid = np.zeros(C, bool)
-
-        for r in range(R):
-            be = encoders[r % n_parts]
-            y2_left = False
-            y2_left_valid = False
-            for c in range(C):
-                if a.skip_coeff[r, c]:
-                    y_nz[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = False
-                    u_nz[r * 2:r * 2 + 2, c * 2:c * 2 + 2] = False
-                    v_nz[r * 2:r * 2 + 2, c * 2:c * 2 + 2] = False
-                    if a.y2_coded[r, c]:
-                        y2_above[c] = False
-                        y2_above_valid[c] = True
-                        y2_left = False
-                        y2_left_valid = True
-                    continue
-
-                if a.y2_coded[r, c]:
-                    ctx = int(y2_above[c] if y2_above_valid[c] else False) + \
-                        int(y2_left if y2_left_valid else False)
-                    nz = write_block_tokens(be, a.coeffs[r, c, Y2_IDX],
-                                            coeff_probs, T.BLOCK_Y2, ctx, 0)
-                    y2_above[c] = nz
-                    y2_above_valid[c] = True
-                    y2_left = nz
-                    y2_left_valid = True
-
-                block_type = (T.BLOCK_Y_AFTER_Y2 if a.y2_coded[r, c]
-                              else T.BLOCK_Y_WITHOUT_Y2)
-                first = 1 if a.y2_coded[r, c] else 0
-                for sr in range(4):
-                    for sc in range(4):
-                        gr, gc = r * 4 + sr, c * 4 + sc
-                        ctx = int(gr > 0 and y_nz[gr - 1, gc]) + \
-                            int(gc > 0 and y_nz[gr, gc - 1])
-                        y_nz[gr, gc] = write_block_tokens(
-                            be, a.coeffs[r, c, Y_BASE + sr * 4 + sc],
-                            coeff_probs, block_type, ctx, first)
-                for base, nz_plane in ((U_BASE, u_nz), (V_BASE, v_nz)):
-                    for sr in range(2):
-                        for sc in range(2):
-                            gr, gc = r * 2 + sr, c * 2 + sc
-                            ctx = int(gr > 0 and nz_plane[gr - 1, gc]) + \
-                                int(gc > 0 and nz_plane[gr, gc - 1])
-                            nz_plane[gr, gc] = write_block_tokens(
-                                be, a.coeffs[r, c, base + sr * 2 + sc],
-                                coeff_probs, T.BLOCK_UV, ctx, 0)
+        for row, coeffs, block_type, ctx, first in iter_frame_blocks(self.a):
+            write_block_tokens(encoders[row % n_parts], coeffs, coeff_probs,
+                               block_type, ctx, first)
         return [be.finish() for be in encoders]
 
     # -- full frame --------------------------------------------------------------
@@ -414,3 +362,144 @@ def serialize_frame(header, arrays, frame_probs, key_frame, width, height,
                     show=True):
     return FrameSerializer(header, arrays, frame_probs, key_frame, width,
                            height, show).serialize()
+
+
+def iter_frame_blocks(a):
+    """Yields (mb_row, coeffs16, block_type, ctx, first_index) for every
+    token-coded block of the frame in coding order, with the exact
+    cross-MB nonzero contexts (frame.cc:121-137, tokens.cc:57-66)."""
+    R, C = a.mb_rows, a.mb_cols
+    y_nz = np.zeros((R * 4, C * 4), bool)
+    u_nz = np.zeros((R * 2, C * 2), bool)
+    v_nz = np.zeros((R * 2, C * 2), bool)
+    y2_above = np.zeros(C, bool)
+    y2_above_valid = np.zeros(C, bool)
+
+    for r in range(R):
+        y2_left = False
+        y2_left_valid = False
+        for c in range(C):
+            if a.skip_coeff[r, c]:
+                y_nz[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = False
+                u_nz[r * 2:r * 2 + 2, c * 2:c * 2 + 2] = False
+                v_nz[r * 2:r * 2 + 2, c * 2:c * 2 + 2] = False
+                if a.y2_coded[r, c]:
+                    y2_above[c] = False
+                    y2_above_valid[c] = True
+                    y2_left = False
+                    y2_left_valid = True
+                continue
+
+            if a.y2_coded[r, c]:
+                ctx = int(y2_above[c] if y2_above_valid[c] else False) + \
+                    int(y2_left if y2_left_valid else False)
+                coeffs = a.coeffs[r, c, Y2_IDX]
+                yield r, coeffs, T.BLOCK_Y2, ctx, 0
+                nz = bool(coeffs.any())
+                y2_above[c] = nz
+                y2_above_valid[c] = True
+                y2_left = nz
+                y2_left_valid = True
+
+            block_type = (T.BLOCK_Y_AFTER_Y2 if a.y2_coded[r, c]
+                          else T.BLOCK_Y_WITHOUT_Y2)
+            first = 1 if a.y2_coded[r, c] else 0
+            for sr in range(4):
+                for sc in range(4):
+                    gr, gc = r * 4 + sr, c * 4 + sc
+                    ctx = int(gr > 0 and y_nz[gr - 1, gc]) + \
+                        int(gc > 0 and y_nz[gr, gc - 1])
+                    coeffs = a.coeffs[r, c, Y_BASE + sr * 4 + sc]
+                    yield r, coeffs, block_type, ctx, first
+                    y_nz[gr, gc] = bool(coeffs[first:].any() if first else coeffs.any())
+            for base, nz_plane in ((U_BASE, u_nz), (V_BASE, v_nz)):
+                for sr in range(2):
+                    for sc in range(2):
+                        gr, gc = r * 2 + sr, c * 2 + sc
+                        ctx = int(gr > 0 and nz_plane[gr - 1, gc]) + \
+                            int(gc > 0 and nz_plane[gr, gc - 1])
+                        coeffs = a.coeffs[r, c, base + sr * 2 + sc]
+                        yield r, coeffs, T.BLOCK_UV, ctx, 0
+                        nz_plane[gr, gc] = bool(coeffs.any())
+
+
+def count_token_branches(arrays, counts=None):
+    """Branch-outcome counts per coefficient-tree node
+    (accumulate_token_branches, serializer.cc:456-594).
+
+    Returns counts (4, 8, 3, 11, 2) int64: [..., 0]=false, [..., 1]=true."""
+    if counts is None:
+        counts = np.zeros((4, 8, 3, 11, 2), np.int64)
+    zz = T.ZIGZAG
+    band = T.COEFF_TO_BAND
+
+    for _, coeffs16, bt, ctx, first in iter_frame_blocks(arrays):
+        coded_length = 0
+        for index in range(first, 16):
+            if coeffs16[zz[index]]:
+                coded_length = index + 1
+        last_was_zero = False
+        token_context = ctx
+        index = first
+        while index < coded_length:
+            v = abs(int(coeffs16[zz[index]]))
+            b = band[index]
+            node = counts[bt, b, token_context]
+            if not last_was_zero:
+                node[0, 1] += 1
+            if v == 0:
+                node[1, 0] += 1
+                last_was_zero = True
+                token_context = 0
+                index += 1
+                continue
+            last_was_zero = False
+            node[1, 1] += 1
+            if v == 1:
+                node[2, 0] += 1
+                token_context = 1
+            else:
+                node[2, 1] += 1
+                token_context = 2
+                if v <= 4:
+                    node[3, 0] += 1
+                    if v == 2:
+                        node[4, 0] += 1
+                    else:
+                        node[4, 1] += 1
+                        node[5, 0 if v == 3 else 1] += 1
+                else:
+                    node[3, 1] += 1
+                    if v < 11:
+                        node[6, 0] += 1
+                        node[7, 0 if v < 7 else 1] += 1
+                    else:
+                        node[6, 1] += 1
+                        if v < 35:
+                            node[8, 0] += 1
+                            node[9, 0 if v < 19 else 1] += 1
+                        else:
+                            node[8, 1] += 1
+                            node[10, 0 if v < 67 else 1] += 1
+            index += 1
+        if coded_length < 16:
+            counts[bt, band[index], token_context, 0, 0] += 1
+    return counts
+
+
+def optimize_token_probs(counts, baseline_probs):
+    """Per-frame coefficient-probability updates that beat the baseline
+    (optimize_probability_tables, encoder.cc:418-439)."""
+    updates = {}
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    fc = int(counts[i, j, k, l, 0])
+                    tc = int(counts[i, j, k, l, 1])
+                    if fc == 0:
+                        continue
+                    prob = max(1, min(255, 256 * fc // (fc + tc)))
+                    if prob != int(baseline_probs[i, j, k, l]):
+                        updates[(i, j, k, l)] = prob
+    return updates
