@@ -1,19 +1,52 @@
 """`xc` — the command-line toolchain (mirrors the reference frontend tools).
 
-Subcommands grow as the framework does:
-  decode       IVF -> y4m (vp8decode)
-  decode-raw   IVF -> raw planar YUV on stdout (decode-to-stdout)
-  framesize    per-frame compressed sizes (xc-framesize)
+  decode        IVF -> y4m (vp8decode, incl. -s input state)
+  decode-raw    IVF -> raw planar YUV on stdout (decode-to-stdout)
+  decode-bundle decode a sequence of IVFs as one stream, verifying entry
+                minihashes (xc-decode-bundle)
+  enc           encode y4m/IVF: constant-QP, SSIM-target, or rebase -r
+                (xc-enc incl. -I/-O state round-trip)
+  dump          decode frame N, dump decoder state (xc-dump)
+  diff          structural diff of two state files (xc-diff)
+  comp-states   bit-level comparison of two state files (comp-states)
+  ssim          frame-by-frame SSIM between two videos (xc-ssim)
+  framesize     per-frame compressed sizes (xc-framesize)
+  merge         concatenate IVFs (xc-merge)
+  terminate-chunk rewrite last interframe to refresh all refs
+  zero-out-residues prediction-only stream for rebasing experiments
+  dissect       bitstream analyzer (xc-dissect)
 """
 import argparse
 import sys
 
 
-def cmd_decode(args):
+def _player_with_state(args):
     from alfalfa_tpu.decoder import FilePlayer
+    from alfalfa_tpu.decoder.decoder import Decoder
+    from alfalfa_tpu.util.ivf import IVFReader
+
+    if not getattr(args, "state", None):
+        return FilePlayer(args.input, backend=args.backend)
+
+    # the entry-hash check must run against the LOADED state, so bypass
+    # FilePlayer's fresh-decoder constructor check
+    from alfalfa_tpu.state import serdes
+    state, refs = serdes.load_decoder(args.state)
+    player = FilePlayer.__new__(FilePlayer)
+    player.ivf = IVFReader(args.input)
+    player.width, player.height = player.ivf.width, player.ivf.height
+    player.decoder = Decoder(player.width, player.height, state=state,
+                             references=refs, backend=args.backend)
+    player.frame_no = 0
+    if not player.decoder.minihash_match(player.ivf.expected_decoder_minihash):
+        raise SystemExit("xc decode: state does not match IVF entry minihash")
+    return player
+
+
+def cmd_decode(args):
     from alfalfa_tpu.util.y4m import Y4MWriter
 
-    player = FilePlayer(args.input, backend=args.backend)
+    player = _player_with_state(args)
     writer = None
     for raster in player:
         if writer is None:
@@ -26,9 +59,7 @@ def cmd_decode(args):
 
 
 def cmd_decode_raw(args):
-    from alfalfa_tpu.decoder import FilePlayer
-
-    player = FilePlayer(args.input, backend=args.backend)
+    player = _player_with_state(args)
     out = sys.stdout.buffer
     for raster in player:
         out.write(raster.dump_bytes())
@@ -43,6 +74,9 @@ def cmd_enc(args):
     from alfalfa_tpu.util.ivf import IVFReader
     from alfalfa_tpu.decoder import FilePlayer
 
+    if args.reencode:
+        return cmd_enc_rebase(args)
+
     if args.input_format == "y4m":
         reader = Y4MReader(args.input)
         frames = iter(reader)
@@ -55,11 +89,17 @@ def cmd_enc(args):
     if args.ssim is None and args.y_ac_qi is None:
         args.ssim = 0.90  # xc-enc's default mode is SSIM 0.90
     if args.y_ac_qi is not None and not 0 <= args.y_ac_qi <= 127:
-        parser_error = "y-ac-qi must be in [0, 127]"
-        print(f"xc enc: error: {parser_error}", file=sys.stderr)
+        print("xc enc: error: y-ac-qi must be in [0, 127]", file=sys.stderr)
         return 2
     enc = Encoder(width, height, quality=args.quality)
-    with IVFWriter(args.output, "VP80", width, height) as writer:
+    entry_minihash = 0
+    if args.input_state:
+        from alfalfa_tpu.state import serdes
+        enc.state, enc.references = serdes.load_decoder(args.input_state)
+        enc.frame_no = 1  # continue the chunk: no leading keyframe
+        entry_minihash = enc.minihash()
+    with IVFWriter(args.output, "VP80", width, height, 1, 1,
+                   entry_minihash) as writer:
         for i, frame in enumerate(frames):
             t0 = time.time()
             if args.ssim is not None:
@@ -69,6 +109,56 @@ def cmd_enc(args):
             print(f"Encoding frame #{i}... done ({(time.time()-t0)*1000:.0f} ms).",
                   file=sys.stderr)
             writer.append_frame(payload)
+    if args.output_state:
+        from alfalfa_tpu.state import serdes
+        serdes.save_decoder(enc.state, enc.references, args.output_state)
+
+
+def cmd_enc_rebase(args):
+    """Rebase mode (xc-enc -r, xc-enc.cc:262-326): re-encode a prediction
+    IVF against inherited encoder state, reusing modes/MVs."""
+    from alfalfa_tpu.encoder.encoder import Encoder
+    from alfalfa_tpu.encoder import reencode as RB
+    from alfalfa_tpu.util.ivf import IVFReader, IVFWriter
+    from alfalfa_tpu.util.y4m import Y4MReader
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.decoder.decoder import Decoder
+    from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.state import serdes
+
+    originals = list(Y4MReader(args.input))
+    pred_ivf = IVFReader(args.pred_ivf)
+    w, h = pred_ivf.width, pred_ivf.height
+
+    # parse (and decode, to keep parse state advancing) the prediction frames
+    pred_decoder = Decoder(w, h)
+    if args.pred_state:
+        (pred_decoder.state,
+         pred_decoder.references) = serdes.load_decoder(args.pred_state)
+    if not pred_decoder.minihash_match(pred_ivf.expected_decoder_minihash):
+        raise SystemExit("xc enc -r: prediction IVF entry state mismatch")
+    prediction_frames = []
+    for payload in pred_ivf:
+        chunk = UncompressedChunk(payload, w, h)
+        header, arrays, _ = FrameParser(pred_decoder.state).parse(chunk)
+        from alfalfa_tpu.decoder import reconstruct_np
+        raster = reconstruct_np.reconstruct(header, arrays, pred_decoder.state,
+                                            pred_decoder.references,
+                                            chunk.key_frame)
+        pred_decoder._update_references(chunk.key_frame, header, raster)
+        prediction_frames.append((chunk.key_frame, header, arrays))
+
+    enc = Encoder(w, h)
+    if args.input_state:
+        enc.state, enc.references = serdes.load_decoder(args.input_state)
+    entry_minihash = enc.minihash() if args.input_state else 0
+
+    with IVFWriter(args.output, "VP80", w, h, 1, 1, entry_minihash) as writer:
+        RB.reencode(enc, originals, prediction_frames, args.kf_q_weight,
+                    args.extra_frame_chunk, writer)
+
+    if args.output_state:
+        serdes.save_decoder(enc.state, enc.references, args.output_state)
 
 
 def cmd_framesize(args):
@@ -78,6 +168,206 @@ def cmd_framesize(args):
         print(len(frame))
 
 
+def cmd_dump(args):
+    from alfalfa_tpu.decoder import FilePlayer
+    from alfalfa_tpu.state import serdes
+
+    player = FilePlayer(args.input)
+    target = args.frame_number if args.frame_number is not None else len(player.ivf) - 1
+    while player.frame_no <= target and not player.eof():
+        player.decode(player.ivf.frame(player.frame_no))
+        player.frame_no += 1
+    serdes.save_decoder(player.decoder.state, player.decoder.references, args.output)
+
+
+def cmd_diff(args):
+    import numpy as np
+    from alfalfa_tpu.state import serdes
+
+    s1, r1 = serdes.load_decoder(args.first)
+    s2, r2 = serdes.load_decoder(args.second)
+    same = True
+    if (s1.width, s1.height) != (s2.width, s2.height):
+        print(f"dimensions differ: {s1.width}x{s1.height} vs {s2.width}x{s2.height}")
+        same = False
+    for name in ("coeff_probs", "y_mode_probs", "uv_mode_probs", "mv_probs"):
+        a, b = getattr(s1.probability_tables, name), getattr(s2.probability_tables, name)
+        d = int((a != b).sum())
+        if d:
+            print(f"{name}: {d} entries differ")
+            same = False
+    for plane in "yuv":
+        a, b = getattr(r1.last, plane), getattr(r2.last, plane)
+        d = int((a != b).sum())
+        if d:
+            print(f"last.{plane}: {d} pixels differ (max {int(np.abs(a.astype(int)-b.astype(int)).max())})")
+            same = False
+    print("states are identical" if same else "states differ")
+    return 0 if same else 1
+
+
+def cmd_comp_states(args):
+    import numpy as np
+
+    d1 = np.frombuffer(open(args.first, "rb").read(), np.uint8)
+    d2 = np.frombuffer(open(args.second, "rb").read(), np.uint8)
+    n = min(len(d1), len(d2))
+    diff_bits = int(np.unpackbits(d1[:n] ^ d2[:n]).sum())
+    diff_bits += 8 * abs(len(d1) - len(d2))
+    print(f"{diff_bits} bits differ")
+    return 0 if diff_bits == 0 else 1
+
+
+def cmd_ssim(args):
+    from alfalfa_tpu.util.ssim import ssim
+    from alfalfa_tpu.util.y4m import Y4MReader
+    from alfalfa_tpu.decoder import FilePlayer
+
+    def frames(path):
+        if path.endswith(".y4m"):
+            for f in Y4MReader(path):
+                yield f[0]
+        else:
+            for r in FilePlayer(path):
+                yield r.display()[0]
+
+    for i, (a, b) in enumerate(zip(frames(args.first), frames(args.second))):
+        print(f"{i}, {ssim(a, b):.7f}")
+
+
+def cmd_merge(args):
+    from alfalfa_tpu.util.ivf import IVFReader, IVFWriter
+
+    first = IVFReader(args.inputs[0])
+    with IVFWriter(args.output, first.fourcc, first.width, first.height,
+                   first.frame_rate, first.time_scale,
+                   first.expected_decoder_minihash) as w:
+        for path in args.inputs:
+            for frame in IVFReader(path):
+                w.append_frame(frame)
+
+
+def cmd_terminate_chunk(args):
+    """Rewrite the last interframe to refresh all references
+    (xc-terminate-chunk.cc:82-106)."""
+    from alfalfa_tpu.util.ivf import IVFReader, IVFWriter
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.state.decoder_state import DecoderState
+    from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.encoder.serializer import serialize_frame
+
+    src = IVFReader(args.input)
+    state = DecoderState.initial(src.width, src.height)
+    with IVFWriter(args.output, "VP80", src.width, src.height,
+                   src.frame_rate, src.time_scale,
+                   src.expected_decoder_minihash) as w:
+        for i, payload in enumerate(src):
+            chunk = UncompressedChunk(payload, src.width, src.height)
+            header, arrays, frame_probs = FrameParser(state).parse(chunk)
+            if i == len(src) - 1 and not chunk.key_frame:
+                header.refresh_last = True
+                header.refresh_golden_frame = True
+                header.refresh_alternate_frame = True
+                header.copy_buffer_to_golden = None
+                header.copy_buffer_to_alternate = None
+                payload = serialize_frame(header, arrays, frame_probs, False,
+                                          src.width, src.height,
+                                          chunk.show_frame)
+            w.append_frame(payload)
+
+
+def cmd_zero_out_residues(args):
+    """Zero all residues, keeping modes/MVs (xc-zero-out-residues.cc)."""
+    from alfalfa_tpu.util.ivf import IVFReader, IVFWriter
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.state.decoder_state import DecoderState
+    from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.encoder.serializer import serialize_frame
+
+    src = IVFReader(args.input)
+    state = DecoderState.initial(src.width, src.height)
+    with IVFWriter(args.output, "VP80", src.width, src.height,
+                   src.frame_rate, src.time_scale) as w:
+        for payload in src:
+            chunk = UncompressedChunk(payload, src.width, src.height)
+            header, arrays, frame_probs = FrameParser(state).parse(chunk)
+            if not chunk.key_frame:
+                arrays.coeffs[:] = 0
+                arrays.has_nonzero[:] = False
+                if header.prob_skip_false is not None:
+                    arrays.skip_coeff[:] = True
+            payload = serialize_frame(header, arrays, frame_probs,
+                                      chunk.key_frame, src.width, src.height,
+                                      chunk.show_frame)
+            w.append_frame(payload)
+
+
+def cmd_decode_bundle(args):
+    """Decode a sequence of IVFs named on stdin as one continuous stream,
+    verifying each file's expected entry minihash (decode-bundle.cc)."""
+    from alfalfa_tpu.util.ivf import IVFReader
+    from alfalfa_tpu.util.y4m import Y4MWriter
+    from alfalfa_tpu.decoder.decoder import Decoder
+
+    paths = [line.strip() for line in sys.stdin if line.strip()]
+    decoder = None
+    writer = None
+    for path in paths:
+        ivf = IVFReader(path)
+        if decoder is None:
+            decoder = Decoder(ivf.width, ivf.height)
+            writer = Y4MWriter(args.output, ivf.width, ivf.height,
+                               ivf.frame_rate, ivf.time_scale)
+        if not decoder.minihash_match(ivf.expected_decoder_minihash):
+            raise SystemExit(f"{path}: decoder entry state mismatch "
+                             f"(have {decoder.minihash():08x}, "
+                             f"expect {ivf.expected_decoder_minihash:08x})")
+        for payload in ivf:
+            shown, raster = decoder.decode_frame(payload)
+            if shown:
+                writer.append_frame(*raster.display())
+    if writer:
+        writer.close()
+
+
+def cmd_dissect(args):
+    from alfalfa_tpu.util.ivf import IVFReader
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.state.decoder_state import DecoderState
+    from alfalfa_tpu.decoder.parse import FrameParser
+
+    src = IVFReader(args.input)
+    state = DecoderState.initial(src.width, src.height)
+    for i, payload in enumerate(src):
+        chunk = UncompressedChunk(payload, src.width, src.height)
+        header, arrays, _ = FrameParser(state).parse(chunk)
+        kind = "keyframe" if chunk.key_frame else "interframe"
+        print(f"frame #{i}: {kind}, {len(payload)} bytes, "
+              f"show={chunk.show_frame}")
+        print(f"  quantizer: y_ac_qi={header.quant_indices.y_ac_qi}")
+        print(f"  loop filter: level={header.loop_filter_level} "
+              f"sharpness={header.sharpness_level}")
+        print(f"  prob updates: {len(header.token_prob_update)} token")
+        if not chunk.key_frame:
+            import numpy as np
+            total = arrays.ref.size
+            inter = int((arrays.ref > 0).sum())
+            print(f"  inter-coded: {100.0 * inter / total:.1f}%  "
+                  f"(last {int((arrays.ref == 1).sum())}, "
+                  f"golden {int((arrays.ref == 2).sum())}, "
+                  f"alt {int((arrays.ref == 3).sum())})")
+            print(f"  refresh: last={header.refresh_last} "
+                  f"golden={header.refresh_golden_frame} "
+                  f"alt={header.refresh_alternate_frame}")
+        if args.macroblocks:
+            for r in range(arrays.mb_rows):
+                for c in range(arrays.mb_cols):
+                    print(f"  mb({r},{c}): ymode={int(arrays.ymode[r, c])} "
+                          f"uv={int(arrays.uvmode[r, c])} ref={int(arrays.ref[r, c])} "
+                          f"mv={tuple(int(v) for v in arrays.sub_mv[r, c, 3, 3])} "
+                          f"nz={bool(arrays.has_nonzero[r, c])}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="xc", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -85,11 +375,13 @@ def main(argv=None):
     p = sub.add_parser("decode", help="decode IVF to y4m")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("-s", "--state", default=None, help="input decoder state")
     p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     p.set_defaults(func=cmd_decode)
 
     p = sub.add_parser("decode-raw", help="decode IVF to raw YUV on stdout")
     p.add_argument("input")
+    p.add_argument("-s", "--state", default=None, help="input decoder state")
     p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     p.set_defaults(func=cmd_decode_raw)
 
@@ -102,15 +394,77 @@ def main(argv=None):
     p.add_argument("-s", "--ssim", type=float, default=None,
                    help="target SSIM (binary search per frame)")
     p.add_argument("-q", "--quality", default="best", choices=["best", "rt"])
+    p.add_argument("-O", "--output-state", default=None,
+                   help="write final encoder state")
+    p.add_argument("-I", "--input-state", default=None,
+                   help="initial encoder state")
+    p.add_argument("-r", "--reencode", action="store_true",
+                   help="rebase mode: reuse modes/MVs from --pred-ivf")
+    p.add_argument("-p", "--pred-ivf", default=None,
+                   help="prediction modes IVF (rebase mode)")
+    p.add_argument("-S", "--pred-state", default=None,
+                   help="prediction IVF initial state")
+    p.add_argument("-w", "--kf-q-weight", type=float, default=1.0)
+    p.add_argument("-e", "--extra-frame-chunk", action="store_true")
     p.set_defaults(func=cmd_enc)
 
     p = sub.add_parser("framesize", help="print per-frame compressed sizes")
     p.add_argument("input")
     p.set_defaults(func=cmd_framesize)
 
+    p = sub.add_parser("dump", help="decode frame N, dump decoder state")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-f", "--frame-number", type=int, default=None)
+    p.set_defaults(func=cmd_dump)
+
+    p = sub.add_parser("diff", help="structural diff of two state files")
+    p.add_argument("first")
+    p.add_argument("second")
+    p.set_defaults(func=cmd_diff)
+
+    p = sub.add_parser("comp-states", help="bit-level state comparison")
+    p.add_argument("first")
+    p.add_argument("second")
+    p.set_defaults(func=cmd_comp_states)
+
+    p = sub.add_parser("ssim", help="frame-by-frame SSIM of two videos")
+    p.add_argument("first")
+    p.add_argument("second")
+    p.set_defaults(func=cmd_ssim)
+
+    p = sub.add_parser("merge", help="concatenate IVF files")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(func=cmd_merge)
+
+    p = sub.add_parser("terminate-chunk",
+                       help="rewrite last interframe to refresh all references")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_terminate_chunk)
+
+    p = sub.add_parser("zero-out-residues", help="zero residues, keep modes/MVs")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_zero_out_residues)
+
+    p = sub.add_parser("decode-bundle",
+                       help="decode IVF sequence from stdin as one stream")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_decode_bundle)
+
+    p = sub.add_parser("dissect", help="bitstream analyzer")
+    p.add_argument("input")
+    p.add_argument("-m", "--macroblocks", action="store_true")
+    p.set_defaults(func=cmd_dissect)
+
     args = parser.parse_args(argv)
     return args.func(args)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        sys.exit(0)

@@ -137,7 +137,7 @@ def diamond_search(orig16, ref_y, r, c, R_, C_, base_mv, origin, step, qi):
     return origin, first_step
 
 
-def encode_interframe(encoder, yuv, quant_indices, update):
+def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None):
     from .encoder import _pad_raster, calc_prob
 
     W, H = encoder.width, encoder.height
@@ -156,6 +156,16 @@ def encode_interframe(encoder, yuv, quant_indices, update):
     header.prob_inter = 128
     header.prob_references_last = 128
     header.prob_references_golden = 128
+    if rebase_kf_header is not None:
+        # rebased chunk-leading frame: refresh every reference and emit
+        # explicit default intra-mode probs (reencode.cc:50-72)
+        header.refresh_golden_frame = True
+        header.refresh_alternate_frame = True
+        header.copy_buffer_to_golden = None
+        header.copy_buffer_to_alternate = None
+        header.sharpness_level = rebase_kf_header.sharpness_level
+        header.intra_16x16_prob = [int(v) for v in T.DEFAULT_Y_MODE_PROBS]
+        header.intra_chroma_prob = [int(v) for v in T.DEFAULT_UV_MODE_PROBS]
 
     arrays = FrameArrays(R_, C_)
     recon = Raster(W, H)
@@ -329,5 +339,9 @@ def encode_interframe(encoder, yuv, quant_indices, update):
         if header.update_segmentation is None:
             encoder.state.segmentation = None
         refs.last = filtered
+        if header.refresh_golden_frame:
+            refs.golden = filtered
+        if header.refresh_alternate_frame:
+            refs.alternative = filtered
         encoder.last_loop_filter_level = lf_level
     return payload, quality
