@@ -58,6 +58,26 @@ def cmd_decode(args):
         writer.close()
 
 
+def cmd_play(args):
+    """vp8play equivalent: decode an IVF and display it live
+    (frontend/vp8play.cc:38)."""
+    import time
+    from alfalfa_tpu.display import VideoDisplay
+
+    player = _player_with_state(args)
+    display = VideoDisplay(player.width, player.height,
+                           fullscreen=args.fullscreen)
+    interval = player.ivf.time_scale / max(1, player.ivf.frame_rate)
+    next_due = time.monotonic()
+    for raster in player:
+        now = time.monotonic()
+        if next_due > now:
+            time.sleep(next_due - now)
+        next_due += interval
+        display.draw(raster)
+    display.close()
+
+
 def cmd_decode_raw(args):
     player = _player_with_state(args)
     out = sys.stdout.buffer
@@ -378,6 +398,13 @@ def main(argv=None):
     p.add_argument("-s", "--state", default=None, help="input decoder state")
     p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     p.set_defaults(func=cmd_decode)
+
+    p = sub.add_parser("play", help="decode IVF and display live (vp8play)")
+    p.add_argument("input")
+    p.add_argument("-f", "--fullscreen", action="store_true")
+    p.add_argument("-s", "--state", default=None, help="input decoder state")
+    p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    p.set_defaults(func=cmd_play)
 
     p = sub.add_parser("decode-raw", help="decode IVF to raw YUV on stdout")
     p.add_argument("input")

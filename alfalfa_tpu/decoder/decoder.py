@@ -74,6 +74,14 @@ class Decoder:
         if header.refresh_last:
             refs.last = raster
 
+    def copy(self):
+        """Value-copy: the receiver keeps a minihash-addressed map of past
+        decoders to restore from (salsify-receiver.cc:210-216)."""
+        return Decoder(self.width, self.height, state=self.state.copy(),
+                       references=self.references.copy(),
+                       backend=self.backend,
+                       error_concealment=self.error_concealment)
+
     # -- state identity ------------------------------------------------------
 
     def get_hash(self):
@@ -98,6 +106,15 @@ class FramePlayer:
         """Returns the raster if the frame is shown, else None."""
         shown, raster = self.decoder.decode_frame(payload)
         return raster if shown else None
+
+    def set_error_concealment(self, flag):
+        self.decoder.error_concealment = flag
+
+    def current_decoder(self):
+        return self.decoder
+
+    def set_decoder(self, decoder):
+        self.decoder = decoder
 
 
 class FilePlayer(FramePlayer):

@@ -85,6 +85,17 @@ class Encoder:
         self.frame_no += 1
         return payload
 
+    def fork(self):
+        """Value-copy of the encoder. Salsify copies the encoder per
+        speculative job and keeps a minihash-addressed map of past encoders
+        (salsify-sender.cc:490-518, 357-379); references are immutable once
+        installed, so a container-level copy suffices."""
+        e = Encoder.__new__(Encoder)
+        e.__dict__.update(self.__dict__)
+        e.state = self.state.copy()
+        e.references = self.references.copy()
+        return e
+
     def minihash(self):
         return hashing.minihash(hashing.decoder_hash(
             self.state.hash(), self.references.last.hash(),

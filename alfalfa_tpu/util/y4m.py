@@ -10,7 +10,7 @@ import numpy as np
 
 class Y4MReader:
     def __init__(self, path):
-        self.f = open(path, "rb")
+        self.f = path if hasattr(path, "read") else open(path, "rb")
         header = self.f.readline().decode()
         if not header.startswith("YUV4MPEG2"):
             raise ValueError("not a YUV4MPEG2 file")
