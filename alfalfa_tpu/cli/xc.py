@@ -106,7 +106,13 @@ def cmd_enc(args):
         width, height = ivf.width, ivf.height
         frames = (r.display() for r in FilePlayer(args.input))
 
-    if args.ssim is None and args.y_ac_qi is None:
+    frame_sizes = None
+    if args.frame_sizes:
+        # one target size (bytes) per line, matched to frames in order
+        # (xc-enc.cc:70-72, 366-372)
+        with open(args.frame_sizes) as f:
+            frame_sizes = [int(line) for line in f if line.strip()]
+    elif args.ssim is None and args.y_ac_qi is None:
         args.ssim = 0.90  # xc-enc's default mode is SSIM 0.90
     if args.y_ac_qi is not None and not 0 <= args.y_ac_qi <= 127:
         print("xc enc: error: y-ac-qi must be in [0, 127]", file=sys.stderr)
@@ -122,7 +128,11 @@ def cmd_enc(args):
                    entry_minihash) as writer:
         for i, frame in enumerate(frames):
             t0 = time.time()
-            if args.ssim is not None:
+            if frame_sizes is not None:
+                target = frame_sizes[min(i, len(frame_sizes) - 1)]
+                payload = enc.encode_with_target_size(frame, target)
+                print(f" [target_size={target}] ", end="", file=sys.stderr)
+            elif args.ssim is not None:
                 payload = enc.encode_with_minimum_ssim(frame, args.ssim)
             else:
                 payload = enc.encode_with_quantizer(frame, args.y_ac_qi)
@@ -420,6 +430,8 @@ def main(argv=None):
                    help="constant quantizer index")
     p.add_argument("-s", "--ssim", type=float, default=None,
                    help="target SSIM (binary search per frame)")
+    p.add_argument("-F", "--frame-sizes", default=None,
+                   help="file of per-frame target sizes in bytes")
     p.add_argument("-q", "--quality", default="best", choices=["best", "rt"])
     p.add_argument("-O", "--output-state", default=None,
                    help="write final encoder state")

@@ -4,8 +4,16 @@ TPU-first reformulation of the reference pixel pipeline (SURVEY.md section
 7.1): everything data-parallel runs as dense batched ops over the whole
 frame (residual transforms, sixtap motion compensation); the sequentially
 dependent parts (intra prediction, loop filter) run as `lax.scan` wavefronts
-over anti-diagonals d = 2*row + col, with each diagonal's macroblocks
-processed in parallel via masked gather/scatter on tiled planes.
+over anti-diagonals d = 2*row + col.
+
+Wavefront storage is **diagonal-skewed**: macroblock tiles live in an array
+``D[d, j]`` indexed by (diagonal, position-in-diagonal), so a step's
+neighbor reads (left = d-1, above = d-2, above-right = d-1, above-left =
+d-3, each at a per-diagonal constant j-shift) are contiguous
+``dynamic_slice`` windows and its writes are ``dynamic_update_slice`` —
+no gathers or scatters anywhere in the scan body.  This is what makes the
+wavefronts cheap on TPU: the whole loop filter is ~169 slab-sized
+vector steps instead of thousands of scatter ops.
 
 Bit-exact vs. the numpy scalar path (tests/test_reconstruct_jax.py), which
 is itself bit-exact vs. the reference decoder.
@@ -25,34 +33,122 @@ from alfalfa_tpu.state.decoder_state import Raster
 
 
 # ---------------------------------------------------------------------------
-# wavefront scheduling (host-side, cached per frame geometry)
+# diagonal-skewed wavefront scheduling (host-side, cached per geometry)
 # ---------------------------------------------------------------------------
 
-_DIAG_CACHE = {}
+_SCHED_CACHE = {}
 
 
-def wavefront_schedule(mb_rows, mb_cols):
-    """Anti-diagonal schedule d = 2r + c: returns (rs, cs, valid) arrays of
-    shape (n_diags, max_len). Each diagonal's MBs are mutually independent
-    for intra prediction and loop filtering (deps: left, above, above-right
-    all lie on smaller d)."""
+def skew_schedule(mb_rows, mb_cols):
+    """Schedule tables for the skewed wavefront d = 2r + c.
+
+    Returns a dict of numpy arrays:
+      scat_idx  (n_diags, L): flat r*C+c index of the MB at (d, j), or R*C
+                 for padding slots (gathers a zero tile).
+      unskew_idx (R, C): flat d*L+j position of each MB in skewed storage.
+      d_idx, k_left, k_above, k_ar, k_al (n_diags,): per-diagonal j-shifts
+                 for reading neighbor diagonals (left/above/above-right/
+                 above-left); stored tiles sit at axis-1 offset +1 so the
+                 shifted window start k+1 is always >= 0.
+      valid, has_row, has_col, last_col (n_diags, L): per-slot masks.
+    """
     key = (mb_rows, mb_cols)
-    if key in _DIAG_CACHE:
-        return _DIAG_CACHE[key]
-    n_diags = 2 * (mb_rows - 1) + mb_cols
-    diags = [[] for _ in range(n_diags)]
-    for r in range(mb_rows):
-        for c in range(mb_cols):
-            diags[2 * r + c].append((r, c))
-    max_len = max(len(d) for d in diags)
-    rs = np.zeros((n_diags, max_len), np.int32)
-    cs = np.zeros((n_diags, max_len), np.int32)
-    valid = np.zeros((n_diags, max_len), bool)
-    for i, d in enumerate(diags):
-        for j, (r, c) in enumerate(d):
-            rs[i, j], cs[i, j], valid[i, j] = r, c, True
-    _DIAG_CACHE[key] = (rs, cs, valid)
-    return _DIAG_CACHE[key]
+    if key in _SCHED_CACHE:
+        return _SCHED_CACHE[key]
+    R, C = mb_rows, mb_cols
+    n_diags = 2 * (R - 1) + C
+
+    def start_r(d):
+        return max(0, -((-(d - C + 1)) // 2) if d >= C else 0)
+
+    # explicit: smallest r with c = d - 2r <= C-1 and r >= 0
+    def s(d):
+        if d < 0:
+            return 0
+        return max(0, (d - C + 1 + 1) // 2)  # ceil((d-C+1)/2)
+
+    lens = []
+    for d in range(n_diags):
+        lo = s(d)
+        hi = min(R - 1, d // 2)
+        lens.append(max(0, hi - lo + 1))
+    L = max(lens)
+
+    scat = np.full((n_diags, L), R * C, np.int32)
+    unskew = np.zeros((R, C), np.int32)
+    valid = np.zeros((n_diags, L), bool)
+    has_row = np.zeros((n_diags, L), bool)
+    has_col = np.zeros((n_diags, L), bool)
+    last_col = np.zeros((n_diags, L), bool)
+    for d in range(n_diags):
+        for j in range(lens[d]):
+            r = s(d) + j
+            c = d - 2 * r
+            scat[d, j] = r * C + c
+            unskew[r, c] = d * L + j
+            valid[d, j] = True
+            has_row[d, j] = r > 0
+            has_col[d, j] = c > 0
+            last_col[d, j] = c == C - 1
+
+    d_idx = np.arange(n_diags, dtype=np.int32)
+    k_left = np.array([s(d) - s(d - 1) for d in range(n_diags)], np.int32)
+    k_above = np.array([s(d) - 1 - s(d - 2) for d in range(n_diags)], np.int32)
+    k_ar = np.array([s(d) - 1 - s(d - 1) for d in range(n_diags)], np.int32)
+    k_al = np.array([s(d) - 1 - s(d - 3) for d in range(n_diags)], np.int32)
+    assert k_left.min() >= -1 and k_above.min() >= -1 and \
+        k_ar.min() >= -1 and k_al.min() >= -1
+
+    _SCHED_CACHE[key] = dict(
+        n_diags=n_diags, L=L, scat_idx=scat, unskew_idx=unskew,
+        d_idx=d_idx, k_left=k_left, k_above=k_above, k_ar=k_ar, k_al=k_al,
+        valid=valid, has_row=has_row, has_col=has_col, last_col=last_col)
+    return _SCHED_CACHE[key]
+
+
+def _skew(x, scat_idx, n_diags, L):
+    """(R, C, ...) -> (n_diags, L+2, ...) with tiles at axis-1 offset 1 and
+    zero padding slots (one take, no scatter)."""
+    R, C = x.shape[0], x.shape[1]
+    flat = x.reshape((R * C,) + x.shape[2:])
+    pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+    flat = jnp.concatenate([flat, pad])
+    sk = jnp.take(flat, scat_idx.reshape(-1), axis=0) \
+        .reshape((n_diags, L) + x.shape[2:])
+    zcol = jnp.zeros((n_diags, 1) + x.shape[2:], x.dtype)
+    return jnp.concatenate([zcol, sk, zcol], axis=1)
+
+
+def _unskew(D, unskew_idx, R, C):
+    """(n_diags, L+2, ...) skewed storage -> (R, C, ...)."""
+    n_diags, Lp2 = D.shape[0], D.shape[1]
+    body = D[:, 1:-1]  # strip pad slots
+    flat = body.reshape((n_diags * (Lp2 - 2),) + D.shape[2:])
+    return jnp.take(flat, unskew_idx.reshape(-1), axis=0) \
+        .reshape((R, C) + D.shape[2:])
+
+
+def _read_slab(D, d, k, L):
+    """Window of L tiles of diagonal d, j-shifted by k (k in [-1, 1]).
+    Out-of-range d clamps (garbage slots are masked by callers)."""
+    start = (jnp.maximum(d, 0), k + 1) + (0,) * (D.ndim - 2)
+    size = (1, L) + D.shape[2:]
+    return jax.lax.dynamic_slice(D, start, size)[0]
+
+
+def _write_slab(D, d, k, slab):
+    start = (jnp.maximum(d, 0), k + 1) + (0,) * (D.ndim - 2)
+    return jax.lax.dynamic_update_slice(D, slab[None], start)
+
+
+# legacy helper kept for callers that want the plain diagonal listing
+def wavefront_schedule(mb_rows, mb_cols):
+    sched = skew_schedule(mb_rows, mb_cols)
+    n_diags, L = sched["n_diags"], sched["L"]
+    scat = sched["scat_idx"]
+    rs = np.where(scat < mb_rows * mb_cols, scat // mb_cols, 0).astype(np.int32)
+    cs = np.where(scat < mb_rows * mb_cols, scat % mb_cols, 0).astype(np.int32)
+    return rs, cs, sched["valid"]
 
 
 # ---------------------------------------------------------------------------
@@ -60,12 +156,18 @@ def wavefront_schedule(mb_rows, mb_cols):
 # ---------------------------------------------------------------------------
 
 def reconstruct_core(mb_rows, mb_cols, key_frame,
-                        coeffs, qf, y2_coded, has_nonzero,
-                        ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
-                        ref_y, ref_u, ref_v,
-                        lf_params,
-                        diag_rs, diag_cs, diag_valid):
+                     coeffs, qf, y2_coded, has_nonzero,
+                     ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
+                     ref_y, ref_u, ref_v,
+                     lf_params, sched):
     R, C = mb_rows, mb_cols
+    n_diags = int(sched["scat_idx"].shape[0])
+    L = int(sched["scat_idx"].shape[1])
+    scat_idx = sched["scat_idx"]
+    unskew_idx = sched["unskew_idx"]
+
+    def skew(x):
+        return _skew(x, scat_idx, n_diags, L)
 
     # ---- stage A: residuals (fully parallel) ----
     res = transforms.residuals_from_coeffs(coeffs, qf, y2_coded)  # (R,C,24,4,4)
@@ -76,7 +178,6 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     v_tiles = jnp.zeros((R, C, 8, 8), jnp.int32)
 
     def res_mb_y(rblocks):
-        # (R, C, 16, 4, 4) -> (R, C, 16, 16)
         return rblocks.reshape(R, C, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
             .reshape(R, C, 16, 16)
 
@@ -92,35 +193,10 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     if not key_frame:
         is_inter = ref_sel > 0
 
-        # luma: every 4x4 subblock, uniform sixtap
-        rr, cc = jnp.mgrid[0:R, 0:C]
-        sby = (rr[:, :, None, None] * 16 + jnp.arange(4)[None, None, :, None] * 4)
-        sbx = (cc[:, :, None, None] * 16 + jnp.arange(4)[None, None, None, :] * 4)
-        n = R * C * 16
-        pred = sixtap.predict_4x4_blocks(
-            ref_y,
-            jnp.broadcast_to(ref_sel[:, :, None, None].astype(jnp.int32),
-                             (R, C, 4, 4)).reshape(n),
-            jnp.broadcast_to(sby, (R, C, 4, 4)).reshape(n),
-            jnp.broadcast_to(sbx, (R, C, 4, 4)).reshape(n),
-            sub_mv.reshape(n, 2).astype(jnp.int32))
-        pred = pred.reshape(R, C, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
-            .reshape(R, C, 16, 16)
+        pred = sixtap.predict_mb_tiles(ref_y, ref_sel, sub_mv, 16)
         y_inter = jnp.clip(pred + res_y, 0, 255)
-
-        # chroma: every 4x4 subblock with its 2x2 parent MV
-        sby = (rr[:, :, None, None] * 8 + jnp.arange(2)[None, None, :, None] * 4)
-        sbx = (cc[:, :, None, None] * 8 + jnp.arange(2)[None, None, None, :] * 4)
-        n = R * C * 4
-        args = (jnp.broadcast_to(ref_sel[:, :, None, None].astype(jnp.int32),
-                                 (R, C, 2, 2)).reshape(n),
-                jnp.broadcast_to(sby, (R, C, 2, 2)).reshape(n),
-                jnp.broadcast_to(sbx, (R, C, 2, 2)).reshape(n),
-                uv_mv.reshape(n, 2).astype(jnp.int32))
-        pred_u = sixtap.predict_4x4_blocks(ref_u, *args) \
-            .reshape(R, C, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5).reshape(R, C, 8, 8)
-        pred_v = sixtap.predict_4x4_blocks(ref_v, *args) \
-            .reshape(R, C, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5).reshape(R, C, 8, 8)
+        pred_u = sixtap.predict_mb_tiles(ref_u, ref_sel, uv_mv, 8)
+        pred_v = sixtap.predict_mb_tiles(ref_v, ref_sel, uv_mv, 8)
         u_inter = jnp.clip(pred_u + res_u, 0, 255)
         v_inter = jnp.clip(pred_v + res_v, 0, 255)
 
@@ -132,116 +208,166 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     else:
         intra_mask_full = jnp.ones((R, C), bool)
 
+    # ---- skew everything the wavefronts touch ----
+    D_y = skew(y_tiles)
+    D_u = skew(u_tiles)
+    D_v = skew(v_tiles)
+    sk_res = skew(res[:, :, 0:16])          # (n, L+2, 16, 4, 4) for B_PRED
+    sk_res_y = skew(res_y)
+    sk_res_u = skew(res_u)
+    sk_res_v = skew(res_v)
+    sk_intra = skew(intra_mask_full)
+    sk_ymode = skew(ymode)
+    sk_uvmode = skew(uvmode)
+    sk_bmode = skew(bmode)
+    sk_nz = skew(has_nonzero)
+
+    masks = {k: jnp.asarray(sched[k]) for k in
+             ("valid", "has_row", "has_col", "last_col")}
+    shifts = {k: jnp.asarray(sched[k]) for k in
+              ("d_idx", "k_left", "k_above", "k_ar", "k_al")}
+
+    def strip(x):
+        return x[:, 1:-1]  # drop pad slots for per-step xs
+
     # ---- stage C: intra wavefront ----
-    def intra_step(tiles, xs):
-        rs, cs, valid = xs
-        any_intra = jnp.any(valid & intra_mask_full[rs, cs])
-        return (jax.lax.cond(any_intra, _intra_step_work,
-                             lambda t, *_: t, tiles, rs, cs, valid), None)
+    def intra_step(carry, xs):
+        D_y, D_u, D_v = carry
+        (d, kl, ka, kar, kal, valid, hrow, hcol, lcol_mask,
+         my_ymode, my_uvmode, my_bmode, my_nz, my_intra,
+         res16, resb, res8u, res8v) = xs
+        write = valid & my_intra
+        any_intra = jnp.any(write)
 
-    def _intra_step_work(tiles, rs, cs, valid):
-        y_t, u_t, v_t = tiles
-        L = rs.shape[0]
-        has_row = rs > 0
-        has_col = cs > 0
-        last_col = cs == (C - 1)
+        def work(D_y, D_u, D_v):
+            left = _read_slab(D_y, d - 1, kl, L)      # (L,16,16)
+            above = _read_slab(D_y, d - 2, ka, L)
+            ar = _read_slab(D_y, d - 1, kar, L)
+            al = _read_slab(D_y, d - 3, kal, L)
 
-        # luma context
-        above16 = jnp.where(has_row[:, None], y_t[rs - 1, cs, 15, :], 127)
-        ar4 = jnp.where((has_row & ~last_col)[:, None],
-                        y_t[rs - 1, cs + (~last_col), 15, 0:4],
-                        jnp.where((has_row & last_col)[:, None],
-                                  above16[:, 15:16], 127))
-        e0 = jnp.where(has_row & has_col, y_t[rs - 1, cs - 1, 15, 15],
-                       jnp.where(has_row, 129, 127))
-        e21 = jnp.concatenate([e0[:, None], above16, ar4], axis=1)
-        lcol = jnp.where(has_col[:, None], y_t[rs, cs - 1, :, 15], 129)
+            above16 = jnp.where(hrow[:, None], above[:, 15, :], 127)
+            ar4 = jnp.where((hrow & ~lcol_mask)[:, None], ar[:, 15, 0:4],
+                            jnp.where((hrow & lcol_mask)[:, None],
+                                      above16[:, 15:16], 127))
+            e0 = jnp.where(hrow & hcol, al[:, 15, 15],
+                           jnp.where(hrow, 129, 127))
+            e21 = jnp.concatenate([e0[:, None], above16, ar4], axis=1)
+            lcol = jnp.where(hcol[:, None], left[:, :, 15], 129)
 
-        my_ymode = ymode[rs, cs]
-        my_nz = has_nonzero[rs, cs]
-        res16 = res_y[rs, cs]
+            whole = jax.vmap(lambda e, l, hr, hc, m: intra.whole_block_predict(
+                e, l, hr, hc, m, 16))(e21, lcol, hrow, hcol, my_ymode)
+            whole = jnp.clip(
+                whole + jnp.where(my_nz[:, None, None], res16, 0), 0, 255)
 
-        whole = jax.vmap(lambda e, l, hr, hc, m: intra.whole_block_predict(
-            e, l, hr, hc, m, 16))(e21, lcol, has_row, has_col, my_ymode)
-        whole = jnp.clip(whole + jnp.where(my_nz[:, None, None], res16, 0), 0, 255)
+            bt = jax.vmap(intra.bpred_tile)(e21, lcol, my_bmode, resb, my_nz)
+            new_y = jnp.where((my_ymode == T.B_PRED)[:, None, None], bt, whole)
 
-        bt = jax.vmap(intra.bpred_tile)(e21, lcol, bmode[rs, cs],
-                                        res[rs, cs, 0:16], my_nz)
-        new_y = jnp.where((my_ymode == T.B_PRED)[:, None, None], bt, whole)
+            def chroma(Dp, res8):
+                lft = _read_slab(Dp, d - 1, kl, L)
+                abv = _read_slab(Dp, d - 2, ka, L)
+                alt = _read_slab(Dp, d - 3, kal, L)
+                a8 = jnp.where(hrow[:, None], abv[:, 7, :], 127)
+                ce0 = jnp.where(hrow & hcol, alt[:, 7, 7],
+                                jnp.where(hrow, 129, 127))
+                ce = jnp.concatenate([ce0[:, None], a8], axis=1)
+                cl = jnp.where(hcol[:, None], lft[:, :, 7], 129)
+                p = jax.vmap(lambda e, l, hr, hc, m: intra.whole_block_predict(
+                    e, l, hr, hc, m, 8))(ce, cl, hrow, hcol, my_uvmode)
+                return jnp.clip(
+                    p + jnp.where(my_nz[:, None, None], res8, 0), 0, 255)
 
-        # chroma context
-        def chroma_tile(t, res8):
-            a8 = jnp.where(has_row[:, None], t[rs - 1, cs, 7, :], 127)
-            ce0 = jnp.where(has_row & has_col, t[rs - 1, cs - 1, 7, 7],
-                            jnp.where(has_row, 129, 127))
-            ce = jnp.concatenate([ce0[:, None], a8], axis=1)
-            cl = jnp.where(has_col[:, None], t[rs, cs - 1, :, 7], 129)
-            p = jax.vmap(lambda e, l, hr, hc, m: intra.whole_block_predict(
-                e, l, hr, hc, m, 8))(ce, cl, has_row, has_col, uvmode[rs, cs])
-            return jnp.clip(p + jnp.where(my_nz[:, None, None], res8[rs, cs], 0),
-                            0, 255)
+            new_u = chroma(D_u, res8u)
+            new_v = chroma(D_v, res8v)
 
-        new_u = chroma_tile(u_t, res_u)
-        new_v = chroma_tile(v_t, res_v)
+            cur_y = _read_slab(D_y, d, 0, L)
+            cur_u = _read_slab(D_u, d, 0, L)
+            cur_v = _read_slab(D_v, d, 0, L)
+            wm = write[:, None, None]
+            D_y = _write_slab(D_y, d, 0, jnp.where(wm, new_y, cur_y))
+            D_u = _write_slab(D_u, d, 0, jnp.where(wm, new_u, cur_u))
+            D_v = _write_slab(D_v, d, 0, jnp.where(wm, new_v, cur_v))
+            return D_y, D_u, D_v
 
-        write = valid & intra_mask_full[rs, cs]
-        rs_w = jnp.where(write, rs, R)  # out-of-range -> dropped
-        y_t = y_t.at[rs_w, cs].set(new_y, mode="drop")
-        u_t = u_t.at[rs_w, cs].set(new_u, mode="drop")
-        v_t = v_t.at[rs_w, cs].set(new_v, mode="drop")
-        return (y_t, u_t, v_t)
+        carry = jax.lax.cond(any_intra, work,
+                             lambda a, b, c: (a, b, c), D_y, D_u, D_v)
+        return carry, None
 
-    (y_tiles, u_tiles, v_tiles), _ = jax.lax.scan(
-        intra_step, (y_tiles, u_tiles, v_tiles),
-        (diag_rs, diag_cs, diag_valid))
+    intra_xs = (shifts["d_idx"], shifts["k_left"], shifts["k_above"],
+                shifts["k_ar"], shifts["k_al"],
+                masks["valid"], masks["has_row"], masks["has_col"],
+                masks["last_col"],
+                strip(sk_ymode), strip(sk_uvmode), strip(sk_bmode),
+                strip(sk_nz), strip(sk_intra),
+                strip(sk_res_y), strip(sk_res), strip(sk_res_u),
+                strip(sk_res_v))
+    (D_y, D_u, D_v), _ = jax.lax.scan(intra_step, (D_y, D_u, D_v), intra_xs)
 
     # ---- stage D: loop filter wavefront ----
-    lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev, lf_skip_sb = lf_params
+    lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev, lf_skip_sb = \
+        lf_params
+    sk_lf = tuple(strip(skew(x)) for x in
+                  (lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev,
+                   lf_skip_sb))
 
-    def lf_plane(t, size, rs, cs, valid):
-        """Filter one diagonal's MBs on one plane's tiles."""
-        apply = valid & (lf_level[rs, cs] > 0)
-        do_left = apply & (cs > 0)
-        do_top = apply & (rs > 0)
-        do_sb = apply & ~lf_skip_sb[rs, cs]
+    def lf_step(carry, xs):
+        D_y, D_u, D_v = carry
+        (d, kl, ka, kal, valid, hrow, hcol,
+         level, interior, mb_limit, sb_limit, hev, skip_sb) = xs
 
-        tl = t[rs - 1, cs - 1, size - 4:, size - 4:]
-        top = t[rs - 1, cs, size - 4:, :]
-        left = t[rs, cs - 1, :, size - 4:]
-        cur = t[rs, cs]
-        win = jnp.concatenate([
-            jnp.concatenate([tl, top], axis=2),
-            jnp.concatenate([left, cur], axis=2)], axis=1)  # (L, size+4, size+4)
+        apply = valid & (level > 0)
+        do_left = apply & hcol
+        do_top = apply & hrow
+        do_sb = apply & ~skip_sb
+        any_work = jnp.any(apply)
 
-        limit = lf_interior[rs, cs][:, None]
-        bmb = lf_mb_limit[rs, cs][:, None]
-        bsb = lf_sb_limit[rs, cs][:, None]
-        th = lf_hev[rs, cs][:, None]
+        def plane(D, size):
+            left = _read_slab(D, d - 1, kl, L)
+            top = _read_slab(D, d - 2, ka, L)
+            tl = _read_slab(D, d - 3, kal, L)
+            cur = _read_slab(D, d, 0, L)
+            win = jnp.concatenate([
+                jnp.concatenate([tl[:, size - 4:, size - 4:],
+                                 top[:, size - 4:, :]], axis=2),
+                jnp.concatenate([left[:, :, size - 4:], cur], axis=2)],
+                axis=1)  # (L, size+4, size+4)
 
-        fwin = jax.vmap(lf_ops.filter_mb_window, in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))(
-            win, size, limit, bmb, bsb, th,
-            do_left[:, None, None], do_top[:, None, None], do_sb[:, None, None])
+            fwin = jax.vmap(lf_ops.filter_mb_window,
+                            in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))(
+                win, size, interior[:, None], mb_limit[:, None],
+                sb_limit[:, None], hev[:, None],
+                do_left[:, None, None], do_top[:, None, None],
+                do_sb[:, None, None])
 
-        # scatter: current tile, left strip (3 cols), top strip (3 rows)
-        rs_w = jnp.where(apply, rs, R)
-        t = t.at[rs_w, cs].set(fwin[:, 4:, 4:], mode="drop")
-        rs_w = jnp.where(do_left, rs, R)
-        t = t.at[rs_w, cs - 1, :, size - 3:].set(fwin[:, 4:, 1:4], mode="drop")
-        rs_w = jnp.where(do_top, rs - 1, R)
-        t = t.at[rs_w, cs, size - 3:, :].set(fwin[:, 1:4, 4:], mode="drop")
-        return t
+            am = apply[:, None, None]
+            lm = do_left[:, None, None]
+            tm = do_top[:, None, None]
+            new_cur = jnp.where(am, fwin[:, 4:, 4:], cur)
+            new_left = left.at[:, :, size - 3:].set(
+                jnp.where(lm, fwin[:, 4:, 1:4], left[:, :, size - 3:]))
+            new_top = top.at[:, size - 3:, :].set(
+                jnp.where(tm, fwin[:, 1:4, 4:], top[:, size - 3:, :]))
+            # write neighbors first; cur last so clamped low-d writes can't
+            # clobber it (only scratch slots ever differ)
+            D = _write_slab(D, d - 2, ka, new_top)
+            D = _write_slab(D, d - 1, kl, new_left)
+            D = _write_slab(D, d, 0, new_cur)
+            return D
 
-    def lf_step(tiles, xs):
-        y_t, u_t, v_t = tiles
-        rs, cs, valid = xs
-        y_t = lf_plane(y_t, 16, rs, cs, valid)
-        u_t = lf_plane(u_t, 8, rs, cs, valid)
-        v_t = lf_plane(v_t, 8, rs, cs, valid)
-        return (y_t, u_t, v_t), None
+        def work(D_y, D_u, D_v):
+            return plane(D_y, 16), plane(D_u, 8), plane(D_v, 8)
 
-    (y_tiles, u_tiles, v_tiles), _ = jax.lax.scan(
-        lf_step, (y_tiles, u_tiles, v_tiles),
-        (diag_rs, diag_cs, diag_valid))
+        carry = jax.lax.cond(any_work, work,
+                             lambda a, b, c: (a, b, c), D_y, D_u, D_v)
+        return carry, None
+
+    lf_xs = (shifts["d_idx"], shifts["k_left"], shifts["k_above"],
+             shifts["k_al"], masks["valid"], masks["has_row"],
+             masks["has_col"]) + sk_lf
+    (D_y, D_u, D_v), _ = jax.lax.scan(lf_step, (D_y, D_u, D_v), lf_xs)
+
+    y_tiles = _unskew(D_y, unskew_idx, R, C)
+    u_tiles = _unskew(D_u, unskew_idx, R, C)
+    v_tiles = _unskew(D_v, unskew_idx, R, C)
 
     # ---- untile ----
     def untile(t, size):
@@ -317,7 +443,9 @@ def reconstruct(header, arrays, state, references, key_frame):
     R, C = arrays.mb_rows, arrays.mb_cols
     qf = _frame_quant_factors(header, state, arrays.segment)
     lf_params = _frame_lf_params(header, arrays, state, key_frame)
-    diag_rs, diag_cs, diag_valid = wavefront_schedule(R, C)
+    sched = skew_schedule(R, C)
+    sched_dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                 for k, v in sched.items()}
 
     # stacked reference planes; index 0 is a dummy slot (intra)
     ref_y = jnp.stack([references.last.y, references.last.y,
@@ -337,6 +465,6 @@ def reconstruct(header, arrays, state, references, key_frame):
         jnp.asarray(arrays.sub_mv, jnp.int32), jnp.asarray(arrays.uv_mv, jnp.int32),
         ref_y, ref_u, ref_v,
         tuple(jnp.asarray(x) for x in lf_params),
-        jnp.asarray(diag_rs), jnp.asarray(diag_cs), jnp.asarray(diag_valid))
+        sched_dev)
 
     return Raster(state.width, state.height, y, u, v)

@@ -46,6 +46,7 @@ class Encoder:
         self.quality = quality
         self.two_pass = two_pass
         self.last_loop_filter_level = None
+        self.last_y_ac_qi = None  # seeds the target-size search window
 
     # -- public API -----------------------------------------------------------
 
@@ -57,7 +58,86 @@ class Encoder:
         qi = QuantIndices(y_ac_qi=int(y_ac_qi))
         payload, _ssim = self._encode_frame(yuv, qi, key_frame, update=True)
         self.frame_no += 1
+        self.last_y_ac_qi = int(y_ac_qi)
         return payload
+
+    def encode_with_target_size(self, yuv, target_size, key_frame=None):
+        """Binary search on y_ac_qi for the largest frame <= target_size,
+        using a 1/4 x 1/4 subsampled trial encode as the size estimator
+        (encoder.cc:592-629). The search window is +-16 around the last
+        frame's quantizer when known."""
+        if key_frame is None:
+            key_frame = self.frame_no == 0
+        y_qi_min, y_qi_max = 4, 127
+        if self.last_y_ac_qi is not None:
+            radius = 16
+            if self.last_y_ac_qi - radius >= y_qi_min:
+                y_qi_min = self.last_y_ac_qi - radius
+            y_qi_max = min(y_qi_max, self.last_y_ac_qi + radius)
+
+        best_y_qi = None
+        while y_qi_min <= y_qi_max:
+            y_qi = (y_qi_min + y_qi_max) // 2
+            estimated = self.estimate_frame_size(yuv, y_qi, key_frame)
+            if estimated <= target_size or \
+                    (y_qi_min == y_qi_max and best_y_qi is None):
+                best_y_qi = y_qi
+                y_qi_max = y_qi - 1
+            else:
+                y_qi_min = y_qi + 1
+        return self.encode_with_quantizer(yuv, best_y_qi, key_frame=key_frame)
+
+    # subsample factor per axis (encoder.hh:114-115): the trial encode sees
+    # 1/16 of the macroblocks, so its size scales back by x16
+    SAMPLE_FACTOR = 4
+
+    def _mosaic(self, y, u, v, sub_rows, sub_cols):
+        """Pack every SAMPLE_FACTOR-th macroblock tile into a small raster —
+        our equivalent of the reference's macroblock_mapper subsampled frame
+        (size_estimation.cc:37-42)."""
+        f = self.SAMPLE_FACTOR
+        my = np.zeros((sub_rows * 16, sub_cols * 16), np.uint8)
+        mu = np.zeros((sub_rows * 8, sub_cols * 8), np.uint8)
+        mv = np.zeros((sub_rows * 8, sub_cols * 8), np.uint8)
+        for r in range(sub_rows):
+            for c in range(sub_cols):
+                oy, ox = r * f * 16, c * f * 16
+                my[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = \
+                    y[oy:oy + 16, ox:ox + 16]
+                mu[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = \
+                    u[oy // 2:oy // 2 + 8, ox // 2:ox // 2 + 8]
+                mv[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = \
+                    v[oy // 2:oy // 2 + 8, ox // 2:ox // 2 + 8]
+        return my, mu, mv
+
+    def estimate_frame_size(self, yuv, y_ac_qi, key_frame=None):
+        """Estimated compressed size at y_ac_qi from a subsampled trial
+        encode (size_estimation.cc:35-181): encode a mosaic of every 4th
+        macroblock (same references, subsampled the same way), scale x16."""
+        if key_frame is None:
+            key_frame = self.frame_no == 0
+        f = self.SAMPLE_FACTOR
+        sub_rows = max(1, self.mb_rows // f)
+        sub_cols = max(1, self.mb_cols // f)
+
+        padded = _pad_raster(*yuv, self.width, self.height)
+        my, mu, mv = self._mosaic(padded.y, padded.u, padded.v,
+                                  sub_rows, sub_cols)
+        sub = Encoder(sub_cols * 16, sub_rows * 16, quality=self.quality)
+        if not key_frame:
+            # mirror the current state against mosaic references
+            last = self.references.last
+            ry, ru, rv = self._mosaic(last.y, last.u, last.v,
+                                      sub_rows, sub_cols)
+            sub.references.last = _pad_raster(ry, ru, rv,
+                                              sub.width, sub.height)
+            sub.references.golden = sub.references.last
+            sub.references.alternative = sub.references.last
+            sub.frame_no = 1  # force interframe
+        qi = QuantIndices(y_ac_qi=int(y_ac_qi))
+        payload, _ = sub._encode_frame((my, mu, mv), qi, key_frame,
+                                       update=False)
+        return len(payload) * f * f
 
     def encode_with_minimum_ssim(self, yuv, minimum_ssim, key_frame=None):
         """Binary search on y_ac_qi for the target SSIM
@@ -83,6 +163,7 @@ class Encoder:
         payload, _ = self._encode_frame(yuv, QuantIndices(y_ac_qi=best_qi),
                                         key_frame, update=True)
         self.frame_no += 1
+        self.last_y_ac_qi = best_qi
         return payload
 
     def fork(self):

@@ -10,6 +10,42 @@ reference's "unsafe" in-bounds path and its EdgeExtendedRaster path.
 import jax
 import jax.numpy as jnp
 
+
+def predict_mb_tiles(ref_planes, ref_sel, sub_mv, S):
+    """Motion-compensate all macroblock tiles of one plane.
+
+    ref_planes: (4, H, W) uint8; ref_sel: (R, C); sub_mv: (R, C, n, n, 2)
+    eighth-pel MVs (n = S // 4).  Returns (R, C, S, S) int32.
+
+    Dispatches to the Pallas kernel on TPU (ops/sixtap_pallas.py); the XLA
+    gather formulation below is the fallback (and the CPU test oracle).
+    """
+    R, C = ref_sel.shape
+    n = S // 4
+    if jax.default_backend() == "tpu":
+        from . import sixtap_pallas
+        H, W = ref_planes.shape[-2:]
+        padded = sixtap_pallas.pad_refs(ref_planes)
+        return sixtap_pallas.mc_tiles(padded, H, W,
+                                      ref_sel.astype(jnp.int32),
+                                      sub_mv.astype(jnp.int32), S)
+
+    rr, cc = jnp.mgrid[0:R, 0:C]
+    si = jnp.arange(n)
+    sby = rr[:, :, None, None] * S + si[None, None, :, None] * 4
+    sbx = cc[:, :, None, None] * S + si[None, None, None, :] * 4
+    N = R * C * n * n
+    pred = predict_4x4_blocks(
+        ref_planes,
+        jnp.broadcast_to(ref_sel[:, :, None, None].astype(jnp.int32),
+                         (R, C, n, n)).reshape(N),
+        jnp.broadcast_to(sby, (R, C, n, n)).reshape(N),
+        jnp.broadcast_to(sbx, (R, C, n, n)).reshape(N),
+        sub_mv.reshape(N, 2).astype(jnp.int32))
+    return pred.reshape(R, C, n, n, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(R, C, S, S)
+
+
 SIXTAP = jnp.array([
     [0, 0, 128, 0, 0, 0],
     [0, -6, 123, 12, -1, 0],

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from alfalfa_tpu.decoder.reconstruct_jax import reconstruct_core, wavefront_schedule
+from alfalfa_tpu.decoder.reconstruct_jax import reconstruct_core, skew_schedule
 
 
 def make_gop_mesh(devices=None, axis="gop"):
@@ -28,15 +28,14 @@ def gop_decode_step(mesh, mb_rows, mb_cols, key_frame=False, axis="gop"):
     parallel; outputs are the per-frame rasters plus an all-gathered stack
     of exit luma planes (the data a rebase pass would consume).
     """
-    diag_rs, diag_cs, diag_valid = wavefront_schedule(mb_rows, mb_cols)
+    sched = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in skew_schedule(mb_rows, mb_cols).items()}
 
     def per_frame(coeffs, qf, y2c, nz, ym, uvm, bm, refsel, smv, uvmv,
                   ry, ru, rv, lfp):
         return reconstruct_core(mb_rows, mb_cols, key_frame,
                                 coeffs, qf, y2c, nz, ym, uvm, bm, refsel,
-                                smv, uvmv, ry, ru, rv, lfp,
-                                jnp.asarray(diag_rs), jnp.asarray(diag_cs),
-                                jnp.asarray(diag_valid))
+                                smv, uvmv, ry, ru, rv, lfp, sched)
 
     def shard_fn(coeffs, qf, y2c, nz, ym, uvm, bm, refsel, smv, uvmv,
                  ry, ru, rv, lfp):
