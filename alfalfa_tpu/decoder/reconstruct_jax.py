@@ -106,38 +106,48 @@ def skew_schedule(mb_rows, mb_cols):
     return _SCHED_CACHE[key]
 
 
+# Skewed pixel storage puts diagonal d at row d + DPAD so neighbor reads
+# (down to d-3) never need index clamping, and keeps tiles flattened to a
+# single lane axis in int16 — minor dims like (16, 16) would be tile-padded
+# by XLA and make every scan-step slab slice ~8x more expensive.
+DPAD = 3
+
+
 def _skew(x, scat_idx, n_diags, L):
-    """(R, C, ...) -> (n_diags, L+2, ...) with tiles at axis-1 offset 1 and
-    zero padding slots (one take, no scatter)."""
+    """(R, C, ...) -> (DPAD + n_diags, L+2[, P]) with tiles at axis-1
+    offset 1 and zero padding (one take, no scatter)."""
     R, C = x.shape[0], x.shape[1]
-    flat = x.reshape((R * C,) + x.shape[2:])
+    flat = x.reshape((R * C, -1)) if x.ndim > 2 else x.reshape((R * C,))
     pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
     flat = jnp.concatenate([flat, pad])
     sk = jnp.take(flat, scat_idx.reshape(-1), axis=0) \
-        .reshape((n_diags, L) + x.shape[2:])
-    zcol = jnp.zeros((n_diags, 1) + x.shape[2:], x.dtype)
-    return jnp.concatenate([zcol, sk, zcol], axis=1)
+        .reshape((n_diags, L) + flat.shape[1:])
+    zcol = jnp.zeros((n_diags, 1) + flat.shape[1:], x.dtype)
+    sk = jnp.concatenate([zcol, sk, zcol], axis=1)
+    zrow = jnp.zeros((DPAD,) + sk.shape[1:], x.dtype)
+    return jnp.concatenate([zrow, sk], axis=0)
 
 
-def _unskew(D, unskew_idx, R, C):
-    """(n_diags, L+2, ...) skewed storage -> (R, C, ...)."""
-    n_diags, Lp2 = D.shape[0], D.shape[1]
-    body = D[:, 1:-1]  # strip pad slots
-    flat = body.reshape((n_diags * (Lp2 - 2),) + D.shape[2:])
+def _unskew(D, unskew_idx, R, C, tile_shape):
+    """(DPAD + n_diags, L+2, P) skewed storage -> (R, C) + tile_shape."""
+    body = D[DPAD:, 1:-1]  # strip pad rows/slots
+    flat = body.reshape((body.shape[0] * body.shape[1],) + D.shape[2:])
     return jnp.take(flat, unskew_idx.reshape(-1), axis=0) \
-        .reshape((R, C) + D.shape[2:])
+        .reshape((R, C) + tile_shape)
 
 
-def _read_slab(D, d, k, L):
-    """Window of L tiles of diagonal d, j-shifted by k (k in [-1, 1]).
-    Out-of-range d clamps (garbage slots are masked by callers)."""
-    start = (jnp.maximum(d, 0), k + 1) + (0,) * (D.ndim - 2)
+def _read_slab(D, d, k, L, tile_shape=None):
+    """Window of L tiles of diagonal d (can be as low as -DPAD), j-shifted
+    by k (k in [-1, 1]); garbage pad slots are masked by callers."""
+    start = (d + DPAD, k + 1) + (0,) * (D.ndim - 2)
     size = (1, L) + D.shape[2:]
-    return jax.lax.dynamic_slice(D, start, size)[0]
+    slab = jax.lax.dynamic_slice(D, start, size)[0]
+    return slab if tile_shape is None else slab.reshape((L,) + tile_shape)
 
 
 def _write_slab(D, d, k, slab):
-    start = (jnp.maximum(d, 0), k + 1) + (0,) * (D.ndim - 2)
+    start = (d + DPAD, k + 1) + (0,) * (D.ndim - 2)
+    slab = slab.reshape((slab.shape[0],) + D.shape[2:])
     return jax.lax.dynamic_update_slice(D, slab[None], start)
 
 
@@ -159,7 +169,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                      coeffs, qf, y2_coded, has_nonzero,
                      ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
                      ref_y, ref_u, ref_v,
-                     lf_params, sched):
+                     lf_params, sched, intra_active=None):
     R, C = mb_rows, mb_cols
     n_diags = int(sched["scat_idx"].shape[0])
     L = int(sched["scat_idx"].shape[1])
@@ -209,9 +219,10 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         intra_mask_full = jnp.ones((R, C), bool)
 
     # ---- skew everything the wavefronts touch ----
-    D_y = skew(y_tiles)
-    D_u = skew(u_tiles)
-    D_v = skew(v_tiles)
+    # pixel carries are int16: halves slab traffic, values stay in [0, 255]
+    D_y = skew(y_tiles.astype(jnp.int16))
+    D_u = skew(u_tiles.astype(jnp.int16))
+    D_v = skew(v_tiles.astype(jnp.int16))
     sk_res = skew(res[:, :, 0:16])          # (n, L+2, 16, 4, 4) for B_PRED
     sk_res_y = skew(res_y)
     sk_res_u = skew(res_u)
@@ -228,7 +239,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
               ("d_idx", "k_left", "k_above", "k_ar", "k_al")}
 
     def strip(x):
-        return x[:, 1:-1]  # drop pad slots for per-step xs
+        return x[DPAD:, 1:-1]  # drop pad rows/slots for per-step xs
 
     # ---- stage C: intra wavefront ----
     def intra_step(carry, xs):
@@ -240,10 +251,15 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         any_intra = jnp.any(write)
 
         def work(D_y, D_u, D_v):
-            left = _read_slab(D_y, d - 1, kl, L)      # (L,16,16)
-            above = _read_slab(D_y, d - 2, ka, L)
-            ar = _read_slab(D_y, d - 1, kar, L)
-            al = _read_slab(D_y, d - 3, kal, L)
+            res16 = xs[14].reshape(L, 16, 16)
+            resb = xs[15].reshape(L, 16, 4, 4)
+            res8u = xs[16].reshape(L, 8, 8)
+            res8v = xs[17].reshape(L, 8, 8)
+            my_bmode_t = my_bmode.reshape(L, 4, 4)
+            left = _read_slab(D_y, d - 1, kl, L, (16, 16)).astype(jnp.int32)
+            above = _read_slab(D_y, d - 2, ka, L, (16, 16)).astype(jnp.int32)
+            ar = _read_slab(D_y, d - 1, kar, L, (16, 16)).astype(jnp.int32)
+            al = _read_slab(D_y, d - 3, kal, L, (16, 16)).astype(jnp.int32)
 
             above16 = jnp.where(hrow[:, None], above[:, 15, :], 127)
             ar4 = jnp.where((hrow & ~lcol_mask)[:, None], ar[:, 15, 0:4],
@@ -259,13 +275,13 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
             whole = jnp.clip(
                 whole + jnp.where(my_nz[:, None, None], res16, 0), 0, 255)
 
-            bt = jax.vmap(intra.bpred_tile)(e21, lcol, my_bmode, resb, my_nz)
+            bt = jax.vmap(intra.bpred_tile)(e21, lcol, my_bmode_t, resb, my_nz)
             new_y = jnp.where((my_ymode == T.B_PRED)[:, None, None], bt, whole)
 
             def chroma(Dp, res8):
-                lft = _read_slab(Dp, d - 1, kl, L)
-                abv = _read_slab(Dp, d - 2, ka, L)
-                alt = _read_slab(Dp, d - 3, kal, L)
+                lft = _read_slab(Dp, d - 1, kl, L, (8, 8)).astype(jnp.int32)
+                abv = _read_slab(Dp, d - 2, ka, L, (8, 8)).astype(jnp.int32)
+                alt = _read_slab(Dp, d - 3, kal, L, (8, 8)).astype(jnp.int32)
                 a8 = jnp.where(hrow[:, None], abv[:, 7, :], 127)
                 ce0 = jnp.where(hrow & hcol, alt[:, 7, 7],
                                 jnp.where(hrow, 129, 127))
@@ -279,13 +295,14 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
             new_u = chroma(D_u, res8u)
             new_v = chroma(D_v, res8v)
 
-            cur_y = _read_slab(D_y, d, 0, L)
-            cur_u = _read_slab(D_u, d, 0, L)
-            cur_v = _read_slab(D_v, d, 0, L)
+            cur_y = _read_slab(D_y, d, 0, L, (16, 16))
+            cur_u = _read_slab(D_u, d, 0, L, (8, 8))
+            cur_v = _read_slab(D_v, d, 0, L, (8, 8))
             wm = write[:, None, None]
-            D_y = _write_slab(D_y, d, 0, jnp.where(wm, new_y, cur_y))
-            D_u = _write_slab(D_u, d, 0, jnp.where(wm, new_u, cur_u))
-            D_v = _write_slab(D_v, d, 0, jnp.where(wm, new_v, cur_v))
+            i16 = lambda x: x.astype(jnp.int16)
+            D_y = _write_slab(D_y, d, 0, jnp.where(wm, i16(new_y), cur_y))
+            D_u = _write_slab(D_u, d, 0, jnp.where(wm, i16(new_u), cur_u))
+            D_v = _write_slab(D_v, d, 0, jnp.where(wm, i16(new_v), cur_v))
             return D_y, D_u, D_v
 
         carry = jax.lax.cond(any_intra, work,
@@ -300,6 +317,12 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                 strip(sk_nz), strip(sk_intra),
                 strip(sk_res_y), strip(sk_res), strip(sk_res_u),
                 strip(sk_res_v))
+    if intra_active is not None:
+        # run only the diagonals that contain intra macroblocks (the host
+        # computes the list; sentinel entries gather an all-masked zero row)
+        intra_xs = jax.tree.map(
+            lambda a: jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
+            [intra_active], intra_xs)
     (D_y, D_u, D_v), _ = jax.lax.scan(intra_step, (D_y, D_u, D_v), intra_xs)
 
     # ---- stage D: loop filter wavefront ----
@@ -321,10 +344,20 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         any_work = jnp.any(apply)
 
         def plane(D, size):
-            left = _read_slab(D, d - 1, kl, L)
-            top = _read_slab(D, d - 2, ka, L)
-            tl = _read_slab(D, d - 3, kal, L)
-            cur = _read_slab(D, d, 0, L)
+            # one fused read of diagonals d-3..d (rows d..d+3 of padded
+            # storage), in-register slab extraction, one fused write-back
+            P = D.shape[2]
+            blk = jax.lax.dynamic_slice(
+                D, (d, 0, 0), (DPAD + 1, D.shape[1], P))
+
+            def slab(row, k):
+                s = jax.lax.dynamic_slice(blk, (row, k + 1, 0), (1, L, P))[0]
+                return s.reshape(L, size, size).astype(jnp.int32)
+
+            tl = slab(0, kal)
+            top = slab(1, ka)
+            left = slab(2, kl)
+            cur = slab(3, 0)
             win = jnp.concatenate([
                 jnp.concatenate([tl[:, size - 4:, size - 4:],
                                  top[:, size - 4:, :]], axis=2),
@@ -346,12 +379,15 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                 jnp.where(lm, fwin[:, 4:, 1:4], left[:, :, size - 3:]))
             new_top = top.at[:, size - 3:, :].set(
                 jnp.where(tm, fwin[:, 1:4, 4:], top[:, size - 3:, :]))
-            # write neighbors first; cur last so clamped low-d writes can't
-            # clobber it (only scratch slots ever differ)
-            D = _write_slab(D, d - 2, ka, new_top)
-            D = _write_slab(D, d - 1, kl, new_left)
-            D = _write_slab(D, d, 0, new_cur)
-            return D
+
+            def put(blk, row, k, s):
+                s = s.astype(jnp.int16).reshape(1, L, P)
+                return jax.lax.dynamic_update_slice(blk, s, (row, k + 1, 0))
+
+            blk = put(blk, 1, ka, new_top)
+            blk = put(blk, 2, kl, new_left)
+            blk = put(blk, 3, 0, new_cur)
+            return jax.lax.dynamic_update_slice(D, blk, (d, 0, 0))
 
         def work(D_y, D_u, D_v):
             return plane(D_y, 16), plane(D_u, 8), plane(D_v, 8)
@@ -365,9 +401,9 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
              masks["has_col"]) + sk_lf
     (D_y, D_u, D_v), _ = jax.lax.scan(lf_step, (D_y, D_u, D_v), lf_xs)
 
-    y_tiles = _unskew(D_y, unskew_idx, R, C)
-    u_tiles = _unskew(D_u, unskew_idx, R, C)
-    v_tiles = _unskew(D_v, unskew_idx, R, C)
+    y_tiles = _unskew(D_y, unskew_idx, R, C, (16, 16))
+    u_tiles = _unskew(D_u, unskew_idx, R, C, (8, 8))
+    v_tiles = _unskew(D_v, unskew_idx, R, C, (8, 8))
 
     # ---- untile ----
     def untile(t, size):
@@ -455,6 +491,16 @@ def reconstruct(header, arrays, state, references, key_frame):
     ref_v = jnp.stack([references.last.v, references.last.v,
                        references.golden.v, references.alternative.v])
 
+    if key_frame:
+        intra_active = None
+    else:
+        d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]
+        active = np.unique(d_of[arrays.ref == 0])
+        A = max(8, 1 << int(np.ceil(np.log2(max(1, len(active))))))
+        n_diags = sched["n_diags"]
+        intra_active = np.full(A, n_diags, np.int32)  # sentinel rows
+        intra_active[:len(active)] = active
+
     y, u, v = _reconstruct_device(
         R, C, bool(key_frame),
         jnp.asarray(arrays.coeffs, jnp.int32),
@@ -465,6 +511,7 @@ def reconstruct(header, arrays, state, references, key_frame):
         jnp.asarray(arrays.sub_mv, jnp.int32), jnp.asarray(arrays.uv_mv, jnp.int32),
         ref_y, ref_u, ref_v,
         tuple(jnp.asarray(x) for x in lf_params),
-        sched_dev)
+        sched_dev,
+        None if intra_active is None else jnp.asarray(intra_active))
 
     return Raster(state.width, state.height, y, u, v)

@@ -96,8 +96,8 @@ def _mc_kernel(S, C, R,
         def uniform():
             win = _load_window(refs_ref, sel, sy_ref[rloc, j],
                                sx_ref[rloc, j], S + 5, rows_uniform)
-            out_ref[rloc, j] = _filter_window(win, S, mx_ref[rloc, j],
-                                              my_ref[rloc, j])
+            out_ref[rloc, j] = _filter_window(
+                win, S, mx_ref[rloc, j], my_ref[rloc, j]).astype(jnp.uint8)
 
         def split():
             blocks = []
@@ -112,7 +112,7 @@ def _mc_kernel(S, C, R,
             tile = jnp.concatenate(
                 [jnp.concatenate(blocks[r * w:(r + 1) * w], axis=1)
                  for r in range(w)], axis=0)
-            out_ref[rloc, j] = tile
+            out_ref[rloc, j] = tile.astype(jnp.uint8)
 
         @pl.when(base + rloc < R)
         def _():
@@ -191,7 +191,7 @@ def mc_tiles(refs_padded, H, W, sel, sub_mv, S):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((G, C, S, S), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, C, S, S), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Rp, C, S, S), jnp.uint8),
     )(padr(sel.astype(jnp.int32)), padr(split.astype(jnp.int32)),
       padr(sy.astype(jnp.int32)), padr(sx.astype(jnp.int32)),
       padr((mv0x & 7).astype(jnp.int32)), padr((mv0y & 7).astype(jnp.int32)),
@@ -200,4 +200,4 @@ def mc_tiles(refs_padded, H, W, sel, sub_mv, S):
       padr(smx.reshape(R, C * n * n).astype(jnp.int32)),
       padr(smy.reshape(R, C * n * n).astype(jnp.int32)),
       refs_padded)
-    return out[:R]
+    return out[:R].astype(jnp.int32)

@@ -82,3 +82,321 @@ def example_frame_batch(n_frames, mb_rows, mb_cols, seed=0):
            np.zeros((B, R, C), bool))
     return (coeffs, qf, y2c, nz, ym, uvm, bm, refsel, smv, uvmv,
             ry, ru, rv, lfp)
+
+
+# ---------------------------------------------------------------------------
+# Batched GOP decoding: ExCamera's chunk parallelism on ONE chip
+# ---------------------------------------------------------------------------
+#
+# The reference scales decode/encode across *machines* by making chunks
+# independent (state files).  On TPU the same independence lets one chip
+# decode G chunks in lockstep: host token parse runs ahead (it only needs
+# header-level state, never pixels), per-frame parse arrays are stacked on
+# a leading GOP axis, and a single vmapped reconstruction step advances
+# all G chunks at once — the sequential wavefronts amortize G-fold.
+
+from alfalfa_tpu.bitstream.header import UncompressedChunk
+from alfalfa_tpu.decoder.parse import FrameParser
+from alfalfa_tpu.decoder import reconstruct_jax as _RJ
+from alfalfa_tpu.state.decoder_state import DecoderState
+from alfalfa_tpu.bitstream import tables as _T
+
+
+_STEP_CACHE = {}
+_QF_KEYS = ("y_dc", "y_ac", "y2_dc", "y2_ac", "uv_dc", "uv_ac")
+
+
+class BatchedGopDecoder:
+    """Decode G independent, frame-type-aligned GOPs in lockstep.
+
+    All GOPs must have the same dimensions and the same per-position frame
+    type (true for fixed-GOP encodes and for ExCamera chunks).  Decoded
+    rasters stay on-device; fetch only what you need.
+    """
+
+    def __init__(self, width, height, n_gops):
+        self.width, self.height = width, height
+        self.G = n_gops
+        self.mb_rows = (height + 15) // 16
+        self.mb_cols = (width + 15) // 16
+        self.states = [DecoderState.initial(width, height)
+                       for _ in range(n_gops)]
+        R, C = self.mb_rows, self.mb_cols
+        self._sched = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                       for k, v in _RJ.skew_schedule(R, C).items()}
+        H, W = R * 16, C * 16
+        z_y = jnp.zeros((n_gops, H, W), jnp.uint8)
+        z_uv = jnp.zeros((n_gops, H // 2, W // 2), jnp.uint8)
+        # (last, golden, alternative) per plane
+        self.refs = {"y": (z_y, z_y, z_y), "u": (z_uv, z_uv, z_uv),
+                     "v": (z_uv, z_uv, z_uv)}
+        self._step_cache = {}
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=min(16, n_gops))
+
+    # -- host side -----------------------------------------------------------
+
+    def parse_frame_batch(self, payloads):
+        """Parse one frame from each GOP (list of G byte strings).  Returns
+        the stacked device inputs + flags; advances per-GOP header state."""
+        def parse_one(g):
+            # the C token/MB parsers release the GIL, so GOPs parse in
+            # parallel threads
+            chunk = UncompressedChunk(payloads[g], self.width, self.height)
+            header, arrays, _fp = FrameParser(self.states[g]).parse(chunk)
+            return (header, arrays, chunk)
+
+        if self.G > 1:
+            per = list(self._pool.map(parse_one, range(self.G)))
+        else:
+            per = [parse_one(0)]
+        key_frames = {p[2].key_frame for p in per}
+        if len(key_frames) != 1:
+            raise ValueError("GOPs must be frame-type aligned")
+        key_frame = key_frames.pop()
+
+        def stack(fn, dtype=None):
+            a = np.stack([fn(p) for p in per])
+            return a if dtype is None else a.astype(dtype)
+
+        def bucket(n, floor):
+            return max(floor, 1 << int(np.ceil(np.log2(max(1, n)))))
+
+        # The host->device link is the scaling bottleneck, so uploads are
+        # minimal: sparse nonzero coefficients, one MV per macroblock with
+        # sparse SPLITMV escapes, and small per-MB maps.  Chroma MVs, loop
+        # filter limits, and dequant factors are re-derived on device.
+        co = stack(lambda p: p[1].coeffs, np.int16)
+        nzi = np.flatnonzero(co)
+        cap = bucket(len(nzi), 4096)
+        coeff_idx = np.zeros(cap, np.int32)
+        coeff_val = np.zeros(cap, np.int16)
+        coeff_idx[:len(nzi)] = nzi
+        coeff_val[:len(nzi)] = co.reshape(-1)[nzi]
+        if len(nzi):
+            coeff_idx[len(nzi):] = nzi[0]  # duplicates add 0
+
+        smv = stack(lambda p: p[1].sub_mv, np.int16)
+        mv0 = smv[:, :, :, 0, 0, :]
+        split = np.any(smv != mv0[:, :, :, None, None, :], axis=(3, 4, 5))
+        sidx = np.flatnonzero(split)
+        cap_s = bucket(len(sidx), 64)
+        split_idx = np.zeros(cap_s, np.int32)
+        split_val = np.zeros((cap_s, 4, 4, 2), np.int16)
+        split_idx[:len(sidx)] = sidx
+        split_val[:len(sidx)] = smv.reshape(-1, 4, 4, 2)[sidx]
+        # pad entries re-write slot split_idx[0] (or MB 0) with its own value
+        pad_row = sidx[0] if len(sidx) else 0
+        split_idx[len(sidx):] = pad_row
+        split_val[len(sidx):] = smv.reshape(-1, 4, 4, 2)[pad_row]
+
+        # per-segment dequant factor tables + segment map (device gathers)
+        qf_table = np.zeros((self.G, len(_QF_KEYS), 4), np.int16)
+        for g, (header, arrays, chunk) in enumerate(per):
+            seg = self.states[g].segmentation
+            if seg is not None:
+                qs = [header.quant_indices.quantizer(
+                    int(seg.quantizer_adjustments[i]), seg.absolute)
+                    for i in range(4)]
+            else:
+                qs = [header.quant_indices.quantizer()] * 4
+            for ki, k in enumerate(_QF_KEYS):
+                qf_table[g, ki] = [int(q[k]) for q in qs]
+
+        # loop-filter base level per MB (pre-clip, with segment/mode/ref
+        # adjustments; _frame_lf_params semantics) — limits derive on device
+        def lf_base(g):
+            header, arrays, _ = per[g]
+            seg = self.states[g].segmentation
+            fa = self.states[g].filter_adjustments
+            R, C = self.mb_rows, self.mb_cols
+            if not header.loop_filter_level:
+                return np.zeros((R, C), np.int16)
+            if seg is not None:
+                base = seg.filter_adjustments[arrays.segment].astype(np.int32) + \
+                    (0 if seg.absolute else header.loop_filter_level)
+            else:
+                base = np.full((R, C), header.loop_filter_level, np.int32)
+            if fa is not None:
+                ref = arrays.ref.astype(np.int32)
+                ymode = arrays.ymode.astype(np.int32)
+                base = base + fa.ref_adjustments[ref].astype(np.int32)
+                mode_adj = np.where(
+                    ref == _T.CURRENT_FRAME,
+                    np.where(ymode == _T.B_PRED, fa.mode_adjustments[0], 0),
+                    np.where(ymode == _T.ZEROMV, fa.mode_adjustments[1],
+                             np.where(ymode == _T.SPLITMV,
+                                      fa.mode_adjustments[3],
+                                      fa.mode_adjustments[2]))).astype(np.int32)
+                base = base + mode_adj
+            return base.astype(np.int16)
+
+        # union of diagonals containing intra MBs (skip the rest on device)
+        if key_frame:
+            intra_active = None
+        else:
+            R, C = self.mb_rows, self.mb_cols
+            d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]
+            refs_all = np.stack([p[1].ref for p in per])
+            active = np.unique(d_of[None].repeat(self.G, 0)[refs_all == 0])
+            A = max(8, 1 << int(np.ceil(np.log2(max(1, len(active))))))
+            n_diags = 2 * (R - 1) + C
+            intra_active = np.full(A, n_diags, np.int32)
+            intra_active[:len(active)] = active
+
+        batch = dict(
+            intra_active=intra_active,
+            coeff_idx=coeff_idx, coeff_val=coeff_val,
+            mv0=mv0, split_idx=split_idx, split_val=split_val,
+            qf_table=qf_table,
+            segment=stack(lambda p: p[1].segment, np.uint8),
+            y2c=stack(lambda p: p[1].y2_coded),
+            nz=stack(lambda p: p[1].has_nonzero),
+            ymode=stack(lambda p: p[1].ymode, np.int8),
+            uvmode=stack(lambda p: p[1].uvmode, np.int8),
+            bmode=stack(lambda p: p[1].bmode, np.int8),
+            refsel=stack(lambda p: p[1].ref, np.int8),
+            lf_base=np.stack([lf_base(g) for g in range(self.G)]),
+            sharpness=np.array([p[0].sharpness_level for p in per], np.int32),
+        )
+        if key_frame:
+            flags = None
+        else:
+            def flag(fn, dtype=np.int32):
+                return np.array([fn(p[0]) for p in per], dtype)
+            flags = dict(
+                copy_alt=flag(lambda h: h.copy_buffer_to_alternate or 0),
+                copy_gold=flag(lambda h: h.copy_buffer_to_golden or 0),
+                refresh_gold=flag(lambda h: h.refresh_golden_frame, bool),
+                refresh_alt=flag(lambda h: h.refresh_alternate_frame, bool),
+                refresh_last=flag(lambda h: h.refresh_last, bool),
+            )
+        show = [p[2].show_frame for p in per]
+        return key_frame, batch, flags, show
+
+    # -- device side -----------------------------------------------------------
+
+    def _step(self, key_frame):
+        # module-level cache: new decoder instances at the same geometry
+        # must reuse the compiled step
+        key = (self.mb_rows, self.mb_cols, self.G, key_frame)
+        if key in _STEP_CACHE:
+            return _STEP_CACHE[key]
+        R, C = self.mb_rows, self.mb_cols
+        sched = self._sched
+
+        def one(coeffs, qf, y2c, nz, ymode, uvmode, bmode, refsel, smv, uvmv,
+                ry, ru, rv, lfp, intra_active):
+            return _RJ.reconstruct_core(R, C, key_frame, coeffs, qf, y2c, nz,
+                                        ymode, uvmode, bmode, refsel, smv,
+                                        uvmv, ry, ru, rv, lfp, sched,
+                                        intra_active)
+
+        # intra_active is shared across the GOP batch (union list)
+        vone = jax.vmap(one, in_axes=(0,) * 14 + (None,))
+
+        def sel3(cond, a, b):
+            return jnp.where(cond[:, None, None], a, b)
+
+        def step(batch, refs, flags):
+            def refstack(plane):
+                last, gold, alt = refs[plane]
+                return jnp.stack([last, last, gold, alt], axis=1)
+
+            i32 = lambda x: x.astype(jnp.int32)
+            G = batch["mv0"].shape[0]
+            n_mb = G * R * C
+
+            coeffs = jnp.zeros((n_mb * 25 * 16,), jnp.int32).at[
+                batch["coeff_idx"]].add(i32(batch["coeff_val"])) \
+                .reshape(G, R, C, 25, 16)
+
+            sub_mv = jnp.broadcast_to(
+                i32(batch["mv0"])[:, :, :, None, None, :],
+                (G, R, C, 4, 4, 2)).reshape(n_mb, 4, 4, 2)
+            sub_mv = sub_mv.at[batch["split_idx"]].set(
+                i32(batch["split_val"])).reshape(G, R, C, 4, 4, 2)
+            # chroma MVs: quadrant sums with symmetric rounding
+            # (luma_to_chroma, macroblock.cc:289-299)
+            q = sub_mv.reshape(G, R, C, 2, 2, 2, 2, 2) \
+                .sum(axis=(4, 6))              # (G,R,C,2,2,2)
+            uv_mv = jnp.sign(q) * ((jnp.abs(q) + 4) >> 3)
+
+            seg = batch["segment"].astype(jnp.int32).reshape(G, -1)
+            qf = {k: jnp.take_along_axis(
+                      i32(batch["qf_table"][:, ki]), seg, axis=1)
+                      .reshape(G, R, C)
+                  for ki, k in enumerate(_QF_KEYS)}
+
+            # loop-filter limits from the base level (loopfilter.cc:82-128)
+            base = i32(batch["lf_base"])
+            sharp = batch["sharpness"][:, None, None]
+            fl = jnp.clip(base, 0, 63)
+            interior = jnp.where(
+                sharp > 0,
+                jnp.minimum(fl >> jnp.where(sharp > 4, 2, 1), 9 - sharp), fl)
+            interior = jnp.maximum(interior, 1)
+            hev = ((fl >= 15).astype(jnp.int32) + (fl >= 40).astype(jnp.int32)
+                   + ((fl >= 20) & (not key_frame)).astype(jnp.int32))
+            level = jnp.where(base > 0, fl, 0)
+            skip_sb = batch["y2c"] & ~batch["nz"]
+            lfp = (level, interior, (fl + 2) * 2 + interior,
+                   fl * 2 + interior, hev, skip_sb)
+
+            y, u, v = vone(coeffs, qf,
+                           batch["y2c"], batch["nz"], i32(batch["ymode"]),
+                           i32(batch["uvmode"]), i32(batch["bmode"]),
+                           i32(batch["refsel"]), sub_mv,
+                           uv_mv, refstack("y"), refstack("u"),
+                           refstack("v"), lfp, batch.get("intra_active"))
+            new_refs = {}
+            for plane, raster in (("y", y), ("u", u), ("v", v)):
+                last, gold, alt = refs[plane]
+                if key_frame:
+                    new_refs[plane] = (raster, raster, raster)
+                    continue
+                # reference copy/refresh semantics (frame.cc:271-307);
+                # golden<-alternate reads the *updated* alternate
+                alt = sel3(flags["copy_alt"] == 1, last,
+                           sel3(flags["copy_alt"] == 2, gold, alt))
+                gold = sel3(flags["copy_gold"] == 1, last,
+                            sel3(flags["copy_gold"] == 2, alt, gold))
+                gold = sel3(flags["refresh_gold"], raster, gold)
+                alt = sel3(flags["refresh_alt"], raster, alt)
+                last = sel3(flags["refresh_last"], raster, last)
+                new_refs[plane] = (last, gold, alt)
+            return (y, u, v), new_refs
+
+        jitted = jax.jit(step)
+        _STEP_CACHE[key] = jitted
+        return jitted
+
+    def decode_frame_batch(self, payloads):
+        """Parse + reconstruct one frame position across all GOPs.
+        Returns (G, H, W) luma + chroma device arrays (padded dims)."""
+        key_frame, batch, flags, show = self.parse_frame_batch(payloads)
+        dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
+                         else jax.device_put(v)) for k, v in batch.items()}
+        (y, u, v), self.refs = self._step(key_frame)(
+            dev_batch, self.refs,
+            None if flags is None else
+            {k: jnp.asarray(v) for k, v in flags.items()})
+        return (y, u, v), show
+
+
+def decode_gops(gop_payloads, width, height):
+    """Decode G aligned GOPs; returns per-GOP lists of (y, u, v) device
+    arrays for shown frames."""
+    G = len(gop_payloads)
+    n_frames = {len(g) for g in gop_payloads}
+    if len(n_frames) != 1:
+        raise ValueError("GOPs must have equal frame counts")
+    dec = BatchedGopDecoder(width, height, G)
+    out = [[] for _ in range(G)]
+    for f in range(n_frames.pop()):
+        (y, u, v), show = dec.decode_frame_batch(
+            [gop_payloads[g][f] for g in range(G)])
+        for g in range(G):
+            if show[g]:
+                out[g].append((y[g], u[g], v[g]))
+    return out
