@@ -117,7 +117,8 @@ def cmd_enc(args):
     if args.y_ac_qi is not None and not 0 <= args.y_ac_qi <= 127:
         print("xc enc: error: y-ac-qi must be in [0, 127]", file=sys.stderr)
         return 2
-    enc = Encoder(width, height, quality=args.quality)
+    enc = Encoder(width, height, quality=args.quality,
+                  two_pass=args.two_pass)
     entry_minihash = 0
     if args.input_state:
         from alfalfa_tpu.state import serdes
@@ -433,6 +434,8 @@ def main(argv=None):
     p.add_argument("-F", "--frame-sizes", default=None,
                    help="file of per-frame target sizes in bytes")
     p.add_argument("-q", "--quality", default="best", choices=["best", "rt"])
+    p.add_argument("--two-pass", action="store_true",
+                   help="second encoding pass with trellis quantization")
     p.add_argument("-O", "--output-state", default=None,
                    help="write final encoder state")
     p.add_argument("-I", "--input-state", default=None,

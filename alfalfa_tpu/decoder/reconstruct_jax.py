@@ -223,16 +223,6 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     D_y = skew(y_tiles.astype(jnp.int16))
     D_u = skew(u_tiles.astype(jnp.int16))
     D_v = skew(v_tiles.astype(jnp.int16))
-    sk_res = skew(res[:, :, 0:16])          # (n, L+2, 16, 4, 4) for B_PRED
-    sk_res_y = skew(res_y)
-    sk_res_u = skew(res_u)
-    sk_res_v = skew(res_v)
-    sk_intra = skew(intra_mask_full)
-    sk_ymode = skew(ymode)
-    sk_uvmode = skew(uvmode)
-    sk_bmode = skew(bmode)
-    sk_nz = skew(has_nonzero)
-
     masks = {k: jnp.asarray(sched[k]) for k in
              ("valid", "has_row", "has_col", "last_col")}
     shifts = {k: jnp.asarray(sched[k]) for k in
@@ -309,20 +299,44 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                              lambda a, b, c: (a, b, c), D_y, D_u, D_v)
         return carry, None
 
-    intra_xs = (shifts["d_idx"], shifts["k_left"], shifts["k_above"],
-                shifts["k_ar"], shifts["k_al"],
-                masks["valid"], masks["has_row"], masks["has_col"],
-                masks["last_col"],
-                strip(sk_ymode), strip(sk_uvmode), strip(sk_bmode),
-                strip(sk_nz), strip(sk_intra),
-                strip(sk_res_y), strip(sk_res), strip(sk_res_u),
-                strip(sk_res_v))
-    if intra_active is not None:
-        # run only the diagonals that contain intra macroblocks (the host
-        # computes the list; sentinel entries gather an all-masked zero row)
-        intra_xs = jax.tree.map(
-            lambda a: jnp.pad(a, ((0, 1),) + ((0, 0),) * (a.ndim - 1))
-            [intra_active], intra_xs)
+    if intra_active is None:
+        sel_rows = None
+
+        def skew_xs(x):
+            return strip(skew(x))
+    else:
+        # run only the diagonals that contain intra macroblocks: fold the
+        # active-row selection into the skew gather so per-MB xs arrays
+        # materialize A rows instead of n_diags (sentinel entries gather
+        # all-masked zero rows)
+        pad_row = jnp.full((1, L), R * C, scat_idx.dtype)
+        sel_rows = jnp.take(jnp.concatenate([scat_idx, pad_row]),
+                            intra_active, axis=0)  # (A, L)
+
+        def skew_xs(x):
+            flat = (x.reshape((R * C, -1)) if x.ndim > 2
+                    else x.reshape((R * C,)))
+            zero = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+            flat = jnp.concatenate([flat, zero])
+            A = intra_active.shape[0]
+            return jnp.take(flat, sel_rows.reshape(-1), axis=0) \
+                .reshape((A, L) + flat.shape[1:])
+
+    def sel_sched(a):
+        if intra_active is None:
+            return a
+        pad = jnp.zeros((1,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad])[intra_active]
+
+    intra_xs = (sel_sched(shifts["d_idx"]), sel_sched(shifts["k_left"]),
+                sel_sched(shifts["k_above"]), sel_sched(shifts["k_ar"]),
+                sel_sched(shifts["k_al"]),
+                sel_sched(masks["valid"]), sel_sched(masks["has_row"]),
+                sel_sched(masks["has_col"]), sel_sched(masks["last_col"]),
+                skew_xs(ymode), skew_xs(uvmode), skew_xs(bmode),
+                skew_xs(has_nonzero), skew_xs(intra_mask_full),
+                skew_xs(res_y), skew_xs(res[:, :, 0:16]), skew_xs(res_u),
+                skew_xs(res_v))
     (D_y, D_u, D_v), _ = jax.lax.scan(intra_step, (D_y, D_u, D_v), intra_xs)
 
     # ---- stage D: loop filter wavefront ----
@@ -496,10 +510,11 @@ def reconstruct(header, arrays, state, references, key_frame):
     else:
         d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]
         active = np.unique(d_of[arrays.ref == 0])
-        A = max(8, 1 << int(np.ceil(np.log2(max(1, len(active))))))
         n_diags = sched["n_diags"]
+        # two shape buckets only (compile time): sparse or full
+        A = 16 if len(active) <= 16 else n_diags
         intra_active = np.full(A, n_diags, np.int32)  # sentinel rows
-        intra_active[:len(active)] = active
+        intra_active[:min(len(active), A)] = active[:A]
 
     y, u, v = _reconstruct_device(
         R, C, bool(key_frame),

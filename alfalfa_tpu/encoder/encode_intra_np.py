@@ -46,7 +46,7 @@ def _predict_b(plane, col4, row4, mode):
 
 
 def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
-                    interframe=False, bmode_costs_ctx=None):
+                    interframe=False, bmode_costs_ctx=None, trellis=None):
     """Encode one intra macroblock against the current reconstruction;
     writes coefficients/modes into ``arrays`` and the reconstructed pixels
     into ``recon`` (the decoder-identical reconstruction)."""
@@ -94,7 +94,10 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
             bpred_dist += _sse(osb, pred)
             # transform + quantize + reconstruct in place
             coeffs = FX.subtract_fdct(osb, pred)
-            qc = FX.quantize(coeffs, q["y_dc"], q["y_ac"])
+            if trellis is not None:
+                qc = trellis.quantize_y(coeffs, r, c, sr, sc, after_y2=False)
+            else:
+                qc = FX.quantize(coeffs, q["y_dc"], q["y_ac"])
             bpred_coeffs[sr * 4 + sc] = qc
             dq = R.dequantize(qc, q["y_dc"], q["y_ac"])
             blk = recon.y[row4 * 4:row4 * 4 + 4, col4 * 4:col4 * 4 + 4]
@@ -138,10 +141,17 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
                 coeffs = FX.subtract_fdct(osb, psb)
                 walsh_input[sr * 4 + sc] = coeffs[0]
                 coeffs[0] = 0
-                arrays.coeffs[r, c, sr * 4 + sc] = FX.quantize(
-                    coeffs, q["y_dc"], q["y_ac"])
+                if trellis is not None:
+                    arrays.coeffs[r, c, sr * 4 + sc] = trellis.quantize_y(
+                        coeffs, r, c, sr, sc, after_y2=True)
+                else:
+                    arrays.coeffs[r, c, sr * 4 + sc] = FX.quantize(
+                        coeffs, q["y_dc"], q["y_ac"])
         y2 = FX.fwht(walsh_input)
-        arrays.coeffs[r, c, 24] = FX.quantize(y2, q["y2_dc"], q["y2_ac"])
+        if trellis is not None:
+            arrays.coeffs[r, c, 24] = trellis.quantize_y2(y2, r, c)
+        else:
+            arrays.coeffs[r, c, 24] = FX.quantize(y2, q["y2_dc"], q["y2_ac"])
         # reconstruct via the decoder path (prediction + walsh + idct_add)
         recon.y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = pred
         R._apply_walsh(arrays, recon, r, c, q)
@@ -165,7 +175,11 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
                 osb = opl[sr * 4:sr * 4 + 4, sc * 4:sc * 4 + 4]
                 psb = ppl[sr * 4:sr * 4 + 4, sc * 4:sc * 4 + 4]
                 coeffs = FX.subtract_fdct(osb, psb)
-                qc = FX.quantize(coeffs, q["uv_dc"], q["uv_ac"])
+                if trellis is not None:
+                    qc = trellis.quantize_uv(coeffs, r, c, sr, sc,
+                                             0 if base == 16 else 1)
+                else:
+                    qc = FX.quantize(coeffs, q["uv_dc"], q["uv_ac"])
                 arrays.coeffs[r, c, base + sr * 2 + sc] = qc
                 dq = R.dequantize(qc, q["uv_dc"], q["uv_ac"])
                 blk = plane[r * 8 + sr * 4:r * 8 + sr * 4 + 4,

@@ -202,11 +202,26 @@ class Encoder:
         rate_mult, dist_mult = rd_multipliers(q["y_ac"])
 
         oplanes = (orig.y, orig.u, orig.v)
-        for r in range(self.mb_rows):
-            for c in range(self.mb_cols):
-                encode_intra_np.encode_intra_mb(oplanes, recon, arrays, r, c,
-                                                q, rate_mult, dist_mult,
-                                                interframe=False)
+        passes = 2 if self.two_pass else 1
+        for pass_i in range(passes):
+            trellis_ctx = None
+            if pass_i == 1:
+                # second pass: trellis quantization with token costs from
+                # the current probability tables (encode_intra.cc:409-431,
+                # encoder.cc:220-408)
+                from .trellis import TrellisContext
+                trellis_ctx = TrellisContext(
+                    self.state.probability_tables.coeff_probs,
+                    self.mb_rows, self.mb_cols, q, rate_mult, dist_mult)
+                arrays = FrameArrays(self.mb_rows, self.mb_cols)
+                recon = Raster(self.width, self.height)
+            for r in range(self.mb_rows):
+                for c in range(self.mb_cols):
+                    encode_intra_np.encode_intra_mb(oplanes, recon, arrays,
+                                                    r, c, q, rate_mult,
+                                                    dist_mult,
+                                                    interframe=False,
+                                                    trellis=trellis_ctx)
 
         # skip flags + prob (encoder.cc:441-457, 657)
         no_skip = int(arrays.has_nonzero.sum())

@@ -160,7 +160,12 @@ class BatchedGopDecoder:
             return a if dtype is None else a.astype(dtype)
 
         def bucket(n, floor):
-            return max(floor, 1 << int(np.ceil(np.log2(max(1, n)))))
+            # coarse pow4 buckets: shape variety costs minutes of XLA
+            # compile time per variant
+            b = floor
+            while b < n:
+                b <<= 2
+            return b
 
         # The host->device link is the scaling bottleneck, so uploads are
         # minimal: sparse nonzero coefficients, one MV per macroblock with
@@ -168,7 +173,7 @@ class BatchedGopDecoder:
         # filter limits, and dequant factors are re-derived on device.
         co = stack(lambda p: p[1].coeffs, np.int16)
         nzi = np.flatnonzero(co)
-        cap = bucket(len(nzi), 4096)
+        cap = bucket(len(nzi), 1 << 16)
         coeff_idx = np.zeros(cap, np.int32)
         coeff_val = np.zeros(cap, np.int16)
         coeff_idx[:len(nzi)] = nzi
@@ -180,7 +185,7 @@ class BatchedGopDecoder:
         mv0 = smv[:, :, :, 0, 0, :]
         split = np.any(smv != mv0[:, :, :, None, None, :], axis=(3, 4, 5))
         sidx = np.flatnonzero(split)
-        cap_s = bucket(len(sidx), 64)
+        cap_s = bucket(len(sidx), 256)
         split_idx = np.zeros(cap_s, np.int32)
         split_val = np.zeros((cap_s, 4, 4, 2), np.int16)
         split_idx[:len(sidx)] = sidx
@@ -239,10 +244,11 @@ class BatchedGopDecoder:
             d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]
             refs_all = np.stack([p[1].ref for p in per])
             active = np.unique(d_of[None].repeat(self.G, 0)[refs_all == 0])
-            A = max(8, 1 << int(np.ceil(np.log2(max(1, len(active))))))
             n_diags = 2 * (R - 1) + C
+            # two shape buckets only (compile time): sparse or full
+            A = 16 if len(active) <= 16 else n_diags
             intra_active = np.full(A, n_diags, np.int32)
-            intra_active[:len(active)] = active
+            intra_active[:min(len(active), A)] = active[:A]
 
         batch = dict(
             intra_active=intra_active,
