@@ -75,6 +75,10 @@ def _mul_35468(a):
 def idct_add(coeffs16, target4x4):
     """4x4 inverse DCT + add into the raster block (transform.cc:100-137).
     Intermediates are stored as int16 exactly like the reference."""
+    from alfalfa_tpu.native import enckernel
+    if enckernel.available():
+        enckernel.idct_add(coeffs16, target4x4)
+        return
     c = coeffs16.astype(np.int32).reshape(4, 4)
     # first pass: over columns, intermediate transposed, stored int16
     t0 = c[0] + c[2]
@@ -620,6 +624,17 @@ def _loopfilter_frame(header, arrays, state, raster, key_frame):
     """frame.cc:139-182 + macroblock.cc:603-650"""
     if not header.loop_filter_level:
         return
+
+    # native path: same scalar kernels in C (native/lfkernel.cc)
+    from alfalfa_tpu.native import lfkernel
+    if lfkernel.available():
+        from alfalfa_tpu.decoder.reconstruct_jax import _frame_lf_params
+        (level, interior, mb_limit, sb_limit, hev,
+         skip_sb) = _frame_lf_params(header, arrays, state, key_frame)
+        lfkernel.loopfilter_frame(raster.y, raster.u, raster.v, level,
+                                  interior, mb_limit, sb_limit, hev, skip_sb)
+        return
+
     seg = state.segmentation
     fa = state.filter_adjustments
 

@@ -80,6 +80,10 @@ def _variance(a, b):
 
 
 def _inter_predict_into(ref_plane, out, px, py, size, mv):
+    from alfalfa_tpu.native import enckernel
+    if enckernel.available():
+        enckernel.inter_predict_into(ref_plane, out, px, py, size, mv)
+        return
     mx, my = mv[0] & 7, mv[1] & 7
     src_col = px + (mv[0] >> 3)
     src_row = py + (mv[1] >> 3)
@@ -114,6 +118,12 @@ def diamond_search(orig16, ref_y, r, c, R_, C_, base_mv, origin, step, qi):
     base_mv = clamp_mv(base_mv, c, r, C_, R_)
     sites = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
     weight = int(SAD_PER_BIT16[qi])
+
+    from alfalfa_tpu.native import enckernel
+    if enckernel.available():
+        return enckernel.diamond_search(ref_y, np.ascontiguousarray(orig16),
+                                        r, c, R_, C_, base_mv, origin, step,
+                                        weight, _MV_SAD_COST)
     pred = np.zeros((16, 16), np.uint8)
 
     while step > 1:

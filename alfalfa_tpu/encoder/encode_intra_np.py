@@ -82,13 +82,20 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
                 else:
                     left = T.B_DC_PRED
                 mode_costs = _COSTS.bmode_costs[above, left]
-            for m in range(T.NUM_INTRA_B_MODES):
-                pred = _predict_b(recon.y, col4, row4, m)
-                dist = _sse(osb, pred)
-                cost = rdcost(int(mode_costs[m]), dist, rate_mult, dist_mult)
-                if cost < best[0]:
-                    best = (cost, m, pred)
-            _, m, pred = best
+            from alfalfa_tpu.native import enckernel
+            if enckernel.available():
+                m, pred = enckernel.bpred_search(
+                    recon.y, col4, row4, osb,
+                    np.asarray(mode_costs, np.int64), rate_mult, dist_mult)
+            else:
+                for m in range(T.NUM_INTRA_B_MODES):
+                    pred = _predict_b(recon.y, col4, row4, m)
+                    dist = _sse(osb, pred)
+                    cost = rdcost(int(mode_costs[m]), dist,
+                                  rate_mult, dist_mult)
+                    if cost < best[0]:
+                        best = (cost, m, pred)
+                _, m, pred = best
             bpred_modes[sr, sc] = m
             bpred_rate += int(mode_costs[m])
             bpred_dist += _sse(osb, pred)

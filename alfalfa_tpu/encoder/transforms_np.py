@@ -11,6 +11,13 @@ def subtract_fdct(block4, pred4):
 
     Reference dct.cc:45-103 (vp8_short_fdct4x4 semantics).
     block4/pred4: (4, 4) uint8 arrays."""
+    from alfalfa_tpu.native import enckernel
+    if enckernel.available():
+        if pred4.dtype != np.uint8:
+            pred4 = pred4.astype(np.uint8)
+        if block4.dtype != np.uint8:
+            block4 = block4.astype(np.uint8)
+        return enckernel.subtract_fdct(block4, pred4)
     inp = block4.astype(np.int32) - pred4.astype(np.int32)  # (4, 4) rows
     out = np.zeros(16, np.int32)
 
@@ -77,6 +84,9 @@ def fwht(dc16):
 
 def quantize(coeffs16, dc_factor, ac_factor):
     """C-style truncating division (quantization.cc:149-157)."""
+    from alfalfa_tpu.native import enckernel
+    if enckernel.available():
+        return enckernel.quantize(coeffs16, dc_factor, ac_factor)
     c = coeffs16.astype(np.int32)
     f = np.full(16, ac_factor, np.int32)
     f[0] = dc_factor

@@ -1,0 +1,61 @@
+"""ctypes loader for the native loop-filter kernel (auto-built on first
+use); the host-path analogue of the reference's loopfilter asm."""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "liblfkernel.so")
+_SRC = os.path.join(_HERE, "lfkernel.cc")
+
+_lib = None
+_failed = False
+
+
+def available():
+    global _lib, _failed
+    if _failed:
+        return False
+    if _lib is not None:
+        return True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.vp8_loopfilter_frame.restype = None
+        lib.vp8_loopfilter_frame.argtypes = [ctypes.c_void_p] * 3 + \
+            [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6
+        _lib = lib
+        return True
+    except Exception:
+        _failed = True
+        return False
+
+
+def loopfilter_frame(y, u, v, level, interior, mb_limit, sb_limit, hev,
+                     skip_sb):
+    """Filter padded planes in place. level<=0 skips the MB."""
+    lib = _lib
+    R, C = level.shape
+    yc = np.ascontiguousarray(y)
+    uc = np.ascontiguousarray(u)
+    vc = np.ascontiguousarray(v)
+    # keep converted arrays alive across the call (.ctypes.data alone
+    # would let the temporaries be collected mid-call)
+    params = [np.ascontiguousarray(a, np.int16)
+              for a in (level, interior, mb_limit, sb_limit, hev)]
+    params.append(np.ascontiguousarray(skip_sb, np.uint8))
+    lib.vp8_loopfilter_frame(
+        yc.ctypes.data, uc.ctypes.data, vc.ctypes.data,
+        yc.shape[1], uc.shape[1], R, C,
+        *[p.ctypes.data for p in params])
+    if yc is not y:
+        y[:] = yc
+    if uc is not u:
+        u[:] = uc
+    if vc is not v:
+        v[:] = vc
