@@ -145,6 +145,31 @@ def cmd_enc(args):
         serdes.save_decoder(enc.state, enc.references, args.output_state)
 
 
+def cmd_enc_parallel(args):
+    """ExCamera cluster encode: parallel chunk encode + serial rebase
+    (the reference's xc-enc -I/-O + mu pipeline, in one command)."""
+    import sys as _sys
+    import time
+    from alfalfa_tpu.parallel.cluster import parallel_encode
+    from alfalfa_tpu.util.ivf import IVFWriter
+    from alfalfa_tpu.util.y4m import Y4MReader
+
+    reader = Y4MReader(args.input)
+    frames = list(reader)
+    t0 = time.time()
+    with IVFWriter(args.output, "VP80", reader.width, reader.height,
+                   1, 1, 0) as writer:
+        parallel_encode(frames, reader.width, reader.height, writer,
+                        y_ac_qi=args.y_ac_qi, ssim_target=args.ssim,
+                        chunk_frames=args.chunk_frames, workers=args.workers,
+                        quality=args.quality, two_pass=args.two_pass,
+                        kf_q_weight=args.kf_q_weight,
+                        log=lambda m: print(m, file=_sys.stderr))
+    dt = time.time() - t0
+    print(f"{len(frames)} frames in {dt:.1f}s = {len(frames)/dt:.2f} fps",
+          file=_sys.stderr)
+
+
 def cmd_enc_rebase(args):
     """Rebase mode (xc-enc -r, xc-enc.cc:262-326): re-encode a prediction
     IVF against inherited encoder state, reusing modes/MVs."""
@@ -449,6 +474,19 @@ def main(argv=None):
     p.add_argument("-w", "--kf-q-weight", type=float, default=1.0)
     p.add_argument("-e", "--extra-frame-chunk", action="store_true")
     p.set_defaults(func=cmd_enc)
+
+    p = sub.add_parser("enc-parallel",
+                       help="parallel chunk encode + serial rebase (ExCamera)")
+    p.add_argument("input", help="y4m input")
+    p.add_argument("-o", "--output", default="output.ivf")
+    p.add_argument("-y", "--y-ac-qi", type=int, default=None)
+    p.add_argument("-s", "--ssim", type=float, default=None)
+    p.add_argument("-q", "--quality", default="best", choices=["best", "rt"])
+    p.add_argument("--two-pass", action="store_true")
+    p.add_argument("-c", "--chunk-frames", type=int, default=6)
+    p.add_argument("-j", "--workers", type=int, default=None)
+    p.add_argument("-w", "--kf-q-weight", type=float, default=0.5)
+    p.set_defaults(func=cmd_enc_parallel)
 
     p = sub.add_parser("framesize", help="print per-frame compressed sizes")
     p.add_argument("input")
