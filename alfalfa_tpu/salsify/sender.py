@@ -83,7 +83,7 @@ def do_encode_job(name, raster, encoder, y_ac_qi):
 class SalsifySender:
     def __init__(self, host, port, connection_id, frame_input,
                  mode="s2", update_rate=1, verbose=False,
-                 drop_frames_while_busy=True):
+                 drop_frames_while_busy=True, log_mem_usage=False):
         self.socket = UDPSocket()
         self.socket.connect(host, port)
         self.socket.set_timestamps()
@@ -124,6 +124,8 @@ class SalsifySender:
         self.next_cc_update = time.monotonic() + self.cc_update_interval
 
         self.frames_sent = 0
+        self.log_mem_usage = log_mem_usage
+        self._next_mem_report = time.monotonic()
         self._executor = ThreadPoolExecutor(max_workers=2)
         self._pending = None              # in-flight encode futures
         # self-pipe pair to signal "grab next frame" / "encodes done"
@@ -288,6 +290,11 @@ class SalsifySender:
         self.encoders[target_minihash] = output.encoder
         self.encoder_states.append(target_minihash)
         self.skipped_count = 0
+        if self.log_mem_usage and time.monotonic() >= self._next_mem_report:
+            # sender.cc:634-637: RSS report every 5s
+            from alfalfa_tpu.util.procinfo import memory_usage
+            print(f"<mem = {memory_usage()}>", file=sys.stderr)
+            self._next_mem_report = time.monotonic() + 5.0
         self._log(f"frame {self.frame_no}: {output.job_name} "
                   f"(q={output.y_ac_qi}) = {ff.fragments_in_this_frame} "
                   f"fragments, {output.encode_time_ms} ms "
@@ -376,6 +383,7 @@ def main(argv=None):
     parser.add_argument("-i", "--input", default=None,
                         help="y4m file instead of a camera ('-' for stdin)")
     parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--log-mem-usage", action="store_true")
     args = parser.parse_args(argv)
 
     if args.input is not None:
@@ -387,7 +395,8 @@ def main(argv=None):
 
     sender = SalsifySender(args.host, args.port, args.connection_id, src,
                            mode=args.mode, update_rate=args.update_rate,
-                           verbose=args.verbose)
+                           verbose=args.verbose,
+                           log_mem_usage=args.log_mem_usage)
     try:
         return sender.run()
     finally:
