@@ -9,6 +9,7 @@ last reference.  Phase 2 stitches serially: each chunk's leading keyframe
 is re-encoded as an interframe against the previous chunk's exit state
 (Encoder::reencode semantics), so the final stream decodes continuously.
 """
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
@@ -79,7 +80,9 @@ def parallel_encode(frames, width, height, writer, y_ac_qi=None,
     if workers == 1 or len(chunks) == 1:
         results = [_encode_one_chunk(j) for j in jobs]
     else:
-        with ProcessPoolExecutor(max_workers=workers) as pool:
+        # spawn: fork is unsafe in a process that has initialized JAX
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
             results = list(pool.map(_encode_one_chunk, jobs))
     if log:
         log(f"phase 1: {len(chunks)} chunks encoded")
