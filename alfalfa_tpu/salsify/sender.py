@@ -71,13 +71,19 @@ class EncodeOutput:
         self.y_ac_qi = y_ac_qi
 
 
-def do_encode_job(name, raster, encoder, y_ac_qi):
-    """One speculative encode (sender.cc:128-158)."""
+def do_encode_job(name, raster, encoder, y_ac_qi, target_size_bytes=None):
+    """One speculative encode (sender.cc:128-158): constant-quantizer, or
+    TARGET_FRAME_SIZE when a byte budget is given."""
     source_minihash = encoder.minihash()
     t0 = time.monotonic()
-    output = encoder.encode_with_quantizer(raster, y_ac_qi)
+    if target_size_bytes is not None:
+        output = encoder.encode_with_target_size(raster, target_size_bytes)
+        q_used = encoder.last_y_ac_qi
+    else:
+        output = encoder.encode_with_quantizer(raster, y_ac_qi)
+        q_used = y_ac_qi
     ms = int((time.monotonic() - t0) * 1000)
-    return EncodeOutput(encoder, output, source_minihash, ms, name, y_ac_qi)
+    return EncodeOutput(encoder, output, source_minihash, ms, name, q_used)
 
 
 class SalsifySender:

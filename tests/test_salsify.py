@@ -136,3 +136,11 @@ def test_lossy_loopback_concealment():
     assert len(received) >= sender.frames_sent - 2
     # receiver moved past the lossy frame via concealment
     assert receiver.next_frame_no >= 3
+
+
+def test_conventional_mode_loopback():
+    """Conventional mode: one encode per frame at the AIMD-controlled
+    quantizer; every frame is sent (sender.cc:452-488, 563)."""
+    sender, receiver, received = run_pair(PORT + 3, mode="conventional")
+    assert sender.frames_sent == N_FRAMES
+    assert len(received) == N_FRAMES
