@@ -312,6 +312,8 @@ def cmd_terminate_chunk(args):
     from alfalfa_tpu.decoder.parse import FrameParser
     from alfalfa_tpu.encoder.serializer import serialize_frame
 
+    if args.coeffs:
+        args.macroblocks = True
     src = IVFReader(args.input)
     state = DecoderState.initial(src.width, src.height)
     with IVFWriter(args.output, "VP80", src.width, src.height,
@@ -340,6 +342,8 @@ def cmd_zero_out_residues(args):
     from alfalfa_tpu.decoder.parse import FrameParser
     from alfalfa_tpu.encoder.serializer import serialize_frame
 
+    if args.coeffs:
+        args.macroblocks = True
     src = IVFReader(args.input)
     state = DecoderState.initial(src.width, src.height)
     with IVFWriter(args.output, "VP80", src.width, src.height,
@@ -392,6 +396,8 @@ def cmd_dissect(args):
     from alfalfa_tpu.state.decoder_state import DecoderState
     from alfalfa_tpu.decoder.parse import FrameParser
 
+    if args.coeffs:
+        args.macroblocks = True
     src = IVFReader(args.input)
     state = DecoderState.initial(src.width, src.height)
     for i, payload in enumerate(src):
@@ -422,6 +428,15 @@ def cmd_dissect(args):
                           f"uv={int(arrays.uvmode[r, c])} ref={int(arrays.ref[r, c])} "
                           f"mv={tuple(int(v) for v in arrays.sub_mv[r, c, 3, 3])} "
                           f"nz={bool(arrays.has_nonzero[r, c])}")
+                    if args.coeffs:
+                        names = ([f"y{k}" for k in range(16)]
+                                 + [f"u{k}" for k in range(4)]
+                                 + [f"v{k}" for k in range(4)] + ["y2"])
+                        for b in range(25):
+                            co = arrays.coeffs[r, c, b]
+                            if co.any():
+                                print(f"    {names[b]}: "
+                                      f"{[int(x) for x in co]}")
 
 
 def main(argv=None):
@@ -537,6 +552,8 @@ def main(argv=None):
     p = sub.add_parser("dissect", help="bitstream analyzer")
     p.add_argument("input")
     p.add_argument("-m", "--macroblocks", action="store_true")
+    p.add_argument("-C", "--coeffs", action="store_true",
+                   help="dump nonzero coefficient blocks (implies -m)")
     p.set_defaults(func=cmd_dissect)
 
     args = parser.parse_args(argv)
