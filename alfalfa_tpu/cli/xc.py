@@ -312,8 +312,6 @@ def cmd_terminate_chunk(args):
     from alfalfa_tpu.decoder.parse import FrameParser
     from alfalfa_tpu.encoder.serializer import serialize_frame
 
-    if args.coeffs:
-        args.macroblocks = True
     src = IVFReader(args.input)
     state = DecoderState.initial(src.width, src.height)
     with IVFWriter(args.output, "VP80", src.width, src.height,
@@ -342,8 +340,6 @@ def cmd_zero_out_residues(args):
     from alfalfa_tpu.decoder.parse import FrameParser
     from alfalfa_tpu.encoder.serializer import serialize_frame
 
-    if args.coeffs:
-        args.macroblocks = True
     src = IVFReader(args.input)
     state = DecoderState.initial(src.width, src.height)
     with IVFWriter(args.output, "VP80", src.width, src.height,
