@@ -3,17 +3,18 @@
 TPU-first reformulation of the reference pixel pipeline (SURVEY.md section
 7.1): everything data-parallel runs as dense batched ops over the whole
 frame (residual transforms, sixtap motion compensation); the sequentially
-dependent parts (intra prediction, loop filter) run as `lax.scan` wavefronts
-over anti-diagonals d = 2*row + col.
+dependent parts (intra prediction, loop filter) run as wavefronts over
+anti-diagonals d = 2*row + col.
 
-Wavefront storage is **diagonal-skewed**: macroblock tiles live in an array
-``D[d, j]`` indexed by (diagonal, position-in-diagonal), so a step's
-neighbor reads (left = d-1, above = d-2, above-right = d-1, above-left =
-d-3, each at a per-diagonal constant j-shift) are contiguous
-``dynamic_slice`` windows and its writes are ``dynamic_update_slice`` —
-no gathers or scatters anywhere in the scan body.  This is what makes the
-wavefronts cheap on TPU: the whole loop filter is ~169 slab-sized
-vector steps instead of thousands of scatter ops.
+Wavefront storage is **diagonal-skewed with slot = row**: macroblock tiles
+live in an array ``D[d, r]`` indexed by (diagonal, MB row), so a step's
+neighbor reads are whole rows of the three previous diagonals at CONSTANT
+row shifts (left = D[d-1] at the same r; above / above-right / above-left =
+D[d-2] / D[d-1] / D[d-3] at r-1, i.e. one static sublane shift).  No
+gathers, scatters, or dynamic sublane offsets anywhere in the wavefront
+bodies — which is what lets the loop filter run as one Pallas kernel with
+the skewed planes resident in VMEM (ops/lf_pallas.py) and the intra scan
+as slab-sized vector steps.
 
 Bit-exact vs. the numpy scalar path (tests/test_reconstruct_jax.py), which
 is itself bit-exact vs. the reference decoder.
@@ -38,115 +39,92 @@ from alfalfa_tpu.state.decoder_state import Raster
 
 _SCHED_CACHE = {}
 
+# Skewed storage puts diagonal d at row d + DPAD so neighbor reads (down to
+# d-3) never need index clamping.  Tiles are flattened to a single lane axis
+# in int16 — minor dims like (16, 16) would be tile-padded by XLA and make
+# every scan-step slab slice ~8x more expensive.
+DPAD = 3
+
 
 def skew_schedule(mb_rows, mb_cols):
-    """Schedule tables for the skewed wavefront d = 2r + c.
+    """Schedule tables for the skewed wavefront d = 2r + c, slot = r.
 
     Returns a dict of numpy arrays:
-      scat_idx  (n_diags, L): flat r*C+c index of the MB at (d, j), or R*C
-                 for padding slots (gathers a zero tile).
-      unskew_idx (R, C): flat d*L+j position of each MB in skewed storage.
-      d_idx, k_left, k_above, k_ar, k_al (n_diags,): per-diagonal j-shifts
-                 for reading neighbor diagonals (left/above/above-right/
-                 above-left); stored tiles sit at axis-1 offset +1 so the
-                 shifted window start k+1 is always >= 0.
-      valid, has_row, has_col, last_col (n_diags, L): per-slot masks.
+      scat_idx  (n_diags, R_pad): flat r*C+c index of the MB at (d, r), or
+                 R*C for empty slots (gathers a zero tile).
+      unskew_idx (R, C): flat d*R_pad+r position of each MB in (stripped)
+                 skewed storage.
+      valid, has_row, has_col, last_col (n_diags, R_pad): per-slot masks.
+      d_idx (n_diags,): the diagonal indices (scan xs).
     """
     key = (mb_rows, mb_cols)
     if key in _SCHED_CACHE:
         return _SCHED_CACHE[key]
     R, C = mb_rows, mb_cols
     n_diags = 2 * (R - 1) + C
+    R_pad = ((R + 7) // 8) * 8
 
-    def start_r(d):
-        return max(0, -((-(d - C + 1)) // 2) if d >= C else 0)
-
-    # explicit: smallest r with c = d - 2r <= C-1 and r >= 0
-    def s(d):
-        if d < 0:
-            return 0
-        return max(0, (d - C + 1 + 1) // 2)  # ceil((d-C+1)/2)
-
-    lens = []
-    for d in range(n_diags):
-        lo = s(d)
-        hi = min(R - 1, d // 2)
-        lens.append(max(0, hi - lo + 1))
-    L = max(lens)
-
-    scat = np.full((n_diags, L), R * C, np.int32)
+    scat = np.full((n_diags, R_pad), R * C, np.int32)
     unskew = np.zeros((R, C), np.int32)
-    valid = np.zeros((n_diags, L), bool)
-    has_row = np.zeros((n_diags, L), bool)
-    has_col = np.zeros((n_diags, L), bool)
-    last_col = np.zeros((n_diags, L), bool)
+    valid = np.zeros((n_diags, R_pad), bool)
+    has_row = np.zeros((n_diags, R_pad), bool)
+    has_col = np.zeros((n_diags, R_pad), bool)
+    last_col = np.zeros((n_diags, R_pad), bool)
     for d in range(n_diags):
-        for j in range(lens[d]):
-            r = s(d) + j
+        r_lo = max(0, -((-(d - C + 1)) // 2))
+        for r in range(r_lo, min(R - 1, d // 2) + 1):
             c = d - 2 * r
-            scat[d, j] = r * C + c
-            unskew[r, c] = d * L + j
-            valid[d, j] = True
-            has_row[d, j] = r > 0
-            has_col[d, j] = c > 0
-            last_col[d, j] = c == C - 1
-
-    d_idx = np.arange(n_diags, dtype=np.int32)
-    k_left = np.array([s(d) - s(d - 1) for d in range(n_diags)], np.int32)
-    k_above = np.array([s(d) - 1 - s(d - 2) for d in range(n_diags)], np.int32)
-    k_ar = np.array([s(d) - 1 - s(d - 1) for d in range(n_diags)], np.int32)
-    k_al = np.array([s(d) - 1 - s(d - 3) for d in range(n_diags)], np.int32)
-    assert k_left.min() >= -1 and k_above.min() >= -1 and \
-        k_ar.min() >= -1 and k_al.min() >= -1
+            scat[d, r] = r * C + c
+            unskew[r, c] = d * R_pad + r
+            valid[d, r] = True
+            has_row[d, r] = r > 0
+            has_col[d, r] = c > 0
+            last_col[d, r] = c == C - 1
 
     _SCHED_CACHE[key] = dict(
-        n_diags=n_diags, L=L, scat_idx=scat, unskew_idx=unskew,
-        d_idx=d_idx, k_left=k_left, k_above=k_above, k_ar=k_ar, k_al=k_al,
+        n_diags=n_diags, R_pad=R_pad, scat_idx=scat, unskew_idx=unskew,
+        d_idx=np.arange(n_diags, dtype=np.int32),
         valid=valid, has_row=has_row, has_col=has_col, last_col=last_col)
     return _SCHED_CACHE[key]
 
 
-# Skewed pixel storage puts diagonal d at row d + DPAD so neighbor reads
-# (down to d-3) never need index clamping, and keeps tiles flattened to a
-# single lane axis in int16 — minor dims like (16, 16) would be tile-padded
-# by XLA and make every scan-step slab slice ~8x more expensive.
-DPAD = 3
-
-
-def _skew(x, scat_idx, n_diags, L):
-    """(R, C, ...) -> (DPAD + n_diags, L+2[, P]) with tiles at axis-1
-    offset 1 and zero padding (one take, no scatter)."""
+def _skew(x, scat_idx, n_diags, R_pad):
+    """(R, C, ...) -> (DPAD + n_diags, R_pad[, P]) with zero padding
+    (one take, no scatter)."""
     R, C = x.shape[0], x.shape[1]
     flat = x.reshape((R * C, -1)) if x.ndim > 2 else x.reshape((R * C,))
     pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
     flat = jnp.concatenate([flat, pad])
     sk = jnp.take(flat, scat_idx.reshape(-1), axis=0) \
-        .reshape((n_diags, L) + flat.shape[1:])
-    zcol = jnp.zeros((n_diags, 1) + flat.shape[1:], x.dtype)
-    sk = jnp.concatenate([zcol, sk, zcol], axis=1)
+        .reshape((n_diags, R_pad) + flat.shape[1:])
     zrow = jnp.zeros((DPAD,) + sk.shape[1:], x.dtype)
     return jnp.concatenate([zrow, sk], axis=0)
 
 
 def _unskew(D, unskew_idx, R, C, tile_shape):
-    """(DPAD + n_diags, L+2, P) skewed storage -> (R, C) + tile_shape."""
-    body = D[DPAD:, 1:-1]  # strip pad rows/slots
+    """(DPAD + n_diags, R_pad, P) skewed storage -> (R, C) + tile_shape."""
+    body = D[DPAD:]
     flat = body.reshape((body.shape[0] * body.shape[1],) + D.shape[2:])
     return jnp.take(flat, unskew_idx.reshape(-1), axis=0) \
         .reshape((R, C) + tile_shape)
 
 
-def _read_slab(D, d, k, L, tile_shape=None):
-    """Window of L tiles of diagonal d (can be as low as -DPAD), j-shifted
-    by k (k in [-1, 1]); garbage pad slots are masked by callers."""
-    start = (d + DPAD, k + 1) + (0,) * (D.ndim - 2)
-    size = (1, L) + D.shape[2:]
+def _read_slab(D, d, R_pad, tile_shape=None):
+    """All R_pad tiles of diagonal d (can be as low as -DPAD)."""
+    start = (d + DPAD, 0) + (0,) * (D.ndim - 2)
+    size = (1, R_pad) + D.shape[2:]
     slab = jax.lax.dynamic_slice(D, start, size)[0]
-    return slab if tile_shape is None else slab.reshape((L,) + tile_shape)
+    return slab if tile_shape is None else slab.reshape((R_pad,) + tile_shape)
 
 
-def _write_slab(D, d, k, slab):
-    start = (d + DPAD, k + 1) + (0,) * (D.ndim - 2)
+def _shift_down(slab):
+    """Align an above-row slab: out[r] = slab[r-1], out[0] = 0."""
+    z = jnp.zeros((1,) + slab.shape[1:], slab.dtype)
+    return jnp.concatenate([z, slab[:-1]], axis=0)
+
+
+def _write_slab(D, d, slab):
+    start = (d + DPAD, 0) + (0,) * (D.ndim - 2)
     slab = slab.reshape((slab.shape[0],) + D.shape[2:])
     return jax.lax.dynamic_update_slice(D, slab[None], start)
 
@@ -154,7 +132,7 @@ def _write_slab(D, d, k, slab):
 # legacy helper kept for callers that want the plain diagonal listing
 def wavefront_schedule(mb_rows, mb_cols):
     sched = skew_schedule(mb_rows, mb_cols)
-    n_diags, L = sched["n_diags"], sched["L"]
+    n_diags, R_pad = sched["n_diags"], sched["R_pad"]
     scat = sched["scat_idx"]
     rs = np.where(scat < mb_rows * mb_cols, scat // mb_cols, 0).astype(np.int32)
     cs = np.where(scat < mb_rows * mb_cols, scat % mb_cols, 0).astype(np.int32)
@@ -172,7 +150,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                      lf_params, sched, intra_active=None):
     R, C = mb_rows, mb_cols
     n_diags = int(sched["scat_idx"].shape[0])
-    L = int(sched["scat_idx"].shape[1])
+    L = int(sched["scat_idx"].shape[1])        # = R_pad
     scat_idx = sched["scat_idx"]
     unskew_idx = sched["unskew_idx"]
 
@@ -180,7 +158,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         return _skew(x, scat_idx, n_diags, L)
 
     # ---- stage A: residuals (fully parallel) ----
-    res = transforms.residuals_from_coeffs(coeffs, qf, y2_coded)  # (R,C,24,4,4)
+    res = transforms.residuals_from_coeffs(coeffs, qf, y2_coded)  # (R,C,25,4,4)
     res = jnp.where(has_nonzero[:, :, None, None, None], res, 0)
 
     y_tiles = jnp.zeros((R, C, 16, 16), jnp.int32)
@@ -225,31 +203,33 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     D_v = skew(v_tiles.astype(jnp.int16))
     masks = {k: jnp.asarray(sched[k]) for k in
              ("valid", "has_row", "has_col", "last_col")}
-    shifts = {k: jnp.asarray(sched[k]) for k in
-              ("d_idx", "k_left", "k_above", "k_ar", "k_al")}
+    d_idx = jnp.asarray(sched["d_idx"])
 
     def strip(x):
-        return x[DPAD:, 1:-1]  # drop pad rows/slots for per-step xs
+        return x[DPAD:]  # drop pad rows for per-step xs
 
     # ---- stage C: intra wavefront ----
     def intra_step(carry, xs):
         D_y, D_u, D_v = carry
-        (d, kl, ka, kar, kal, valid, hrow, hcol, lcol_mask,
+        (d, valid, hrow, hcol, lcol_mask,
          my_ymode, my_uvmode, my_bmode, my_nz, my_intra,
          res16, resb, res8u, res8v) = xs
         write = valid & my_intra
         any_intra = jnp.any(write)
 
         def work(D_y, D_u, D_v):
-            res16 = xs[14].reshape(L, 16, 16)
-            resb = xs[15].reshape(L, 16, 4, 4)
-            res8u = xs[16].reshape(L, 8, 8)
-            res8v = xs[17].reshape(L, 8, 8)
+            res16 = xs[10].reshape(L, 16, 16)
+            resb = xs[11].reshape(L, 16, 4, 4)
+            res8u = xs[12].reshape(L, 8, 8)
+            res8v = xs[13].reshape(L, 8, 8)
             my_bmode_t = my_bmode.reshape(L, 4, 4)
-            left = _read_slab(D_y, d - 1, kl, L, (16, 16)).astype(jnp.int32)
-            above = _read_slab(D_y, d - 2, ka, L, (16, 16)).astype(jnp.int32)
-            ar = _read_slab(D_y, d - 1, kar, L, (16, 16)).astype(jnp.int32)
-            al = _read_slab(D_y, d - 3, kal, L, (16, 16)).astype(jnp.int32)
+            left = _read_slab(D_y, d - 1, L, (16, 16)).astype(jnp.int32)
+            above = _shift_down(_read_slab(D_y, d - 2, L, (16, 16))) \
+                .astype(jnp.int32)
+            ar = _shift_down(_read_slab(D_y, d - 1, L, (16, 16))) \
+                .astype(jnp.int32)
+            al = _shift_down(_read_slab(D_y, d - 3, L, (16, 16))) \
+                .astype(jnp.int32)
 
             above16 = jnp.where(hrow[:, None], above[:, 15, :], 127)
             ar4 = jnp.where((hrow & ~lcol_mask)[:, None], ar[:, 15, 0:4],
@@ -269,9 +249,11 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
             new_y = jnp.where((my_ymode == T.B_PRED)[:, None, None], bt, whole)
 
             def chroma(Dp, res8):
-                lft = _read_slab(Dp, d - 1, kl, L, (8, 8)).astype(jnp.int32)
-                abv = _read_slab(Dp, d - 2, ka, L, (8, 8)).astype(jnp.int32)
-                alt = _read_slab(Dp, d - 3, kal, L, (8, 8)).astype(jnp.int32)
+                lft = _read_slab(Dp, d - 1, L, (8, 8)).astype(jnp.int32)
+                abv = _shift_down(_read_slab(Dp, d - 2, L, (8, 8))) \
+                    .astype(jnp.int32)
+                alt = _shift_down(_read_slab(Dp, d - 3, L, (8, 8))) \
+                    .astype(jnp.int32)
                 a8 = jnp.where(hrow[:, None], abv[:, 7, :], 127)
                 ce0 = jnp.where(hrow & hcol, alt[:, 7, 7],
                                 jnp.where(hrow, 129, 127))
@@ -285,14 +267,14 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
             new_u = chroma(D_u, res8u)
             new_v = chroma(D_v, res8v)
 
-            cur_y = _read_slab(D_y, d, 0, L, (16, 16))
-            cur_u = _read_slab(D_u, d, 0, L, (8, 8))
-            cur_v = _read_slab(D_v, d, 0, L, (8, 8))
+            cur_y = _read_slab(D_y, d, L, (16, 16))
+            cur_u = _read_slab(D_u, d, L, (8, 8))
+            cur_v = _read_slab(D_v, d, L, (8, 8))
             wm = write[:, None, None]
             i16 = lambda x: x.astype(jnp.int16)
-            D_y = _write_slab(D_y, d, 0, jnp.where(wm, i16(new_y), cur_y))
-            D_u = _write_slab(D_u, d, 0, jnp.where(wm, i16(new_u), cur_u))
-            D_v = _write_slab(D_v, d, 0, jnp.where(wm, i16(new_v), cur_v))
+            D_y = _write_slab(D_y, d, jnp.where(wm, i16(new_y), cur_y))
+            D_u = _write_slab(D_u, d, jnp.where(wm, i16(new_u), cur_u))
+            D_v = _write_slab(D_v, d, jnp.where(wm, i16(new_v), cur_v))
             return D_y, D_u, D_v
 
         carry = jax.lax.cond(any_intra, work,
@@ -328,9 +310,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         pad = jnp.zeros((1,) + a.shape[1:], a.dtype)
         return jnp.concatenate([a, pad])[intra_active]
 
-    intra_xs = (sel_sched(shifts["d_idx"]), sel_sched(shifts["k_left"]),
-                sel_sched(shifts["k_above"]), sel_sched(shifts["k_ar"]),
-                sel_sched(shifts["k_al"]),
+    intra_xs = (sel_sched(d_idx),
                 sel_sched(masks["valid"]), sel_sched(masks["has_row"]),
                 sel_sched(masks["has_col"]), sel_sched(masks["last_col"]),
                 skew_xs(ymode), skew_xs(uvmode), skew_xs(bmode),
@@ -342,36 +322,63 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     # ---- stage D: loop filter wavefront ----
     lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev, lf_skip_sb = \
         lf_params
-    sk_lf = tuple(strip(skew(x)) for x in
-                  (lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev,
-                   lf_skip_sb))
+
+    apply_f = masks["valid"] & (strip(skew(lf_level)) > 0)
+    prm = jnp.stack([
+        apply_f.astype(jnp.int16),
+        strip(skew(lf_interior)).astype(jnp.int16),
+        strip(skew(lf_mb_limit)).astype(jnp.int16),
+        strip(skew(lf_sb_limit)).astype(jnp.int16),
+        strip(skew(lf_hev)).astype(jnp.int16),
+        (apply_f & ~strip(skew(lf_skip_sb))).astype(jnp.int16),   # do_sb
+        (apply_f & masks["has_col"]).astype(jnp.int16),           # do_left
+        (apply_f & masks["has_row"]).astype(jnp.int16),           # do_top
+    ], axis=-1)  # (n_diags, R_pad, 8)
+
+    if jax.default_backend() == "tpu":
+        from alfalfa_tpu.ops import lf_pallas
+        D_y = lf_pallas.lf_pallas(D_y, prm, 16)
+        D_u = lf_pallas.lf_pallas(D_u, prm, 8)
+        D_v = lf_pallas.lf_pallas(D_v, prm, 8)
+    else:
+        D_y, D_u, D_v = _lf_scan(D_y, D_u, D_v, prm, d_idx, L)
+
+    y_tiles = _unskew(D_y, unskew_idx, R, C, (16, 16))
+    u_tiles = _unskew(D_u, unskew_idx, R, C, (8, 8))
+    v_tiles = _unskew(D_v, unskew_idx, R, C, (8, 8))
+
+    # ---- untile ----
+    def untile(t, size):
+        return t.transpose(0, 2, 1, 3).reshape(R * size, C * size).astype(jnp.uint8)
+
+    return untile(y_tiles, 16), untile(u_tiles, 8), untile(v_tiles, 8)
+
+
+def _lf_scan(D_y, D_u, D_v, prm, d_idx, L):
+    """Loop-filter wavefront as a lax.scan (CPU oracle for the Pallas
+    kernel; same window formulation as the reference loopfilter.cc:133-154
+    ordering)."""
 
     def lf_step(carry, xs):
         D_y, D_u, D_v = carry
-        (d, kl, ka, kal, valid, hrow, hcol,
-         level, interior, mb_limit, sb_limit, hev, skip_sb) = xs
-
-        apply = valid & (level > 0)
-        do_left = apply & hcol
-        do_top = apply & hrow
-        do_sb = apply & ~skip_sb
+        d, p = xs
+        apply = p[:, 0] != 0
+        interior = p[:, 1].astype(jnp.int32)
+        mb_limit = p[:, 2].astype(jnp.int32)
+        sb_limit = p[:, 3].astype(jnp.int32)
+        hev = p[:, 4].astype(jnp.int32)
+        do_sb = p[:, 5] != 0
+        do_left = p[:, 6] != 0
+        do_top = p[:, 7] != 0
         any_work = jnp.any(apply)
 
         def plane(D, size):
-            # one fused read of diagonals d-3..d (rows d..d+3 of padded
-            # storage), in-register slab extraction, one fused write-back
-            P = D.shape[2]
-            blk = jax.lax.dynamic_slice(
-                D, (d, 0, 0), (DPAD + 1, D.shape[1], P))
-
-            def slab(row, k):
-                s = jax.lax.dynamic_slice(blk, (row, k + 1, 0), (1, L, P))[0]
-                return s.reshape(L, size, size).astype(jnp.int32)
-
-            tl = slab(0, kal)
-            top = slab(1, ka)
-            left = slab(2, kl)
-            cur = slab(3, 0)
+            cur = _read_slab(D, d, L, (size, size)).astype(jnp.int32)
+            left = _read_slab(D, d - 1, L, (size, size)).astype(jnp.int32)
+            topraw = _read_slab(D, d - 2, L)
+            top = _shift_down(topraw).reshape(L, size, size).astype(jnp.int32)
+            tl = _shift_down(_read_slab(D, d - 3, L)) \
+                .reshape(L, size, size).astype(jnp.int32)
             win = jnp.concatenate([
                 jnp.concatenate([tl[:, size - 4:, size - 4:],
                                  top[:, size - 4:, :]], axis=2),
@@ -388,20 +395,20 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
             am = apply[:, None, None]
             lm = do_left[:, None, None]
             tm = do_top[:, None, None]
+            i16 = lambda x: x.astype(jnp.int16)
             new_cur = jnp.where(am, fwin[:, 4:, 4:], cur)
             new_left = left.at[:, :, size - 3:].set(
                 jnp.where(lm, fwin[:, 4:, 1:4], left[:, :, size - 3:]))
             new_top = top.at[:, size - 3:, :].set(
                 jnp.where(tm, fwin[:, 1:4, 4:], top[:, size - 3:, :]))
-
-            def put(blk, row, k, s):
-                s = s.astype(jnp.int16).reshape(1, L, P)
-                return jax.lax.dynamic_update_slice(blk, s, (row, k + 1, 0))
-
-            blk = put(blk, 1, ka, new_top)
-            blk = put(blk, 2, kl, new_left)
-            blk = put(blk, 3, 0, new_cur)
-            return jax.lax.dynamic_update_slice(D, blk, (d, 0, 0))
+            # shift the top slab back up one slot; last row is untouched
+            top_store = jnp.concatenate(
+                [i16(new_top.reshape(L, size * size))[1:], topraw[-1:]],
+                axis=0)
+            D = _write_slab(D, d, i16(new_cur))
+            D = _write_slab(D, d - 1, i16(new_left))
+            D = _write_slab(D, d - 2, top_store)
+            return D
 
         def work(D_y, D_u, D_v):
             return plane(D_y, 16), plane(D_u, 8), plane(D_v, 8)
@@ -410,20 +417,8 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                              lambda a, b, c: (a, b, c), D_y, D_u, D_v)
         return carry, None
 
-    lf_xs = (shifts["d_idx"], shifts["k_left"], shifts["k_above"],
-             shifts["k_al"], masks["valid"], masks["has_row"],
-             masks["has_col"]) + sk_lf
-    (D_y, D_u, D_v), _ = jax.lax.scan(lf_step, (D_y, D_u, D_v), lf_xs)
-
-    y_tiles = _unskew(D_y, unskew_idx, R, C, (16, 16))
-    u_tiles = _unskew(D_u, unskew_idx, R, C, (8, 8))
-    v_tiles = _unskew(D_v, unskew_idx, R, C, (8, 8))
-
-    # ---- untile ----
-    def untile(t, size):
-        return t.transpose(0, 2, 1, 3).reshape(R * size, C * size).astype(jnp.uint8)
-
-    return untile(y_tiles, 16), untile(u_tiles, 8), untile(v_tiles, 8)
+    (D_y, D_u, D_v), _ = jax.lax.scan(lf_step, (D_y, D_u, D_v), (d_idx, prm))
+    return D_y, D_u, D_v
 
 
 _reconstruct_device = jax.jit(reconstruct_core,

@@ -45,12 +45,18 @@ def _mb_filter(p2, p1, p0, q0, q1, q2, mask, hev):
     return p2, p1, p0, q0, q1, q2
 
 
+def _abs(x):
+    # jnp.abs lowers to math.absi, which Mosaic lacks for int16; all our
+    # inputs are bounded diffs, so max(x, -x) is identical
+    return jnp.maximum(x, -x)
+
+
 def _mask_hev(limit, blimit, thresh, p3, p2, p1, p0, q0, q1, q2, q3):
-    m = ((jnp.abs(p3 - p2) > limit) | (jnp.abs(p2 - p1) > limit)
-         | (jnp.abs(p1 - p0) > limit) | (jnp.abs(q1 - q0) > limit)
-         | (jnp.abs(q2 - q1) > limit) | (jnp.abs(q3 - q2) > limit)
-         | (jnp.abs(p0 - q0) * 2 + jnp.abs(p1 - q1) // 2 > blimit))
-    hev = (jnp.abs(p1 - p0) > thresh) | (jnp.abs(q1 - q0) > thresh)
+    m = ((_abs(p3 - p2) > limit) | (_abs(p2 - p1) > limit)
+         | (_abs(p1 - p0) > limit) | (_abs(q1 - q0) > limit)
+         | (_abs(q2 - q1) > limit) | (_abs(q3 - q2) > limit)
+         | (_abs(p0 - q0) * 2 + _abs(p1 - q1) // 2 > blimit))
+    hev = (_abs(p1 - p0) > thresh) | (_abs(q1 - q0) > thresh)
     return ~m, hev
 
 

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Stage-level profile of the 720p 8-GOP decode bench path."""
+import sys, time, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+import jax
+
+from alfalfa_tpu.util.ivf import IVFReader
+from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+
+CLIP = "tests/fixtures/inter_1280x720_q48.ivf"
+G = 8
+
+ivf = IVFReader(CLIP)
+payloads = [ivf.frame(i) for i in range(len(ivf))]
+print(f"{len(payloads)} frames, {ivf.width}x{ivf.height}")
+
+dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+# warmup compile
+for p in payloads:
+    (y, u, v), _ = dec.decode_frame_batch([p] * G)
+jax.block_until_ready(y)
+
+# timed, staged
+dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+parse_t, upload_t, step_t = [], [], []
+for p in payloads:
+    t0 = time.perf_counter()
+    key_frame, batch, flags, show = dec.parse_frame_batch([p] * G)
+    t1 = time.perf_counter()
+    dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
+                     else jax.device_put(v)) for k, v in batch.items()}
+    for v in dev_batch.values():
+        if hasattr(v, 'block_until_ready'):
+            v.block_until_ready()
+    t2 = time.perf_counter()
+    import jax.numpy as jnp
+    (y, u, v), dec.refs = dec._step(key_frame)(
+        dev_batch, dec.refs,
+        None if flags is None else {k: jnp.asarray(v) for k, v in flags.items()})
+    jax.block_until_ready(y)
+    t3 = time.perf_counter()
+    parse_t.append(t1 - t0); upload_t.append(t2 - t1); step_t.append(t3 - t2)
+
+n = len(payloads)
+print(f"parse:  total {sum(parse_t)*1000:.1f} ms  mean {np.mean(parse_t)*1000:.1f}  (per GOP-frame {np.mean(parse_t)*1000/G:.2f})")
+print(f"upload: total {sum(upload_t)*1000:.1f} ms  mean {np.mean(upload_t)*1000:.1f}")
+print(f"step:   total {sum(step_t)*1000:.1f} ms  mean {np.mean(step_t)*1000:.1f}  kf {step_t[0]*1000:.1f}")
+tot = sum(parse_t) + sum(upload_t) + sum(step_t)
+print(f"total {tot*1000:.1f} ms -> {G*n/tot:.1f} fps")
