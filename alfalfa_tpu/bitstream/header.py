@@ -152,8 +152,17 @@ class QuantIndices:
 
 def parse_token_prob_update(bd):
     """Sparse coefficient-probability updates: {(blocktype, band, ctx, node): prob}."""
-    updates = {}
     up = tables.COEFF_UPDATE_PROBS
+    if getattr(bd, "complete", False):
+        # 1056 flag reads dominate header-parse time; run them natively
+        from alfalfa_tpu.native import bitwork
+        flags, vals = bitwork.parse_flagged_literals(
+            bd, up.reshape(-1), up.size, 8)
+        import numpy as _np
+        idx = _np.flatnonzero(flags)
+        keys = _np.stack(_np.unravel_index(idx, up.shape), axis=1).tolist()
+        return dict(zip(map(tuple, keys), vals[idx].tolist()))
+    updates = {}
     for i in range(tables.BLOCK_TYPES):
         for j in range(tables.COEF_BANDS):
             for k in range(tables.PREV_COEF_CONTEXTS):
@@ -180,8 +189,17 @@ def parse_mv_prob_update(bd):
 
     The bitstream carries 7-bit "half probs"; effective = raw<<1, or 1 if 0.
     """
-    updates = {}
     up = tables.MV_UPDATE_PROBS
+    if getattr(bd, "complete", False):
+        from alfalfa_tpu.native import bitwork
+        flags, vals = bitwork.parse_flagged_literals(
+            bd, up.reshape(-1), up.size, 7)
+        import numpy as _np
+        n = up.shape[1]
+        return {(int(i) // n, int(i) % n):
+                ((int(vals[i]) << 1) if vals[i] else 1)
+                for i in _np.flatnonzero(flags)}
+    updates = {}
     for i in range(2):
         for j in range(tables.MV_PROB_CNT):
             if bd.get(up[i, j]):

@@ -48,6 +48,12 @@ class FrameArrays:
     coeffs: np.ndarray = None       # i16 (r, c, 25, 16) raster (de-zigzagged) order
     splitmv_pid: np.ndarray = None  # i8 (r, c): SPLITMV partition scheme, -1 if n/a
     segment_update: np.ndarray = None  # i16 (r, c): coded segment id, -1 if none
+    # sparse coefficient representation (set instead of `coeffs` when the
+    # parser runs in sparse mode): flat indices into the dense (r*c, 25, 16)
+    # layout + values.  The batched GOP decoder consumes this directly —
+    # materializing 3 MB of dense zeros per 720p frame is pure overhead.
+    coeff_sparse: tuple = None
+    alloc_coeffs: bool = True
 
     def __post_init__(self):
         r, c = self.mb_rows, self.mb_cols
@@ -62,9 +68,20 @@ class FrameArrays:
             self.bmode = np.zeros((r, c, 4, 4), np.int8)
             self.sub_mv = np.zeros((r, c, 4, 4, 2), np.int16)
             self.uv_mv = np.zeros((r, c, 2, 2, 2), np.int16)
-            self.coeffs = np.zeros((r, c, NUM_BLOCKS, 16), np.int16)
+            if self.alloc_coeffs:
+                self.coeffs = np.zeros((r, c, NUM_BLOCKS, 16), np.int16)
             self.splitmv_pid = np.full((r, c), -1, np.int8)
             self.segment_update = np.full((r, c), -1, np.int16)
+
+    def densify_coeffs(self):
+        """Build the dense coeff tensor from coeff_sparse on demand."""
+        if self.coeffs is None:
+            r, c = self.mb_rows, self.mb_cols
+            self.coeffs = np.zeros((r, c, NUM_BLOCKS, 16), np.int16)
+            if self.coeff_sparse is not None:
+                idx, val = self.coeff_sparse
+                self.coeffs.reshape(-1)[idx] = val
+        return self.coeffs
 
 
 def _read_mv_component(bd, probs):
@@ -173,8 +190,9 @@ class FrameParser:
     """Parses one frame against a DecoderState; mutates the state exactly as
     DecoderState::parse_and_apply does (prob persistence, segmentation map)."""
 
-    def __init__(self, state):
+    def __init__(self, state, sparse_tokens=False):
         self.state = state
+        self.sparse_tokens = sparse_tokens
         self.mb_cols = (state.width + 15) // 16
         self.mb_rows = (state.height + 15) // 16
 
@@ -254,7 +272,8 @@ class FrameParser:
 
     def _parse_macroblock_headers(self, bd, header, frame_probs, key_frame,
                                   error_concealment):
-        arrays = FrameArrays(self.mb_rows, self.mb_cols)
+        arrays = FrameArrays(self.mb_rows, self.mb_cols,
+                             alloc_coeffs=not self.sparse_tokens)
         # segment-id updates are only remembered in the arrays; the persistent
         # map is applied afterwards (two-phase update, frame.cc:115-119)
         self._segment_updates = arrays.segment_update
@@ -501,14 +520,24 @@ class FrameParser:
             try:
                 from alfalfa_tpu.native import bitwork
                 nz = np.zeros((self.mb_rows, self.mb_cols), np.uint8)
-                if bitwork.parse_tokens(parts, self.mb_rows, self.mb_cols,
-                                        frame_probs.coeff_probs,
-                                        arrays.skip_coeff, arrays.y2_coded,
-                                        arrays.coeffs, nz):
+                if self.sparse_tokens and arrays.coeffs is None:
+                    res = bitwork.parse_tokens(
+                        parts, self.mb_rows, self.mb_cols,
+                        frame_probs.coeff_probs, arrays.skip_coeff,
+                        arrays.y2_coded, None, nz, sparse=True)
+                    if res is not None:
+                        arrays.coeff_sparse = res
+                        arrays.has_nonzero[:] = nz.astype(bool)
+                        return
+                elif bitwork.parse_tokens(parts, self.mb_rows, self.mb_cols,
+                                          frame_probs.coeff_probs,
+                                          arrays.skip_coeff, arrays.y2_coded,
+                                          arrays.coeffs, nz):
                     arrays.has_nonzero[:] = nz.astype(bool)
                     return
             except Exception:
                 pass
+        arrays.densify_coeffs()  # python fallback fills the dense tensor
 
         decoders = [BoolDecoder(p) for p in parts]
 
@@ -581,6 +610,11 @@ class FrameParser:
                             mb_nonzero |= nz
 
                 arrays.has_nonzero[r, c] = mb_nonzero
+
+        if self.sparse_tokens and arrays.coeff_sparse is None:
+            flat = arrays.coeffs.reshape(-1)
+            idx = np.flatnonzero(flat).astype(np.int32)
+            arrays.coeff_sparse = (idx, flat[idx])
 
     @staticmethod
     def _parse_block_tokens(bd, out16, coeff_probs, block_type, ctx, first_index):

@@ -14,6 +14,9 @@
 
 namespace {
 
+/* Simple octet-at-a-time decoder; state layout matches the Python
+ * BoolDecoder exactly so mid-stream resume (header fast paths) is a plain
+ * field copy. */
 struct BoolDecoder {
   const uint8_t *data;
   int64_t pos, size;
@@ -61,6 +64,73 @@ struct BoolDecoder {
   }
 };
 
+/* leading-shift table: number of left-shifts to renormalize range into
+ * [128, 255] (libvpx vp8_norm) */
+constexpr uint8_t kNorm(int i) {
+  return i < 1 ? 0 : i < 2 ? 7 : i < 4 ? 6 : i < 8 ? 5 : i < 16 ? 4
+       : i < 32 ? 3 : i < 64 ? 2 : i < 128 ? 1 : 0;
+}
+
+struct NormTable {
+  uint8_t v[256];
+  constexpr NormTable() : v() {
+    for (int i = 0; i < 256; i++) v[i] = kNorm(i);
+  }
+};
+constexpr NormTable kNormTable;
+
+/* Fast decoder for the token-parse hot loop: 64-bit left-aligned value
+ * window, eager byte fill, table-driven renormalization (the structure of
+ * libvpx dboolhuff, re-derived).  Zero-extends past the end like the
+ * reference's tolerant BoolDecoder.  Internal to this library only — its
+ * state is never exported to Python. */
+struct FastBool {
+  const uint8_t *data;
+  int64_t pos, size;
+  uint32_t range_;
+  uint64_t value;  /* active window in the TOP bits */
+  int count;       /* valid bits in value minus 8 */
+
+  void init(const uint8_t *d, int64_t n) {
+    data = d;
+    pos = 0;
+    size = n;
+    range_ = 255;
+    value = 0;
+    count = -8;
+    fill();
+  }
+
+  inline void fill() {
+    int shift = 64 - 8 - (count + 8);
+    while (shift >= 0) {
+      uint64_t b = pos < size ? data[pos] : 0;
+      pos++; /* virtual position keeps bit accounting uniform past EOS */
+      value |= b << shift;
+      shift -= 8;
+      count += 8;
+    }
+  }
+
+  inline int get(int probability) {
+    const uint32_t split = 1 + (((range_ - 1) * (uint32_t)probability) >> 8);
+    const uint64_t big_split = (uint64_t)split << 56;
+    uint32_t range = split;
+    int ret = 0;
+    if (value >= big_split) {
+      ret = 1;
+      range = range_ - split;
+      value -= big_split;
+    }
+    const int shift = kNormTable.v[range];
+    value <<= shift;
+    range_ = range << shift;
+    count -= shift;
+    if (count < 0) fill();
+    return ret;
+  }
+};
+
 constexpr uint8_t kZigzag[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15};
 constexpr uint8_t kBand[16] = {0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7};
 
@@ -78,10 +148,21 @@ constexpr TokenExtra kExtra[5] = {
     {67, 11, {254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129}},
 };
 
+/* Sparse coefficient sink: flat indices into the (mb, 25, 16) dense layout
+ * plus values; lets the host skip materializing ~3 MB of dense zeros per
+ * 720p frame when only the scatter list is needed. */
+struct SparseSink {
+  int32_t *idx;
+  int16_t *val;
+  int64_t count, cap;
+  int64_t base; /* dense offset of the current block's 16 coeffs */
+};
+
 /* Returns 1 if the block has any nonzero coefficient. coeff_probs indexed
  * [block_type][band][ctx][node] = ((bt*8 + band)*3 + ctx)*11 + node. */
-inline int parse_block(BoolDecoder &bd, const uint8_t *coeff_probs,
-                       int block_type, int ctx, int first, int16_t *out16) {
+inline int parse_block(FastBool &bd, const uint8_t *coeff_probs,
+                       int block_type, int ctx, int first, int16_t *out16,
+                       SparseSink *sink) {
   const uint8_t *probs_bt = coeff_probs + block_type * 8 * 3 * 11;
   int has_nonzero = 0;
   bool last_was_zero = false;
@@ -138,7 +219,12 @@ inline int parse_block(BoolDecoder &bd, const uint8_t *coeff_probs,
       }
     }
     if (bd.get(128)) value = -value;
-    out16[kZigzag[index]] = (int16_t)value;
+    if (out16) out16[kZigzag[index]] = (int16_t)value;
+    if (sink && sink->count < sink->cap) {
+      sink->idx[sink->count] = (int32_t)(sink->base + kZigzag[index]);
+      sink->val[sink->count] = (int16_t)value;
+      sink->count++;
+    }
   }
   return has_nonzero;
 }
@@ -147,13 +233,22 @@ inline int parse_block(BoolDecoder &bd, const uint8_t *coeff_probs,
 
 extern "C" {
 
+/* coeffs may be NULL (skip dense output); sparse_* may be NULL (skip
+ * sparse output).  sparse_meta = {count_out, capacity}; returns -2 if the
+ * sparse capacity was exceeded (output truncated). */
 int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
                      int num_parts, int mb_rows, int mb_cols,
                      const uint8_t *coeff_probs, const uint8_t *skip,
                      const uint8_t *y2_coded, int16_t *coeffs,
-                     uint8_t *has_nonzero_out) {
-  BoolDecoder decs[8];
+                     uint8_t *has_nonzero_out,
+                     int32_t *sparse_idx, int16_t *sparse_val,
+                     int64_t *sparse_meta) {
+  FastBool decs[8];
   if (num_parts < 1 || num_parts > 8) return -1;
+  SparseSink sink_storage{sparse_idx, sparse_val, 0,
+                          sparse_meta ? sparse_meta[1] : 0, 0};
+  SparseSink *sink = (sparse_idx && sparse_val && sparse_meta)
+                         ? &sink_storage : nullptr;
   for (int i = 0; i < num_parts; i++) {
     decs[i].init(part_data + part_offsets[i],
                  part_offsets[i + 1] - part_offsets[i]);
@@ -169,11 +264,12 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
   uint8_t *y2_above_valid = new uint8_t[C]();
 
   for (int r = 0; r < R; r++) {
-    BoolDecoder &bd = decs[r % num_parts];
+    FastBool &bd = decs[r % num_parts];
     uint8_t y2_left = 0, y2_left_valid = 0;
     for (int c = 0; c < C; c++) {
       const int mb = r * C + c;
-      int16_t *mb_coeffs = coeffs + (int64_t)mb * 25 * 16;
+      const int64_t mb_base = (int64_t)mb * 25 * 16;
+      int16_t *mb_coeffs = coeffs ? coeffs + mb_base : nullptr;
       const int y2c = y2_coded[mb];
 
       if (skip[mb]) {
@@ -197,8 +293,10 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
       if (y2c) {
         const int ctx = (y2_above_valid[c] ? y2_above[c] : 0) +
                         (y2_left_valid ? y2_left : 0);
+        if (sink) sink->base = mb_base + 24 * 16;
         const int nz = parse_block(bd, coeff_probs, 1 /*Y2*/, ctx, 0,
-                                   mb_coeffs + 24 * 16);
+                                   mb_coeffs ? mb_coeffs + 24 * 16 : nullptr,
+                                   sink);
         y2_above[c] = (uint8_t)nz;
         y2_above_valid[c] = 1;
         y2_left = (uint8_t)nz;
@@ -213,8 +311,10 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
           const int gr = r * 4 + sr, gc = c * 4 + sc;
           const int ctx = (gr > 0 ? y_nz[(gr - 1) * C * 4 + gc] : 0) +
                           (gc > 0 ? y_nz[gr * C * 4 + gc - 1] : 0);
-          const int nz = parse_block(bd, coeff_probs, block_type, ctx, first,
-                                     mb_coeffs + (sr * 4 + sc) * 16);
+          if (sink) sink->base = mb_base + (sr * 4 + sc) * 16;
+          const int nz = parse_block(
+              bd, coeff_probs, block_type, ctx, first,
+              mb_coeffs ? mb_coeffs + (sr * 4 + sc) * 16 : nullptr, sink);
           y_nz[gr * C * 4 + gc] = (uint8_t)nz;
           mb_nonzero |= nz;
         }
@@ -229,8 +329,11 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
             const int gr = r * 2 + sr, gc = c * 2 + sc;
             const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
                             (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
-            const int nz = parse_block(bd, coeff_probs, 2 /*UV*/, ctx, 0,
-                                       mb_coeffs + (base + sr * 2 + sc) * 16);
+            if (sink) sink->base = mb_base + (base + sr * 2 + sc) * 16;
+            const int nz = parse_block(
+                bd, coeff_probs, 2 /*UV*/, ctx, 0,
+                mb_coeffs ? mb_coeffs + (base + sr * 2 + sc) * 16 : nullptr,
+                sink);
             nzp[gr * C * 2 + gc] = (uint8_t)nz;
             mb_nonzero |= nz;
           }
@@ -245,6 +348,43 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
   delete[] v_nz;
   delete[] y2_above;
   delete[] y2_above_valid;
+  if (sink) {
+    sparse_meta[0] = sink->count;
+    if (sink->count >= sink->cap) return -2; /* truncated */
+  }
+  return 0;
+}
+
+/* Header fast path: a run of N "Flagged<Unsigned<width>>" elements, the
+ * dominant cost of VP8 frame-header parsing (TokenProbUpdate[4][8][3][11]
+ * = 1056 flags; MVProbUpdate[2][19]; frame_header.hh:194-325).  The caller
+ * passes the Python BoolDecoder state in/out as int64[4] =
+ * {pos, range, value, bit_count}. */
+int vp8_parse_flagged_literals(const uint8_t *data, int64_t size,
+                               int64_t *state, int n, int width,
+                               const uint8_t *update_probs,
+                               uint8_t *flags_out, uint8_t *vals_out) {
+  BoolDecoder bd;
+  bd.data = data;
+  bd.size = size;
+  bd.pos = state[0];
+  bd.range_ = (uint32_t)state[1];
+  bd.value = (uint32_t)state[2];
+  bd.bit_count = (int)state[3];
+  for (int i = 0; i < n; i++) {
+    if (bd.get(update_probs[i])) {
+      int v = 0;
+      for (int b = 0; b < width; b++) v = (v << 1) | bd.get(128);
+      flags_out[i] = 1;
+      vals_out[i] = (uint8_t)v;
+    } else {
+      flags_out[i] = 0;
+    }
+  }
+  state[0] = bd.pos;
+  state[1] = bd.range_;
+  state[2] = bd.value;
+  state[3] = bd.bit_count;
   return 0;
 }
 

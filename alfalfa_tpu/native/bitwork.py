@@ -18,14 +18,19 @@ def _load():
         return _lib
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_SO)
     lib.vp8_parse_tokens.restype = ctypes.c_int
     lib.vp8_parse_tokens.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.vp8_parse_flagged_literals.restype = ctypes.c_int
+    lib.vp8_parse_flagged_literals.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.vp8_hash_range.restype = ctypes.c_uint64
     lib.vp8_hash_range.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
                                    ctypes.c_int64]
@@ -37,11 +42,13 @@ def _load():
 
 
 def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
-                 coeffs_out, has_nonzero_out):
+                 coeffs_out, has_nonzero_out, sparse=False):
     """Token-parse a whole frame. partitions: list of bytes.
 
-    coeffs_out (r, c, 25, 16) int16 and has_nonzero_out (r, c) uint8 are
-    filled in place. Returns True on success."""
+    coeffs_out (r, c, 25, 16) int16 (or None) and has_nonzero_out (r, c)
+    uint8 are filled in place.  With sparse=True also returns the nonzero
+    coefficients as (idx, val) arrays (flat indices into the dense layout).
+    Returns True on success, or (idx, val) when sparse."""
     lib = _load()
     data = b"".join(partitions)
     offsets = np.zeros(len(partitions) + 1, np.int64)
@@ -49,12 +56,49 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     probs = np.ascontiguousarray(coeff_probs, np.uint8)
     skip_u8 = np.ascontiguousarray(skip, np.uint8)
     y2_u8 = np.ascontiguousarray(y2_coded, np.uint8)
-    assert coeffs_out.flags.c_contiguous and coeffs_out.dtype == np.int16
+    if coeffs_out is not None:
+        assert coeffs_out.flags.c_contiguous and coeffs_out.dtype == np.int16
+    if sparse:
+        # worst case is bounded by the bitstream length (>= 2 bits/coeff)
+        cap = max(4096, 4 * len(data) + 16)
+        sp_idx = np.empty(cap, np.int32)
+        sp_val = np.empty(cap, np.int16)
+        sp_meta = np.array([0, cap], np.int64)
+        sp_args = (sp_idx.ctypes.data, sp_val.ctypes.data,
+                   sp_meta.ctypes.data)
+    else:
+        sp_args = (None, None, None)
     rc = lib.vp8_parse_tokens(
         data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
         probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
-        coeffs_out.ctypes.data, has_nonzero_out.ctypes.data)
-    return rc == 0
+        None if coeffs_out is None else coeffs_out.ctypes.data,
+        has_nonzero_out.ctypes.data, *sp_args)
+    if not sparse:
+        return rc == 0
+    if rc != 0:
+        return None
+    n = int(sp_meta[0])
+    return sp_idx[:n], sp_val[:n]
+
+
+def parse_flagged_literals(bd, update_probs, n, width):
+    """Native parse of n Flagged<Unsigned<width>> header elements, resuming
+    from Python BoolDecoder ``bd`` (state advanced in place).  Returns
+    (flags u8[n], vals u8[n])."""
+    lib = _load()
+    data = bytes(bd.data)
+    state = np.array([bd.pos, bd.range, bd.value, bd.bit_count], np.int64)
+    up = np.ascontiguousarray(update_probs, np.uint8)
+    flags = np.zeros(n, np.uint8)
+    vals = np.zeros(n, np.uint8)
+    lib.vp8_parse_flagged_literals(
+        data, len(data), state.ctypes.data, n, width, up.ctypes.data,
+        flags.ctypes.data, vals.ctypes.data)
+    bd.pos = int(state[0])
+    bd.range = int(state[1])
+    bd.value = int(state[2])
+    bd.bit_count = int(state[3])
+    return flags, vals
 
 
 def hash_range(seed, values_u64):
@@ -82,7 +126,7 @@ def _load_mb():
         return _mblib
     if (not os.path.exists(_MB_SO)
             or os.path.getmtime(_MB_SO) < os.path.getmtime(_MB_SRC)):
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _MB_SO, _MB_SRC],
+        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _MB_SO, _MB_SRC],
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_MB_SO)
     lib.vp8_parse_mb_headers.restype = ctypes.c_int

@@ -23,7 +23,7 @@ def available():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.vp8_loopfilter_frame.restype = None

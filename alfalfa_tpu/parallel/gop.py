@@ -141,9 +141,10 @@ class BatchedGopDecoder:
         the stacked device inputs + flags; advances per-GOP header state."""
         def parse_one(g):
             # the C token/MB parsers release the GIL, so GOPs parse in
-            # parallel threads
+            # parallel threads; sparse tokens skip the dense coeff tensor
             chunk = UncompressedChunk(payloads[g], self.width, self.height)
-            header, arrays, _fp = FrameParser(self.states[g]).parse(chunk)
+            header, arrays, _fp = FrameParser(
+                self.states[g], sparse_tokens=True).parse(chunk)
             return (header, arrays, chunk)
 
         if self.G > 1:
@@ -168,18 +169,23 @@ class BatchedGopDecoder:
             return b
 
         # The host->device link is the scaling bottleneck, so uploads are
-        # minimal: sparse nonzero coefficients, one MV per macroblock with
-        # sparse SPLITMV escapes, and small per-MB maps.  Chroma MVs, loop
-        # filter limits, and dequant factors are re-derived on device.
-        co = stack(lambda p: p[1].coeffs, np.int16)
-        nzi = np.flatnonzero(co)
-        cap = bucket(len(nzi), 1 << 16)
+        # minimal: sparse nonzero coefficients (emitted directly by the C
+        # token parser), one MV per macroblock with sparse SPLITMV escapes,
+        # and small per-MB maps.  Chroma MVs, loop filter limits, and
+        # dequant factors are re-derived on device.
+        frame_elems = self.mb_rows * self.mb_cols * 25 * 16
+        sp = [p[1].coeff_sparse for p in per]
+        n_nz = sum(len(s[0]) for s in sp)
+        cap = bucket(n_nz, 1 << 16)
         coeff_idx = np.zeros(cap, np.int32)
         coeff_val = np.zeros(cap, np.int16)
-        coeff_idx[:len(nzi)] = nzi
-        coeff_val[:len(nzi)] = co.reshape(-1)[nzi]
-        if len(nzi):
-            coeff_idx[len(nzi):] = nzi[0]  # duplicates add 0
+        pos = 0
+        for g, (idx, val) in enumerate(sp):
+            coeff_idx[pos:pos + len(idx)] = idx + g * frame_elems
+            coeff_val[pos:pos + len(idx)] = val
+            pos += len(idx)
+        if n_nz:
+            coeff_idx[n_nz:] = coeff_idx[0]  # duplicates add 0
 
         smv = stack(lambda p: p[1].sub_mv, np.int16)
         mv0 = smv[:, :, :, 0, 0, :]
