@@ -209,6 +209,37 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         return x[DPAD:]  # drop pad rows for per-step xs
 
     # ---- stage C: intra wavefront ----
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # whole wavefront as one Pallas kernel (ops/intra_pallas.py):
+        # streams per-diagonal inputs, keeps the planes VMEM-resident
+        from alfalfa_tpu.ops import intra_pallas
+
+        def i16s(x):
+            return strip(skew(x)).astype(jnp.int16)
+
+        head = jnp.stack(
+            [i16s(ymode), i16s(uvmode), i16s(has_nonzero),
+             i16s(intra_mask_full), masks["valid"].astype(jnp.int16),
+             masks["has_row"].astype(jnp.int16),
+             masks["has_col"].astype(jnp.int16),
+             masks["last_col"].astype(jnp.int16)], axis=-1)
+        prm_i = jnp.concatenate(
+            [head, i16s(bmode.reshape(R, C, 16)),
+             jnp.zeros((n_diags, L, 8), jnp.int16)], axis=-1)
+        B_y, B_u, B_v = intra_pallas.intra_frame(
+            strip(D_y), strip(D_u), strip(D_v), prm_i,
+            i16s(res_y.reshape(R, C, 256)),
+            i16s(res[:, :, 0:16].reshape(R, C, 16 * 16)),
+            i16s(res_u.reshape(R, C, 64)), i16s(res_v.reshape(R, C, 64)))
+
+        def pad(b):
+            z = jnp.zeros((DPAD,) + b.shape[1:], b.dtype)
+            return jnp.concatenate([z, b], axis=0)
+
+        return _finish(pad(B_y), pad(B_u), pad(B_v), lf_params, masks,
+                       skew, strip, unskew_idx, R, C, d_idx, L, on_tpu)
+
     def intra_step(carry, xs):
         D_y, D_u, D_v = carry
         (d, valid, hrow, hcol, lcol_mask,
@@ -318,8 +349,13 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
                 skew_xs(res_y), skew_xs(res[:, :, 0:16]), skew_xs(res_u),
                 skew_xs(res_v))
     (D_y, D_u, D_v), _ = jax.lax.scan(intra_step, (D_y, D_u, D_v), intra_xs)
+    return _finish(D_y, D_u, D_v, lf_params, masks, skew, strip,
+                   unskew_idx, R, C, d_idx, L, on_tpu)
 
-    # ---- stage D: loop filter wavefront ----
+
+def _finish(D_y, D_u, D_v, lf_params, masks, skew, strip,
+            unskew_idx, R, C, d_idx, L, on_tpu):
+    """Stage D (loop filter) + unskew/untile, shared by both intra paths."""
     lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev, lf_skip_sb = \
         lf_params
 
@@ -335,7 +371,7 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         (apply_f & masks["has_row"]).astype(jnp.int16),           # do_top
     ], axis=-1)  # (n_diags, R_pad, 8)
 
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         from alfalfa_tpu.ops import lf_pallas
         D_y = lf_pallas.lf_pallas(D_y, prm, 16)
         D_u = lf_pallas.lf_pallas(D_u, prm, 8)
@@ -500,7 +536,8 @@ def reconstruct(header, arrays, state, references, key_frame):
     ref_v = jnp.stack([references.last.v, references.last.v,
                        references.golden.v, references.alternative.v])
 
-    if key_frame:
+    if key_frame or jax.default_backend() == "tpu":
+        # the Pallas intra kernel skips empty diagonals internally
         intra_active = None
     else:
         d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]

@@ -242,8 +242,9 @@ class BatchedGopDecoder:
                 base = base + mode_adj
             return base.astype(np.int16)
 
-        # union of diagonals containing intra MBs (skip the rest on device)
-        if key_frame:
+        # union of diagonals containing intra MBs (skip the rest on device;
+        # the Pallas intra kernel does this internally on TPU)
+        if key_frame or jax.default_backend() == "tpu":
             intra_active = None
         else:
             R, C = self.mb_rows, self.mb_cols

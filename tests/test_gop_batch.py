@@ -1,0 +1,75 @@
+"""Correctness gate for the batched GOP decoder (the bench path).
+
+The reference gates decode with SHA-1 golden vectors
+(/root/reference/src/tests/decoding.test:6-21); here the batched lockstep
+decoder (parallel/gop.py) must produce exactly the rasters of the serial
+FilePlayer on every fixture, per GOP slot.  Without this, bench.py's
+throughput number would come from an unvalidated code path.
+"""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from alfalfa_tpu.util.ivf import IVFReader
+from alfalfa_tpu.decoder.decoder import FilePlayer
+from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+CLIPS = ["kf_176x144_q16.ivf", "inter_176x144_q96.ivf",
+         "inter_176x144_q32.ivf", "inter_320x240_q40.ivf"]
+
+
+@pytest.mark.parametrize("clip", CLIPS)
+def test_batched_equals_serial(clip):
+    path = str(FIXTURES / clip)
+    ivf = IVFReader(path)
+    payloads = [ivf.frame(i) for i in range(len(ivf))]
+
+    G = 3
+    dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    player = FilePlayer(path)
+
+    for f, p in enumerate(payloads):
+        (y, u, v), show = dec.decode_frame_batch([p] * G)
+        raster = player.decode(p)
+        assert all(s == (raster is not None) for s in show)
+        if raster is None:
+            continue
+        y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+        for g in range(G):
+            assert (y[g] == raster.y).all(), f"{clip} frame {f} slot {g}: Y"
+            assert (u[g] == raster.u).all(), f"{clip} frame {f} slot {g}: U"
+            assert (v[g] == raster.v).all(), f"{clip} frame {f} slot {g}: V"
+
+
+@pytest.mark.slow
+def test_batched_equals_manifest_720p():
+    """The bench configuration itself (720p, lockstep GOPs) against the
+    golden decode hash from the fixture manifest (the same SHA-1 the
+    serial decoder is gated on in test_decode.py)."""
+    import hashlib
+    from alfalfa_tpu.state.decoder_state import Raster
+
+    with open(FIXTURES / "manifest.json") as fh:
+        manifest = json.load(fh)
+    clip = "inter_1280x720_q48.ivf"
+
+    path = str(FIXTURES / clip)
+    ivf = IVFReader(path)
+    payloads = [ivf.frame(i) for i in range(len(ivf))]
+    G = 2
+    dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    digests = [hashlib.sha1() for _ in range(G)]
+    for p in payloads:
+        (y, u, v), show = dec.decode_frame_batch([p] * G)
+        y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+        for g in range(G):
+            if show[g]:
+                r = Raster(ivf.width, ivf.height, y[g], u[g], v[g])
+                digests[g].update(r.dump_bytes())
+    for g in range(G):
+        assert digests[g].hexdigest() == manifest[clip]["yuv_sha1"], \
+            f"slot {g}"
