@@ -386,6 +386,56 @@ def cmd_decode_bundle(args):
         writer.close()
 
 
+def cmd_run_contest(args):
+    """Salsify sender -> trace-emulated link -> receiver, in-process
+    (scripts/run-contest with mahimahi shells, reproduced natively)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from alfalfa_tpu.net.emulation import (EmulatedLink, lte_like_trace,
+                                           load_mahimahi_trace)
+    from alfalfa_tpu.salsify import SalsifyReceiver, SalsifySender
+    from alfalfa_tpu.salsify.fake_webcam import Y4MInput
+    from alfalfa_tpu.util.y4m import Y4MReader
+
+    rd = Y4MReader(args.input)
+    W, H = rd.width, rd.height
+    trace = (load_mahimahi_trace(args.trace) if args.trace
+             else lte_like_trace())
+    received = []
+    receiver = SalsifyReceiver(args.port, W, H, on_raster=received.append)
+    link = EmulatedLink(0, args.port, trace, delay_ms=args.delay,
+                        queue_limit=args.queue).start()
+    rt = threading.Thread(
+        target=lambda: receiver.run(timeout_ms=int(args.idle * 1000)),
+        daemon=True)
+    rt.start()
+
+    sender = SalsifySender("127.0.0.1", link.listen_port, 1337,
+                           Y4MInput(args.input, fps=args.fps),
+                           mode=args.mode, drop_frames_while_busy=False)
+    t0 = _time.monotonic()
+    try:
+        sender.run(max_frames=args.frames)
+        deadline = _time.monotonic() + 5
+        while rt.is_alive() and _time.monotonic() < deadline:
+            rt.join(0.1)
+    finally:
+        sender.close()
+        receiver.close()
+        link.close()
+    wall = _time.monotonic() - t0
+    sizes = [s for _, s, _, _ in sender.sent_log]
+    print(f"sent {len(sender.sent_log)} frames, received {len(received)}, "
+          f"wall {wall:.1f}s")
+    if sizes:
+        print(f"frame bytes: mean {np.mean(sizes):.0f} "
+              f"min {min(sizes)} max {max(sizes)}")
+    print(f"link: {link.stats}")
+
+
 def cmd_dissect(args):
     from alfalfa_tpu.util.ivf import IVFReader
     from alfalfa_tpu.bitstream.header import UncompressedChunk
@@ -544,6 +594,24 @@ def main(argv=None):
                        help="decode IVF sequence from stdin as one stream")
     p.add_argument("output")
     p.set_defaults(func=cmd_decode_bundle)
+
+    p = sub.add_parser("run-contest",
+                       help="salsify over an emulated cellular link "
+                            "(scripts/run-contest)")
+    p.add_argument("input", help="y4m input clip")
+    p.add_argument("--trace", help="mahimahi delivery trace file "
+                                   "(default: synthetic LTE-like)")
+    p.add_argument("--delay", type=int, default=20,
+                   help="one-way propagation delay ms")
+    p.add_argument("--queue", type=int, default=64,
+                   help="drop-tail queue limit (packets)")
+    p.add_argument("--fps", type=int, default=None, help="pace input at fps")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--mode", default="s2", choices=["s1", "s2", "conv"])
+    p.add_argument("--port", type=int, default=29877)
+    p.add_argument("--idle", type=float, default=10.0,
+                   help="receiver idle timeout (s)")
+    p.set_defaults(func=cmd_run_contest)
 
     p = sub.add_parser("dissect", help="bitstream analyzer")
     p.add_argument("input")

@@ -5,7 +5,43 @@ v4l2loopback device without real camera hardware.
 import sys
 import time
 
+from alfalfa_tpu.input.frame_input import FrameInput
 from alfalfa_tpu.util.y4m import Y4MReader
+
+
+class Y4MInput(FrameInput):
+    """FrameInput over a y4m file, paced to a fixed frame rate (the
+    in-process equivalent of fake-webcam piping into the sender)."""
+
+    def __init__(self, path, fps=None, loop=False):
+        self.reader = Y4MReader(path)
+        self.frames = list(self.reader)
+        self.i = 0
+        self.loop = loop
+        self.interval = (1.0 / fps) if fps else None
+        self._next_due = time.monotonic()
+
+    def get_next_frame(self):
+        if self.i >= len(self.frames):
+            if not self.loop or not self.frames:
+                return None
+            self.i = 0
+        if self.interval is not None:
+            now = time.monotonic()
+            if self._next_due > now:
+                time.sleep(self._next_due - now)
+            self._next_due = max(self._next_due + self.interval, now)
+        f = self.frames[self.i]
+        self.i += 1
+        return f
+
+    @property
+    def display_width(self):
+        return self.reader.width
+
+    @property
+    def display_height(self):
+        return self.reader.height
 
 
 def main(argv=None):

@@ -110,6 +110,7 @@ class SalsifySender:
         self.pacer = Pacer()
 
         self.avg_delay = None             # from ACKs (us)
+        self.sent_log = []                # (frame_no, bytes, avg_delay, t)
         self.cumulative_fpf = []          # fragments-per-frame, cumulative
         self.last_acked = None
         self.skipped_count = 0
@@ -277,6 +278,8 @@ class SalsifySender:
     def _send_output(self, output):
         target_minihash = output.encoder.minihash()
         self.last_quantizer = output.y_ac_qi
+        self.sent_log.append((self.frame_no, len(output.frame),
+                              self.avg_delay, time.monotonic()))
 
         now = time.monotonic()
         ff = FragmentedFrame(self.connection_id, output.source_minihash,
