@@ -487,6 +487,10 @@ def cmd_dissect(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="xc", description=__doc__)
+    parser.add_argument("--timings", action="store_true",
+                        help="print per-stage timing summary to stderr")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a JAX profiler trace to DIR")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("decode", help="decode IVF to y4m")
@@ -621,7 +625,15 @@ def main(argv=None):
     p.set_defaults(func=cmd_dissect)
 
     args = parser.parse_args(argv)
-    return args.func(args)
+    from alfalfa_tpu.util import tracing
+    if args.timings:
+        tracing.enable()
+    try:
+        with tracing.profile(args.profile):
+            return args.func(args)
+    finally:
+        if args.timings:
+            tracing.report()
 
 
 if __name__ == "__main__":

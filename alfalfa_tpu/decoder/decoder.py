@@ -34,21 +34,27 @@ class Decoder:
     def decode_frame(self, payload):
         """Decode one compressed frame; returns (shown, Raster) and advances
         the decoder state and references."""
+        from alfalfa_tpu.util import tracing
+
         chunk = UncompressedChunk(payload, self.width, self.height,
                                   accept_partial=self.error_concealment)
         if not chunk.key_frame and chunk.experimental:
             raise ValueError("experimental interframes not supported in decode path")
 
-        parser = FrameParser(self.state)
-        header, arrays, _frame_probs = parser.parse(chunk)
+        with tracing.stage("decode.parse"):
+            parser = FrameParser(self.state)
+            header, arrays, _frame_probs = parser.parse(chunk)
 
-        if self.backend == "jax":
-            from . import reconstruct_jax
-            raster = reconstruct_jax.reconstruct(header, arrays, self.state,
-                                                 self.references, chunk.key_frame)
-        else:
-            raster = reconstruct_np.reconstruct(header, arrays, self.state,
-                                                self.references, chunk.key_frame)
+        with tracing.stage("decode.reconstruct"):
+            if self.backend == "jax":
+                from . import reconstruct_jax
+                raster = reconstruct_jax.reconstruct(
+                    header, arrays, self.state, self.references,
+                    chunk.key_frame)
+            else:
+                raster = reconstruct_np.reconstruct(
+                    header, arrays, self.state, self.references,
+                    chunk.key_frame)
 
         self._update_references(chunk.key_frame, header, raster)
         return chunk.show_frame, raster

@@ -387,13 +387,18 @@ class BatchedGopDecoder:
     def decode_frame_batch(self, payloads):
         """Parse + reconstruct one frame position across all GOPs.
         Returns (G, H, W) luma + chroma device arrays (padded dims)."""
-        key_frame, batch, flags, show = self.parse_frame_batch(payloads)
-        dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
-                         else jax.device_put(v)) for k, v in batch.items()}
-        (y, u, v), self.refs = self._step(key_frame)(
-            dev_batch, self.refs,
-            None if flags is None else
-            {k: jnp.asarray(v) for k, v in flags.items()})
+        from alfalfa_tpu.util import tracing
+        with tracing.stage("gop.parse"):
+            key_frame, batch, flags, show = self.parse_frame_batch(payloads)
+        with tracing.stage("gop.upload"):
+            dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
+                             else jax.device_put(v))
+                         for k, v in batch.items()}
+        with tracing.stage("gop.step_dispatch"):
+            (y, u, v), self.refs = self._step(key_frame)(
+                dev_batch, self.refs,
+                None if flags is None else
+                {k: jnp.asarray(v) for k, v in flags.items()})
         return (y, u, v), show
 
 

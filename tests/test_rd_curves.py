@@ -1,0 +1,77 @@
+"""RD parity on codec-typical content: size/SSIM/PSNR curves vs oracle
+xc-enc at matched quantizers (reference tests/xc-enc-ssim.test idea,
+strengthened to full curves).
+
+Source content is a decoded high-quality fixture rather than the raw
+synthetic clip, so the encoder sees codec-typical texture.  Measured
+margins (2026-08): our size is 0.86-0.96x the reference at every qi with
+SSIM within -0.002 and PSNR within -0.07 dB, so the gate is set at
+(SSIM >= ref-0.005, size <= ref*1.02, PSNR >= ref-0.2).
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent / "fixtures"))
+from gen_inputs import write_y4m
+from alfalfa_tpu.encoder import Encoder
+from alfalfa_tpu.util.ivf import IVFWriter, IVFReader
+from alfalfa_tpu.util.ssim import ssim
+from alfalfa_tpu.decoder import FilePlayer
+
+FIXTURES = Path(__file__).parent / "fixtures"
+XC_ENC = Path(__file__).parent.parent / "oracle/build/bin/xc-enc"
+QIS = [16, 32, 48, 64, 80]
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not XC_ENC.exists(), reason="oracle not built")
+def test_rd_curve_parity(tmp_path):
+    clip = [r.display()
+            for r in FilePlayer(str(FIXTURES / "inter_176x144_q8.ivf"))]
+    w, h = 176, 144
+    y4m = tmp_path / "in.y4m"
+    write_y4m(str(y4m), clip, w, h)
+
+    def stats(path):
+        size = sum(len(p) for p in IVFReader(str(path)))
+        ss, ps = [], []
+        for r, f in zip(FilePlayer(str(path)), clip):
+            ss.append(ssim(r.display()[0], f[0]))
+            ps.append(_psnr(r.display()[0], f[0]))
+        return size, float(np.mean(ss)), float(np.mean(ps))
+
+    rows = []
+    for qi in QIS:
+        ref_ivf = tmp_path / f"ref{qi}.ivf"
+        subprocess.run([str(XC_ENC), "-i", "y4m", "-o", str(ref_ivf),
+                        "--y-ac-qi", str(qi), str(y4m)],
+                       check=True, capture_output=True)
+        ours_ivf = tmp_path / f"ours{qi}.ivf"
+        enc = Encoder(w, h)
+        with IVFWriter(str(ours_ivf), "VP80", w, h, 1, 1, 0) as wr:
+            for f in clip:
+                wr.append_frame(enc.encode_with_quantizer(f, qi))
+        ref = stats(ref_ivf)
+        ours = stats(ours_ivf)
+        rows.append((qi, ours, ref))
+
+    for qi, (osz, ossim, opsnr), (rsz, rssim, rpsnr) in rows:
+        assert ossim >= rssim - 0.005, \
+            f"qi={qi}: SSIM {ossim:.4f} < ref {rssim:.4f} - 0.005"
+        assert osz <= rsz * 1.02, \
+            f"qi={qi}: size {osz} > ref {rsz} * 1.02"
+        assert opsnr >= rpsnr - 0.2, \
+            f"qi={qi}: PSNR {opsnr:.2f} < ref {rpsnr:.2f} - 0.2"
+
+    # the curve must be monotone in rate (sanity of the sweep itself)
+    sizes = [o[0] for _, o, _ in rows]
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
