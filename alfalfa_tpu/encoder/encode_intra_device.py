@@ -1,0 +1,126 @@
+"""Device (TPU) keyframe intra encoding: host driver for the Pallas
+wavefront encoder (ops/enc_intra_pallas.py).
+
+Prepares the skewed per-diagonal streams (original planes in tile and
+subblock layouts, wavefront masks), the quantizer/rd scalars, and the
+keyframe mode-cost tables; runs the kernel; unskews the outputs back into
+FrameArrays + the reconstructed Raster — a drop-in replacement for the
+per-MB host loop in Encoder._encode_keyframe (encode_intra_np.encode_intra_mb),
+bit-identical by the parity test (tests/test_device_encode.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from alfalfa_tpu.bitstream import tables as T
+from alfalfa_tpu.decoder import reconstruct_jax as RJ
+from alfalfa_tpu.decoder.parse import FrameArrays
+from alfalfa_tpu.state.decoder_state import Raster
+from .costs import Costs
+
+_COSTS = None
+_T2B16 = None
+
+
+def _tables():
+    global _COSTS, _T2B16
+    if _COSTS is None:
+        _COSTS = Costs()
+    return _COSTS
+
+
+def _tile_perm(S):
+    """(S, S) plane-tile -> row-major lane order is the identity; the
+    subblock-major ("block") order permutation for numpy reshapes."""
+    n = S * S
+    perm = np.zeros(n, np.int32)
+    nb = S // 4
+    for b in range(nb * nb):
+        br, bc = b // nb, b % nb
+        for y in range(4):
+            for x in range(4):
+                perm[16 * b + 4 * y + x] = (4 * br + y) * S + 4 * bc + x
+    return perm
+
+
+def _plane_tiles(plane, R, C, S):
+    """(R*S, C*S) -> (R, C, S*S) row-major tile vectors."""
+    return plane.reshape(R, S, C, S).transpose(0, 2, 1, 3).reshape(R, C,
+                                                                   S * S)
+
+
+def _untile(tiles, R, C, S):
+    return tiles.reshape(R, C, S, S).transpose(0, 2, 1, 3).reshape(R * S,
+                                                                   C * S)
+
+
+def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
+                           interpret=False):
+    """Encode all keyframe macroblocks on device.
+
+    oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon).
+    """
+    from alfalfa_tpu.ops import enc_intra_pallas as EK
+
+    oy, ou, ov = oplanes
+    R, C = (height + 15) // 16, (width + 15) // 16
+    sched = RJ.skew_schedule(R, C)
+    nd, Rp = sched["n_diags"], sched["R_pad"]
+    scat = sched["scat_idx"]
+
+    def skew(x):
+        return RJ._skew(jnp.asarray(x), scat, nd, Rp)[RJ.DPAD:]
+
+    oy_t = _plane_tiles(oy.astype(np.int16), R, C, 16)
+    oy_b = oy_t[:, :, _tile_perm(16)]
+    ou_t = _plane_tiles(ou.astype(np.int16), R, C, 8)
+    ov_t = _plane_tiles(ov.astype(np.int16), R, C, 8)
+
+    prm = np.stack([
+        sched["valid"], sched["has_row"], sched["has_col"],
+        sched["last_col"],
+        np.zeros_like(sched["valid"]), np.zeros_like(sched["valid"]),
+        np.zeros_like(sched["valid"]), np.zeros_like(sched["valid"])],
+        axis=-1).astype(np.int16)
+
+    scalars = np.array([[q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
+                         q["uv_dc"], q["uv_ac"], rate_mult, dist_mult]],
+                       np.int32)
+    costs = _tables()
+    mbc = np.zeros((1, 8), np.int32)
+    mbc[0, :5] = np.asarray(costs.mbmode_costs[0][:5], np.int64)
+    btab = np.asarray(costs.bmode_costs, np.int64).reshape(100, 10)
+    bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
+    blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
+
+    co, md, ry, ru, rv = EK.encode_kf_frame(
+        skew(oy_t), skew(oy_b), skew(ou_t), skew(ov_t),
+        jnp.asarray(prm), jnp.asarray(scalars), jnp.asarray(mbc),
+        bhi, blo, interpret=interpret)
+
+    # unskew via the schedule (stripped storage: index = d*Rp + r)
+    unskew = sched["unskew_idx"].reshape(-1)
+
+    def unsk(x, P):
+        flat = np.asarray(x).reshape(nd * Rp, P)
+        return flat[unskew].reshape(R, C, P)
+
+    co_h = unsk(co, 400).astype(np.int16)
+    md_h = unsk(md, 32).astype(np.int32)
+    ry_h = unsk(ry, 256)
+    ru_h = unsk(ru, 64)
+    rv_h = unsk(rv, 64)
+
+    arrays = FrameArrays(R, C)
+    arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)
+    arrays.ymode[:] = md_h[:, :, 0].astype(np.int8)
+    arrays.uvmode[:] = md_h[:, :, 1].astype(np.int8)
+    arrays.y2_coded[:] = md_h[:, :, 2] != 0
+    arrays.has_nonzero[:] = md_h[:, :, 3] != 0
+    arrays.bmode[:] = md_h[:, :, 4:20].reshape(R, C, 4, 4).astype(np.int8)
+    arrays.ref[:] = T.CURRENT_FRAME
+
+    recon = Raster(width, height,
+                   _untile(ry_h, R, C, 16).astype(np.uint8),
+                   _untile(ru_h, R, C, 8).astype(np.uint8),
+                   _untile(rv_h, R, C, 8).astype(np.uint8))
+    return arrays, recon

@@ -36,7 +36,8 @@ def calc_prob(false_count, total):
 
 
 class Encoder:
-    def __init__(self, width, height, quality="best", two_pass=False):
+    def __init__(self, width, height, quality="best", two_pass=False,
+                 device_encode=None):
         self.width, self.height = width, height
         self.mb_cols = (width + 15) // 16
         self.mb_rows = (height + 15) // 16
@@ -45,6 +46,11 @@ class Encoder:
         self.frame_no = 0
         self.quality = quality
         self.two_pass = two_pass
+        if device_encode is None:
+            import os
+            device_encode = bool(int(
+                os.environ.get("ALFALFA_DEVICE_ENCODE", "0") or "0"))
+        self.device_encode = device_encode
         self.last_loop_filter_level = None
         self.last_y_ac_qi = None  # seeds the target-size search window
 
@@ -202,26 +208,32 @@ class Encoder:
         rate_mult, dist_mult = rd_multipliers(q["y_ac"])
 
         oplanes = (orig.y, orig.u, orig.v)
-        passes = 2 if self.two_pass else 1
-        for pass_i in range(passes):
-            trellis_ctx = None
-            if pass_i == 1:
-                # second pass: trellis quantization with token costs from
-                # the current probability tables (encode_intra.cc:409-431,
-                # encoder.cc:220-408)
-                from .trellis import TrellisContext
-                trellis_ctx = TrellisContext(
-                    self.state.probability_tables.coeff_probs,
-                    self.mb_rows, self.mb_cols, q, rate_mult, dist_mult)
-                arrays = FrameArrays(self.mb_rows, self.mb_cols)
-                recon = Raster(self.width, self.height)
-            for r in range(self.mb_rows):
-                for c in range(self.mb_cols):
-                    encode_intra_np.encode_intra_mb(oplanes, recon, arrays,
-                                                    r, c, q, rate_mult,
-                                                    dist_mult,
-                                                    interframe=False,
-                                                    trellis=trellis_ctx)
+        if self.device_encode and not self.two_pass:
+            # the whole MB wavefront runs on-chip (SURVEY section 7.2
+            # stage 4); bit-identical to the host loop below
+            from .encode_intra_device import encode_keyframe_device
+            arrays, recon = encode_keyframe_device(
+                oplanes, self.width, self.height, q, rate_mult, dist_mult)
+        else:
+            passes = 2 if self.two_pass else 1
+            for pass_i in range(passes):
+                trellis_ctx = None
+                if pass_i == 1:
+                    # second pass: trellis quantization with token costs
+                    # from the current probability tables
+                    # (encode_intra.cc:409-431, encoder.cc:220-408)
+                    from .trellis import TrellisContext
+                    trellis_ctx = TrellisContext(
+                        self.state.probability_tables.coeff_probs,
+                        self.mb_rows, self.mb_cols, q, rate_mult, dist_mult)
+                    arrays = FrameArrays(self.mb_rows, self.mb_cols)
+                    recon = Raster(self.width, self.height)
+                for r in range(self.mb_rows):
+                    for c in range(self.mb_cols):
+                        encode_intra_np.encode_intra_mb(
+                            oplanes, recon, arrays, r, c, q, rate_mult,
+                            dist_mult, interframe=False,
+                            trellis=trellis_ctx)
 
         # skip flags + prob (encoder.cc:441-457, 657)
         no_skip = int(arrays.has_nonzero.sum())
