@@ -53,34 +53,62 @@ def _untile(tiles, R, C, S):
                                                                    C * S)
 
 
+_FN_CACHE = {}
+
+
+def _kf_fn(R, C, interpret):
+    """Jitted (skew + kernel) pipeline, cached per geometry."""
+    key = (R, C, interpret)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    from alfalfa_tpu.ops import enc_intra_pallas as EK
+
+    sched = RJ.skew_schedule(R, C)
+    nd, Rp = sched["n_diags"], sched["R_pad"]
+    scat = sched["scat_idx"]
+    prm = jnp.asarray(np.stack(
+        [sched["valid"], sched["has_row"], sched["has_col"],
+         sched["last_col"]] + [np.zeros_like(sched["valid"])] * 4,
+        axis=-1).astype(np.int16))
+
+    unskew = jnp.asarray(sched["unskew_idx"].reshape(-1))
+
+    def f(oy_t, oy_b, ou_t, ov_t, scalars, mbc, bhi, blo):
+        sk = lambda x: RJ._skew(x, scat, nd, Rp)[RJ.DPAD:]
+        co, md, ry, ru, rv = EK.encode_kf_frame(
+            sk(oy_t), sk(oy_b), sk(ou_t), sk(ov_t),
+            prm, scalars, mbc, bhi, blo, interpret=interpret)
+
+        # unskew on device and shrink dtypes: the tunnel D2H fetch is the
+        # expensive part, so only the (R*C) valid tiles come back
+        def unsk(x):
+            return jnp.take(x.reshape(nd * Rp, x.shape[-1]), unskew, axis=0)
+
+        return (unsk(co), unsk(md).astype(jnp.int8),
+                unsk(ry).astype(jnp.uint8), unsk(ru).astype(jnp.uint8),
+                unsk(rv).astype(jnp.uint8))
+
+    fn = jax.jit(f) if not interpret else f
+    _FN_CACHE[key] = fn
+    return fn
+
+
 def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
                            interpret=False):
     """Encode all keyframe macroblocks on device.
 
     oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon).
     """
-    from alfalfa_tpu.ops import enc_intra_pallas as EK
-
     oy, ou, ov = oplanes
     R, C = (height + 15) // 16, (width + 15) // 16
     sched = RJ.skew_schedule(R, C)
     nd, Rp = sched["n_diags"], sched["R_pad"]
-    scat = sched["scat_idx"]
-
-    def skew(x):
-        return RJ._skew(jnp.asarray(x), scat, nd, Rp)[RJ.DPAD:]
 
     oy_t = _plane_tiles(oy.astype(np.int16), R, C, 16)
     oy_b = oy_t[:, :, _tile_perm(16)]
     ou_t = _plane_tiles(ou.astype(np.int16), R, C, 8)
     ov_t = _plane_tiles(ov.astype(np.int16), R, C, 8)
-
-    prm = np.stack([
-        sched["valid"], sched["has_row"], sched["has_col"],
-        sched["last_col"],
-        np.zeros_like(sched["valid"]), np.zeros_like(sched["valid"]),
-        np.zeros_like(sched["valid"]), np.zeros_like(sched["valid"])],
-        axis=-1).astype(np.int16)
 
     scalars = np.array([[q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
                          q["uv_dc"], q["uv_ac"], rate_mult, dist_mult]],
@@ -92,23 +120,16 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
     blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
 
-    co, md, ry, ru, rv = EK.encode_kf_frame(
-        skew(oy_t), skew(oy_b), skew(ou_t), skew(ov_t),
-        jnp.asarray(prm), jnp.asarray(scalars), jnp.asarray(mbc),
-        bhi, blo, interpret=interpret)
+    co, md, ry, ru, rv = _kf_fn(R, C, interpret)(
+        jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(ou_t),
+        jnp.asarray(ov_t), jnp.asarray(scalars), jnp.asarray(mbc),
+        bhi, blo)
 
-    # unskew via the schedule (stripped storage: index = d*Rp + r)
-    unskew = sched["unskew_idx"].reshape(-1)
-
-    def unsk(x, P):
-        flat = np.asarray(x).reshape(nd * Rp, P)
-        return flat[unskew].reshape(R, C, P)
-
-    co_h = unsk(co, 400).astype(np.int16)
-    md_h = unsk(md, 32).astype(np.int32)
-    ry_h = unsk(ry, 256)
-    ru_h = unsk(ru, 64)
-    rv_h = unsk(rv, 64)
+    co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+    md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
+    ry_h = np.asarray(ry).reshape(R, C, 256)
+    ru_h = np.asarray(ru).reshape(R, C, 64)
+    rv_h = np.asarray(rv).reshape(R, C, 64)
 
     arrays = FrameArrays(R, C)
     arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)

@@ -428,6 +428,11 @@ def count_token_branches(arrays, counts=None):
     (accumulate_token_branches, serializer.cc:456-594).
 
     Returns counts (4, 8, 3, 11, 2) int64: [..., 0]=false, [..., 1]=true."""
+    try:
+        from alfalfa_tpu.native import bitwork
+        return bitwork.count_token_branches(arrays, counts)
+    except (ImportError, AttributeError, OSError):
+        pass
     if counts is None:
         counts = np.zeros((4, 8, 3, 11, 2), np.int64)
     zz = T.ZIGZAG

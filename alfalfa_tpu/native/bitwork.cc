@@ -388,6 +388,354 @@ int vp8_parse_flagged_literals(const uint8_t *data, int64_t size,
   return 0;
 }
 
+/* ---- token serialization (serializer.cc:388-426, 596-737) ---- */
+
+} // extern "C" — C++ helpers below
+
+namespace {
+
+/* Mirror of the Python BoolEncoder (bitstream/boolcoder.py; reference
+ * encoder/bool_encoder.hh:60-152): carry-propagating range encoder with
+ * the libvpx-compatible flush. */
+struct BoolEnc {
+  uint8_t *out;
+  int64_t len, cap;
+  uint32_t range_;
+  uint64_t bottom;
+  int bit_count;
+  bool overflow;
+
+  void init(uint8_t *buf, int64_t capacity) {
+    out = buf;
+    len = 0;
+    cap = capacity;
+    range_ = 255;
+    bottom = 0;
+    bit_count = -24;
+    overflow = false;
+  }
+
+  inline void put(int value, int probability) {
+    const uint32_t split = 1 + (((range_ - 1) * (uint32_t)probability) >> 8);
+    if (value) {
+      bottom += split;
+      range_ -= split;
+    } else {
+      range_ = split;
+    }
+    int shift = kNormTable.v[range_];
+    range_ <<= shift;
+    bit_count += shift;
+    if (bit_count >= 0) {
+      const int offset = shift - bit_count;
+      if ((bottom << (offset - 1)) & 0x80000000ULL) {
+        int64_t i = len - 1;
+        while (out[i] == 255) out[i--] = 0;
+        out[i] += 1;
+      }
+      if (len < cap) out[len++] = (bottom >> (24 - offset)) & 0xFF;
+      else overflow = true;
+      bottom = (bottom << offset) & 0xFFFFFF;
+      shift = bit_count;
+      bit_count -= 8;
+    }
+    bottom = (bottom << shift) & 0xFFFFFFFFULL;
+  }
+
+  void finish() {
+    for (int i = 0; i < 32; i++) put(0, 128);
+  }
+};
+
+inline void write_extra(BoolEnc &be, int value, int cat) {
+  const TokenExtra &te = kExtra[cat];
+  const int inc = value - te.base;
+  for (int i = 0; i < te.nbits; i++) {
+    be.put((inc >> (te.nbits - 1 - i)) & 1, te.probs[i]);
+  }
+}
+
+/* write_block_tokens (serializer.cc:596-737); returns has_nonzero over
+ * raster positions >= first. */
+inline int write_block(BoolEnc &be, const int16_t *co,
+                       const uint8_t *coeff_probs, int block_type, int ctx,
+                       int first) {
+  const uint8_t *probs_bt = coeff_probs + block_type * 8 * 3 * 11;
+  int coded_length = 0;
+  for (int index = first; index < 16; index++) {
+    if (co[kZigzag[index]]) coded_length = index + 1;
+  }
+  bool last_was_zero = false;
+  int token_context = ctx;
+  int index = first;
+  int has_nonzero = 0;
+  while (index < coded_length) {
+    const int coefficient = co[kZigzag[index]];
+    const int v = coefficient < 0 ? -coefficient : coefficient;
+    const int sign = coefficient < 0;
+    const uint8_t *prob = probs_bt + (kBand[index] * 3 + token_context) * 11;
+    if (!last_was_zero) be.put(1, prob[0]);
+    if (v == 0) {
+      be.put(0, prob[1]);
+      last_was_zero = true;
+      token_context = 0;
+      index++;
+      continue;
+    }
+    last_was_zero = false;
+    has_nonzero = 1;
+    be.put(1, prob[1]);
+    if (v == 1) {
+      be.put(0, prob[2]);
+      be.put(sign, 128);
+      token_context = 1;
+      index++;
+      continue;
+    }
+    token_context = 2;
+    be.put(1, prob[2]);
+    if (v == 2) {
+      be.put(0, prob[3]);
+      be.put(0, prob[4]);
+    } else if (v == 3) {
+      be.put(0, prob[3]);
+      be.put(1, prob[4]);
+      be.put(0, prob[5]);
+    } else if (v == 4) {
+      be.put(0, prob[3]);
+      be.put(1, prob[4]);
+      be.put(1, prob[5]);
+    } else {
+      be.put(1, prob[3]);
+      if (v < 7) {
+        be.put(0, prob[6]);
+        be.put(0, prob[7]);
+        be.put(v == 6, 159);
+      } else if (v < 11) {
+        be.put(0, prob[6]);
+        be.put(1, prob[7]);
+        write_extra(be, v, 0);
+      } else {
+        be.put(1, prob[6]);
+        if (v < 19) {
+          be.put(0, prob[8]);
+          be.put(0, prob[9]);
+          write_extra(be, v, 1);
+        } else if (v < 35) {
+          be.put(0, prob[8]);
+          be.put(1, prob[9]);
+          write_extra(be, v, 2);
+        } else if (v < 67) {
+          be.put(1, prob[8]);
+          be.put(0, prob[10]);
+          write_extra(be, v, 3);
+        } else {
+          be.put(1, prob[8]);
+          be.put(1, prob[10]);
+          write_extra(be, v, 4);
+        }
+      }
+    }
+    be.put(sign, 128);
+    index++;
+  }
+  if (coded_length < 16) {
+    const uint8_t *prob = probs_bt + (kBand[index] * 3 + token_context) * 11;
+    be.put(0, prob[0]);
+  }
+  return has_nonzero;
+}
+
+/* accumulate_token_branches for one block (serializer.cc:456-594) */
+inline void count_block(int64_t *counts, const int16_t *co, int bt, int ctx,
+                        int first) {
+  int coded_length = 0;
+  for (int index = first; index < 16; index++) {
+    if (co[kZigzag[index]]) coded_length = index + 1;
+  }
+  bool last_was_zero = false;
+  int token_context = ctx;
+  int index = first;
+  while (index < coded_length) {
+    int v = co[kZigzag[index]];
+    if (v < 0) v = -v;
+    int64_t *node = counts + (((bt * 8 + kBand[index]) * 3
+                               + token_context) * 11) * 2;
+    if (!last_was_zero) node[0 * 2 + 1]++;
+    if (v == 0) {
+      node[1 * 2 + 0]++;
+      last_was_zero = true;
+      token_context = 0;
+      index++;
+      continue;
+    }
+    last_was_zero = false;
+    node[1 * 2 + 1]++;
+    if (v == 1) {
+      node[2 * 2 + 0]++;
+      token_context = 1;
+    } else {
+      node[2 * 2 + 1]++;
+      token_context = 2;
+      if (v <= 4) {
+        node[3 * 2 + 0]++;
+        if (v == 2) {
+          node[4 * 2 + 0]++;
+        } else {
+          node[4 * 2 + 1]++;
+          node[5 * 2 + (v == 3 ? 0 : 1)]++;
+        }
+      } else {
+        node[3 * 2 + 1]++;
+        if (v < 11) {
+          node[6 * 2 + 0]++;
+          node[7 * 2 + (v < 7 ? 0 : 1)]++;
+        } else {
+          node[6 * 2 + 1]++;
+          if (v < 35) {
+            node[8 * 2 + 0]++;
+            node[9 * 2 + (v < 19 ? 0 : 1)]++;
+          } else {
+            node[8 * 2 + 1]++;
+            node[10 * 2 + (v < 67 ? 0 : 1)]++;
+          }
+        }
+      }
+    }
+    index++;
+  }
+  if (coded_length < 16) {
+    counts[(((bt * 8 + kBand[index]) * 3 + token_context) * 11 + 0) * 2
+           + 0]++;
+  }
+}
+
+inline int any16(const int16_t *co, int first) {
+  for (int i = first; i < 16; i++)
+    if (co[i]) return 1;
+  return 0;
+}
+
+/* Shared frame walk in coding order with the exact cross-MB nonzero
+ * contexts (serializer.py iter_frame_blocks; frame.cc:121-137).  mode 0:
+ * serialize into per-partition encoders; mode 1: count branches. */
+template <typename Fn>
+void walk_frame_blocks(const int16_t *coeffs, const uint8_t *skip,
+                       const uint8_t *y2_coded, int R, int C, Fn &&emit) {
+  uint8_t *y_nz = new uint8_t[R * 4 * C * 4]();
+  uint8_t *u_nz = new uint8_t[R * 2 * C * 2]();
+  uint8_t *v_nz = new uint8_t[R * 2 * C * 2]();
+  uint8_t *y2_above = new uint8_t[C]();
+  uint8_t *y2_above_valid = new uint8_t[C]();
+
+  for (int r = 0; r < R; r++) {
+    uint8_t y2_left = 0, y2_left_valid = 0;
+    for (int c = 0; c < C; c++) {
+      const int mb = r * C + c;
+      const int16_t *mbc = coeffs + (int64_t)mb * 25 * 16;
+      if (skip[mb]) {
+        for (int sr = 0; sr < 4; sr++)
+          memset(y_nz + (r * 4 + sr) * C * 4 + c * 4, 0, 4);
+        for (int sr = 0; sr < 2; sr++) {
+          memset(u_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+          memset(v_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+        }
+        if (y2_coded[mb]) {
+          y2_above[c] = 0;
+          y2_above_valid[c] = 1;
+          y2_left = 0;
+          y2_left_valid = 1;
+        }
+        continue;
+      }
+      if (y2_coded[mb]) {
+        const int ctx = (y2_above_valid[c] ? y2_above[c] : 0) +
+                        (y2_left_valid ? y2_left : 0);
+        emit(r, mbc + 24 * 16, 1 /*Y2*/, ctx, 0);
+        const int nz = any16(mbc + 24 * 16, 0);
+        y2_above[c] = nz;
+        y2_above_valid[c] = 1;
+        y2_left = nz;
+        y2_left_valid = 1;
+      }
+      const int bt = y2_coded[mb] ? 0 : 3;
+      const int first = y2_coded[mb] ? 1 : 0;
+      for (int sr = 0; sr < 4; sr++) {
+        for (int sc = 0; sc < 4; sc++) {
+          const int gr = r * 4 + sr, gc = c * 4 + sc;
+          const int ctx = (gr > 0 ? y_nz[(gr - 1) * C * 4 + gc] : 0) +
+                          (gc > 0 ? y_nz[gr * C * 4 + gc - 1] : 0);
+          const int16_t *co = mbc + (sr * 4 + sc) * 16;
+          emit(r, co, bt, ctx, first);
+          y_nz[gr * C * 4 + gc] = any16(co, first);
+        }
+      }
+      uint8_t *planes[2] = {u_nz, v_nz};
+      for (int plane = 0; plane < 2; plane++) {
+        uint8_t *nzp = planes[plane];
+        const int base = 16 + plane * 4;
+        for (int sr = 0; sr < 2; sr++) {
+          for (int sc = 0; sc < 2; sc++) {
+            const int gr = r * 2 + sr, gc = c * 2 + sc;
+            const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
+                            (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
+            const int16_t *co = mbc + (base + sr * 2 + sc) * 16;
+            emit(r, co, 2 /*UV*/, ctx, 0);
+            nzp[gr * C * 2 + gc] = any16(co, 0);
+          }
+        }
+      }
+    }
+  }
+  delete[] y_nz;
+  delete[] u_nz;
+  delete[] v_nz;
+  delete[] y2_above;
+  delete[] y2_above_valid;
+}
+
+} // namespace
+
+extern "C" {
+
+/* Serialize the DCT token partitions.  out: n_parts buffers of out_cap
+ * bytes each (contiguous); out_lens[n_parts] receives the lengths.
+ * Returns 0, or -2 if a partition overflowed out_cap. */
+int vp8_serialize_tokens(const int16_t *coeffs, const uint8_t *skip,
+                         const uint8_t *y2_coded, int R, int C,
+                         const uint8_t *coeff_probs, int n_parts,
+                         uint8_t *out, int64_t out_cap, int64_t *out_lens) {
+  BoolEnc encs[8];
+  if (n_parts < 1 || n_parts > 8) return -1;
+  for (int i = 0; i < n_parts; i++) encs[i].init(out + i * out_cap, out_cap);
+  walk_frame_blocks(coeffs, skip, y2_coded, R, C,
+                    [&](int r, const int16_t *co, int bt, int ctx,
+                        int first) {
+                      write_block(encs[r % n_parts], co, coeff_probs, bt,
+                                  ctx, first);
+                    });
+  int rc = 0;
+  for (int i = 0; i < n_parts; i++) {
+    encs[i].finish();
+    out_lens[i] = encs[i].len;
+    if (encs[i].overflow) rc = -2;
+  }
+  return rc;
+}
+
+/* accumulate_token_branches over the frame; counts: i64[4][8][3][11][2]. */
+int vp8_count_token_branches(const int16_t *coeffs, const uint8_t *skip,
+                             const uint8_t *y2_coded, int R, int C,
+                             int64_t *counts) {
+  walk_frame_blocks(coeffs, skip, y2_coded, R, C,
+                    [&](int r, const int16_t *co, int bt, int ctx,
+                        int first) {
+                      (void)r;
+                      count_block(counts, co, bt, ctx, first);
+                    });
+  return 0;
+}
+
 uint64_t vp8_hash_range(uint64_t seed, const uint64_t *values, int64_t n) {
   for (int64_t i = 0; i < n; i++) {
     seed ^= values[i] + 0x9e3779b9ULL + (seed << 6) + (seed >> 2);

@@ -31,6 +31,15 @@ def _load():
     lib.vp8_parse_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.vp8_serialize_tokens.restype = ctypes.c_int
+    lib.vp8_serialize_tokens.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p]
+    lib.vp8_count_token_branches.restype = ctypes.c_int
+    lib.vp8_count_token_branches.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p]
     lib.vp8_hash_range.restype = ctypes.c_uint64
     lib.vp8_hash_range.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
                                    ctypes.c_int64]
@@ -99,6 +108,49 @@ def parse_flagged_literals(bd, update_probs, n, width):
     bd.value = int(state[2])
     bd.bit_count = int(state[3])
     return flags, vals
+
+
+def serialize_tokens(arrays, coeff_probs, n_parts):
+    """Native DCT-token serialization (serializer.cc:596-737 semantics).
+    Returns a list of n_parts partition byte strings, or None on error."""
+    lib = _load()
+    co = arrays.coeffs
+    if co is None:
+        co = arrays.densify_coeffs()
+    co = np.ascontiguousarray(co, np.int16)
+    skip = np.ascontiguousarray(arrays.skip_coeff, np.uint8)
+    y2c = np.ascontiguousarray(arrays.y2_coded, np.uint8)
+    probs = np.ascontiguousarray(coeff_probs, np.uint8)
+    R, C = arrays.mb_rows, arrays.mb_cols
+    # worst-case bound: ~2 bytes/coeff + flush slack
+    cap = max(4096, co.nbytes // max(1, n_parts) * 2 + 4096)
+    out = np.zeros(n_parts * cap, np.uint8)
+    lens = np.zeros(n_parts, np.int64)
+    rc = lib.vp8_serialize_tokens(
+        co.ctypes.data, skip.ctypes.data, y2c.ctypes.data, R, C,
+        probs.ctypes.data, n_parts, out.ctypes.data, cap, lens.ctypes.data)
+    if rc != 0:
+        return None
+    return [out[i * cap:i * cap + int(lens[i])].tobytes()
+            for i in range(n_parts)]
+
+
+def count_token_branches(arrays, counts=None):
+    """Native accumulate_token_branches (serializer.cc:456-594)."""
+    lib = _load()
+    if counts is None:
+        counts = np.zeros((4, 8, 3, 11, 2), np.int64)
+    assert counts.flags.c_contiguous and counts.dtype == np.int64
+    co = arrays.coeffs
+    if co is None:
+        co = arrays.densify_coeffs()
+    co = np.ascontiguousarray(co, np.int16)
+    skip = np.ascontiguousarray(arrays.skip_coeff, np.uint8)
+    y2c = np.ascontiguousarray(arrays.y2_coded, np.uint8)
+    lib.vp8_count_token_branches(
+        co.ctypes.data, skip.ctypes.data, y2c.ctypes.data,
+        arrays.mb_rows, arrays.mb_cols, counts.ctypes.data)
+    return counts
 
 
 def hash_range(seed, values_u64):
