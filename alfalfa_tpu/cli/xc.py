@@ -427,7 +427,7 @@ def cmd_run_contest(args):
         receiver.close()
         link.close()
     wall = _time.monotonic() - t0
-    sizes = [s for _, s, _, _ in sender.sent_log]
+    sizes = [s for _, s, _, _, _ in sender.sent_log]
     print(f"sent {len(sender.sent_log)} frames, received {len(received)}, "
           f"wall {wall:.1f}s")
     if sizes:

@@ -84,6 +84,65 @@ def example_frame_batch(n_frames, mb_rows, mb_cols, seed=0):
             ry, ru, rv, lfp)
 
 
+def gop_encode_step(mesh, mb_rows, mb_cols, n_chunks, axis="gop", seed=0):
+    """Multi-chip GOP-parallel keyframe ENCODE dry run: one chunk's first
+    frame per device through the wavefront encode kernel
+    (ops/enc_intra_pallas.py), exit reconstructions all-gathered over ICI
+    (the data a pipelined rebase pass consumes; reencode.cc:305-381).
+    Runs the kernel in interpret mode off-TPU so the virtual CPU mesh can
+    execute it.  Returns (exit_y (n, H, W) u8, coeffs (n, R, C, 400))."""
+    from alfalfa_tpu.encoder import encode_intra_device as EID
+    from alfalfa_tpu.encoder.costs import rd_multipliers, Costs
+    from alfalfa_tpu.bitstream.header import QuantIndices
+
+    R, C = mb_rows, mb_cols
+    H, W = R * 16, C * 16
+    rng = np.random.RandomState(seed)
+    oy = rng.randint(0, 256, (n_chunks, H, W)).astype(np.int16)
+    ou = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.int16)
+    ov = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.int16)
+
+    q = {k: int(v) for k, v in
+         QuantIndices(y_ac_qi=48).quantizer().items()}
+    rm, dm = rd_multipliers(q["y_ac"])
+    scalars = jnp.asarray([[q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
+                            q["uv_dc"], q["uv_ac"], rm, dm]], jnp.int32)
+    costs = Costs()
+    mbc = np.zeros((1, 8), np.int32)
+    mbc[0, :5] = np.asarray(costs.mbmode_costs[0][:5], np.int64)
+    btab = np.asarray(costs.bmode_costs, np.int64).reshape(100, 10)
+    bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
+    blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
+    mbc = jnp.asarray(mbc)
+
+    interpret = jax.default_backend() != "tpu"
+    kf = EID._kf_fn(R, C, interpret)
+    perm = EID._tile_perm(16)
+
+    def one(oy1, ou1, ov1):
+        oyt = EID._plane_tiles(oy1, R, C, 16)
+        co, md, ry, ru, rv = kf(oyt, oyt[:, :, perm],
+                                EID._plane_tiles(ou1, R, C, 8),
+                                EID._plane_tiles(ov1, R, C, 8),
+                                scalars, mbc, bhi, blo)
+        return co, ry
+
+    def shard_fn(oy_s, ou_s, ov_s):
+        co, ry = jax.vmap(one)(oy_s, ou_s, ov_s)
+        # exit state for the rebase chain: every device sees every
+        # chunk's reconstructed entry keyframe
+        exit_y = jax.lax.all_gather(ry[-1], axis).reshape(
+            (-1,) + ry.shape[1:])
+        return co, exit_y
+
+    spec = P(axis)
+    fn = jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
+                       in_specs=(spec, spec, spec),
+                       out_specs=(spec, P(None)))
+    co, exit_y = jax.jit(fn)(oy, ou, ov)
+    return exit_y, co
+
+
 # ---------------------------------------------------------------------------
 # Batched GOP decoding: ExCamera's chunk parallelism on ONE chip
 # ---------------------------------------------------------------------------

@@ -279,7 +279,8 @@ class SalsifySender:
         target_minihash = output.encoder.minihash()
         self.last_quantizer = output.y_ac_qi
         self.sent_log.append((self.frame_no, len(output.frame),
-                              self.avg_delay, time.monotonic()))
+                              self.avg_delay, time.monotonic(),
+                              output.encode_time_ms))
 
         now = time.monotonic()
         ff = FragmentedFrame(self.connection_id, output.source_minihash,

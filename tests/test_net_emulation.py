@@ -64,7 +64,7 @@ def test_salsify_over_emulated_link():
 
     # adaptation: with delay feedback present, frame sizes shrink when the
     # measured inter-packet delay is large (sender.cc:160-170 semantics)
-    log = [(size, delay) for _, size, delay, _ in sender.sent_log
+    log = [(size, delay) for _, size, delay, _, _ in sender.sent_log
            if delay is not None]
     assert len(log) >= 20, "too few delay-informed sends to judge adaptation"
     sizes = np.array([s for s, _ in log], float)
