@@ -299,6 +299,14 @@ class FrameSerializer:
     def serialize_first_partition(self):
         be = BoolEncoder()
         self.h.write(be)
+        if self.key_frame and self.h.update_segmentation is None:
+            try:
+                from alfalfa_tpu.native import bitwork
+                if bitwork.write_kf_modes(be, self.a,
+                                          self.h.prob_skip_false):
+                    return be.finish()
+            except (ImportError, AttributeError, OSError):
+                pass
         seg_tree_probs = ([255, 255, 255] if self.h.update_segmentation is None
                           else self.h.update_segmentation.segment_tree_probs())
         flipped = (None if self.key_frame

@@ -723,6 +723,71 @@ int vp8_serialize_tokens(const int16_t *coeffs, const uint8_t *skip,
   return rc;
 }
 
+/* Keyframe MB headers: optional skip flag + KF mode trees for every MB
+ * (serializer.cc:165-230 keyframe side), resuming a Python BoolEncoder.
+ * state: i64[3] = {range, bottom, bit_count}; buf holds the bytes written
+ * so far (carry propagation may rewrite them); len_io[0] is the length.
+ * Tree paths arrive as (bits, prob_idx, len) tables with stride 8. */
+int vp8_write_kf_modes(int64_t *state, uint8_t *buf, int64_t cap,
+                       int64_t *len_io, int R, int C,
+                       const int8_t *ymode, const int8_t *bmode,
+                       const int8_t *uvmode, const uint8_t *skip,
+                       int has_skip, int prob_skip,
+                       const uint8_t *yp_bits, const uint8_t *yp_idx,
+                       const uint8_t *yp_len, const uint8_t *yprobs,
+                       const uint8_t *bp_bits, const uint8_t *bp_idx,
+                       const uint8_t *bp_len, const uint8_t *kfb_probs,
+                       const uint8_t *up_bits, const uint8_t *up_idx,
+                       const uint8_t *up_len, const uint8_t *uvprobs) {
+  BoolEnc be;
+  be.out = buf;
+  be.len = *len_io;
+  be.cap = cap;
+  be.range_ = (uint32_t)state[0];
+  be.bottom = (uint64_t)state[1];
+  be.bit_count = (int)state[2];
+  be.overflow = false;
+
+  auto wtree = [&](const uint8_t *bits, const uint8_t *idx,
+                   const uint8_t *lens, const uint8_t *probs, int leaf) {
+    const int n = lens[leaf];
+    for (int k = 0; k < n; k++) {
+      be.put(bits[leaf * 8 + k], probs[idx[leaf * 8 + k]]);
+    }
+  };
+
+  for (int r = 0; r < R; r++) {
+    for (int c = 0; c < C; c++) {
+      const int mb = r * C + c;
+      if (has_skip) be.put(skip[mb] != 0, prob_skip);
+      const int ym = ymode[mb];
+      wtree(yp_bits, yp_idx, yp_len, yprobs, ym);
+      if (ym == 4 /* B_PRED */) {
+        const int8_t *bm = bmode + (int64_t)mb * 16;
+        for (int sr = 0; sr < 4; sr++) {
+          for (int sc = 0; sc < 4; sc++) {
+            int above, left;
+            if (sr > 0) above = bm[(sr - 1) * 4 + sc];
+            else if (r > 0) above = bmode[((int64_t)(mb - C)) * 16 + 12 + sc];
+            else above = 0;
+            if (sc > 0) left = bm[sr * 4 + sc - 1];
+            else if (c > 0) left = bmode[((int64_t)(mb - 1)) * 16 + sr * 4 + 3];
+            else left = 0;
+            wtree(bp_bits, bp_idx, bp_len,
+                  kfb_probs + (above * 10 + left) * 9, bm[sr * 4 + sc]);
+          }
+        }
+      }
+      wtree(up_bits, up_idx, up_len, uvprobs, uvmode[mb]);
+    }
+  }
+  state[0] = be.range_;
+  state[1] = (int64_t)be.bottom;
+  state[2] = be.bit_count;
+  *len_io = be.len;
+  return be.overflow ? -2 : 0;
+}
+
 /* accumulate_token_branches over the frame; counts: i64[4][8][3][11][2]. */
 int vp8_count_token_branches(const int16_t *coeffs, const uint8_t *skip,
                              const uint8_t *y2_coded, int R, int C,

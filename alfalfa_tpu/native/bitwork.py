@@ -36,6 +36,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p]
+    lib.vp8_write_kf_modes.restype = ctypes.c_int
+    lib.vp8_write_kf_modes.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+         ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p] * 12)
     lib.vp8_count_token_branches.restype = ctypes.c_int
     lib.vp8_count_token_branches.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -133,6 +139,66 @@ def serialize_tokens(arrays, coeff_probs, n_parts):
         return None
     return [out[i * cap:i * cap + int(lens[i])].tobytes()
             for i in range(n_parts)]
+
+
+_TREE_TABLES = {}
+
+
+def _tree_tables(tree_id, tree_arr):
+    """(bits, prob_idx, len) path tables (stride 8) for a VP8 coding tree."""
+    if tree_id not in _TREE_TABLES:
+        from alfalfa_tpu.encoder.serializer import _paths
+        table = _paths(tree_id, tree_arr)
+        n = max(table) + 1
+        bits = np.zeros((n, 8), np.uint8)
+        idx = np.zeros((n, 8), np.uint8)
+        lens = np.zeros(n, np.uint8)
+        for leaf, path in table.items():
+            lens[leaf] = len(path)
+            for k, (b, pi) in enumerate(path):
+                bits[leaf, k] = b
+                idx[leaf, k] = pi
+        _TREE_TABLES[tree_id] = (bits, idx, lens)
+    return _TREE_TABLES[tree_id]
+
+
+def write_kf_modes(be, arrays, prob_skip):
+    """Append all keyframe MB headers (skip flag + mode trees) to Python
+    BoolEncoder ``be`` natively; returns True on success."""
+    from alfalfa_tpu.bitstream import tables as T
+    lib = _load()
+    R, C = arrays.mb_rows, arrays.mb_cols
+    cap = len(be.output) + R * C * 64 + 4096
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(be.output)] = np.frombuffer(bytes(be.output), np.uint8)
+    state = np.array([be.range, be.bottom, be.bit_count], np.int64)
+    length = np.array([len(be.output)], np.int64)
+
+    yb, yi, yl = _tree_tables("kf_y", T.KF_Y_MODE_TREE)
+    bb, bi, bl = _tree_tables("bmode", T.B_MODE_TREE)
+    ub, ui, ul = _tree_tables("uv", T.UV_MODE_TREE)
+    yprobs = np.ascontiguousarray(T.KF_Y_MODE_PROBS, np.uint8)
+    kfb = np.ascontiguousarray(T.KF_B_MODE_PROBS, np.uint8)
+    uvprobs = np.ascontiguousarray(T.KF_UV_MODE_PROBS, np.uint8)
+    ym = np.ascontiguousarray(arrays.ymode, np.int8)
+    bm = np.ascontiguousarray(arrays.bmode, np.int8)
+    uvm = np.ascontiguousarray(arrays.uvmode, np.int8)
+    skip = np.ascontiguousarray(arrays.skip_coeff, np.uint8)
+
+    rc = lib.vp8_write_kf_modes(
+        state.ctypes.data, buf.ctypes.data, cap, length.ctypes.data, R, C,
+        ym.ctypes.data, bm.ctypes.data, uvm.ctypes.data, skip.ctypes.data,
+        int(prob_skip is not None), int(prob_skip or 0),
+        yb.ctypes.data, yi.ctypes.data, yl.ctypes.data, yprobs.ctypes.data,
+        bb.ctypes.data, bi.ctypes.data, bl.ctypes.data, kfb.ctypes.data,
+        ub.ctypes.data, ui.ctypes.data, ul.ctypes.data, uvprobs.ctypes.data)
+    if rc != 0:
+        return False
+    be.output[:] = buf[:int(length[0])].tobytes()
+    be.range = int(state[0])
+    be.bottom = int(state[1])
+    be.bit_count = int(state[2])
+    return True
 
 
 def count_token_branches(arrays, counts=None):
