@@ -118,7 +118,8 @@ def cmd_enc(args):
         print("xc enc: error: y-ac-qi must be in [0, 127]", file=sys.stderr)
         return 2
     enc = Encoder(width, height, quality=args.quality,
-                  two_pass=args.two_pass)
+                  two_pass=args.two_pass,
+                  device_encode=(True if getattr(args, "device", False) else None))
     entry_minihash = 0
     if args.input_state:
         from alfalfa_tpu.state import serdes
@@ -524,6 +525,9 @@ def main(argv=None):
     p.add_argument("-F", "--frame-sizes", default=None,
                    help="file of per-frame target sizes in bytes")
     p.add_argument("-q", "--quality", default="best", choices=["best", "rt"])
+    p.add_argument("--device", action="store_true",
+                   help="run the keyframe MB wavefront on the TPU "
+                        "(bit-identical to the host path)")
     p.add_argument("--two-pass", action="store_true",
                    help="second encoding pass with trellis quantization")
     p.add_argument("-O", "--output-state", default=None,

@@ -316,35 +316,47 @@ class BatchedGopDecoder:
             intra_active = np.full(A, n_diags, np.int32)
             intra_active[:min(len(active), A)] = active[:A]
 
+        # pack the small per-MB maps into two buffers: each device_put is
+        # a separate tunnel dispatch, and ~15 of them cost more than the
+        # bytes themselves
+        G, R, C = self.G, self.mb_rows, self.mb_cols
+        buf8 = np.empty((G, R, C, 22), np.int8)
+        for i, (fn, dt) in enumerate((
+                (lambda p: p[1].segment, np.uint8),
+                (lambda p: p[1].y2_coded, None),
+                (lambda p: p[1].has_nonzero, None),
+                (lambda p: p[1].ymode, np.int8),
+                (lambda p: p[1].uvmode, np.int8),
+                (lambda p: p[1].ref, np.int8))):
+            for g, pp in enumerate(per):
+                buf8[g, :, :, i] = fn(pp)
+        for g, pp in enumerate(per):
+            buf8[g, :, :, 6:22] = pp[1].bmode.reshape(R, C, 16)
+
+        if key_frame:
+            fl = np.zeros((5, G), np.int16)
+        else:
+            fl = np.array(
+                [[p[0].copy_buffer_to_alternate or 0 for p in per],
+                 [p[0].copy_buffer_to_golden or 0 for p in per],
+                 [p[0].refresh_golden_frame for p in per],
+                 [p[0].refresh_alternate_frame for p in per],
+                 [p[0].refresh_last for p in per]], np.int16)
+        buf16 = np.concatenate([
+            mv0.ravel().astype(np.int16),
+            np.concatenate([lf_base(g).ravel() for g in range(G)]),
+            qf_table.ravel(),
+            np.array([p[0].sharpness_level for p in per], np.int16),
+            fl.ravel()])
+
         batch = dict(
             intra_active=intra_active,
             coeff_idx=coeff_idx, coeff_val=coeff_val,
-            mv0=mv0, split_idx=split_idx, split_val=split_val,
-            qf_table=qf_table,
-            segment=stack(lambda p: p[1].segment, np.uint8),
-            y2c=stack(lambda p: p[1].y2_coded),
-            nz=stack(lambda p: p[1].has_nonzero),
-            ymode=stack(lambda p: p[1].ymode, np.int8),
-            uvmode=stack(lambda p: p[1].uvmode, np.int8),
-            bmode=stack(lambda p: p[1].bmode, np.int8),
-            refsel=stack(lambda p: p[1].ref, np.int8),
-            lf_base=np.stack([lf_base(g) for g in range(self.G)]),
-            sharpness=np.array([p[0].sharpness_level for p in per], np.int32),
+            split_idx=split_idx, split_val=split_val,
+            buf8=buf8, buf16=buf16,
         )
-        if key_frame:
-            flags = None
-        else:
-            def flag(fn, dtype=np.int32):
-                return np.array([fn(p[0]) for p in per], dtype)
-            flags = dict(
-                copy_alt=flag(lambda h: h.copy_buffer_to_alternate or 0),
-                copy_gold=flag(lambda h: h.copy_buffer_to_golden or 0),
-                refresh_gold=flag(lambda h: h.refresh_golden_frame, bool),
-                refresh_alt=flag(lambda h: h.refresh_alternate_frame, bool),
-                refresh_last=flag(lambda h: h.refresh_last, bool),
-            )
         show = [p[2].show_frame for p in per]
-        return key_frame, batch, flags, show
+        return key_frame, batch, None if key_frame else True, show
 
     # -- device side -----------------------------------------------------------
 
@@ -370,21 +382,43 @@ class BatchedGopDecoder:
         def sel3(cond, a, b):
             return jnp.where(cond[:, None, None], a, b)
 
-        def step(batch, refs, flags):
+        def step(batch, refs):
             def refstack(plane):
                 last, gold, alt = refs[plane]
                 return jnp.stack([last, last, gold, alt], axis=1)
 
             i32 = lambda x: x.astype(jnp.int32)
-            G = batch["mv0"].shape[0]
+            buf8 = batch["buf8"]
+            G = buf8.shape[0]
             n_mb = G * R * C
+
+            # unpack buf16: [mv0, lf_base, qf_table, sharpness, flags]
+            b16 = batch["buf16"]
+            o = 0
+            mv0 = i32(b16[o:o + n_mb * 2]).reshape(G, R, C, 2)
+            o += n_mb * 2
+            lf_base = i32(b16[o:o + n_mb]).reshape(G, R, C)
+            o += n_mb
+            qf_table = i32(b16[o:o + G * 6 * 4]).reshape(G, 6, 4)
+            o += G * 6 * 4
+            sharpness = i32(b16[o:o + G])
+            o += G
+            fls = i32(b16[o:o + 5 * G]).reshape(5, G)
+
+            seg8 = buf8[:, :, :, 0].astype(jnp.uint8)
+            y2c = buf8[:, :, :, 1] != 0
+            nz = buf8[:, :, :, 2] != 0
+            ymode = i32(buf8[:, :, :, 3])
+            uvmode = i32(buf8[:, :, :, 4])
+            refsel = i32(buf8[:, :, :, 5])
+            bmode = i32(buf8[:, :, :, 6:22]).reshape(G, R, C, 4, 4)
 
             coeffs = jnp.zeros((n_mb * 25 * 16,), jnp.int32).at[
                 batch["coeff_idx"]].add(i32(batch["coeff_val"])) \
                 .reshape(G, R, C, 25, 16)
 
             sub_mv = jnp.broadcast_to(
-                i32(batch["mv0"])[:, :, :, None, None, :],
+                mv0[:, :, :, None, None, :],
                 (G, R, C, 4, 4, 2)).reshape(n_mb, 4, 4, 2)
             sub_mv = sub_mv.at[batch["split_idx"]].set(
                 i32(batch["split_val"])).reshape(G, R, C, 4, 4, 2)
@@ -394,15 +428,14 @@ class BatchedGopDecoder:
                 .sum(axis=(4, 6))              # (G,R,C,2,2,2)
             uv_mv = jnp.sign(q) * ((jnp.abs(q) + 4) >> 3)
 
-            seg = batch["segment"].astype(jnp.int32).reshape(G, -1)
-            qf = {k: jnp.take_along_axis(
-                      i32(batch["qf_table"][:, ki]), seg, axis=1)
+            seg = seg8.astype(jnp.int32).reshape(G, -1)
+            qf = {k: jnp.take_along_axis(qf_table[:, ki], seg, axis=1)
                       .reshape(G, R, C)
                   for ki, k in enumerate(_QF_KEYS)}
 
             # loop-filter limits from the base level (loopfilter.cc:82-128)
-            base = i32(batch["lf_base"])
-            sharp = batch["sharpness"][:, None, None]
+            base = lf_base
+            sharp = sharpness[:, None, None]
             fl = jnp.clip(base, 0, 63)
             interior = jnp.where(
                 sharp > 0,
@@ -411,14 +444,13 @@ class BatchedGopDecoder:
             hev = ((fl >= 15).astype(jnp.int32) + (fl >= 40).astype(jnp.int32)
                    + ((fl >= 20) & (not key_frame)).astype(jnp.int32))
             level = jnp.where(base > 0, fl, 0)
-            skip_sb = batch["y2c"] & ~batch["nz"]
+            skip_sb = y2c & ~nz
             lfp = (level, interior, (fl + 2) * 2 + interior,
                    fl * 2 + interior, hev, skip_sb)
 
             y, u, v = vone(coeffs, qf,
-                           batch["y2c"], batch["nz"], i32(batch["ymode"]),
-                           i32(batch["uvmode"]), i32(batch["bmode"]),
-                           i32(batch["refsel"]), sub_mv,
+                           y2c, nz, ymode, uvmode, bmode,
+                           refsel, sub_mv,
                            uv_mv, refstack("y"), refstack("u"),
                            refstack("v"), lfp, batch.get("intra_active"))
             new_refs = {}
@@ -429,13 +461,14 @@ class BatchedGopDecoder:
                     continue
                 # reference copy/refresh semantics (frame.cc:271-307);
                 # golden<-alternate reads the *updated* alternate
-                alt = sel3(flags["copy_alt"] == 1, last,
-                           sel3(flags["copy_alt"] == 2, gold, alt))
-                gold = sel3(flags["copy_gold"] == 1, last,
-                            sel3(flags["copy_gold"] == 2, alt, gold))
-                gold = sel3(flags["refresh_gold"], raster, gold)
-                alt = sel3(flags["refresh_alt"], raster, alt)
-                last = sel3(flags["refresh_last"], raster, last)
+                copy_alt, copy_gold = fls[0], fls[1]
+                alt = sel3(copy_alt == 1, last,
+                           sel3(copy_alt == 2, gold, alt))
+                gold = sel3(copy_gold == 1, last,
+                            sel3(copy_gold == 2, alt, gold))
+                gold = sel3(fls[2] != 0, raster, gold)
+                alt = sel3(fls[3] != 0, raster, alt)
+                last = sel3(fls[4] != 0, raster, last)
                 new_refs[plane] = (last, gold, alt)
             return (y, u, v), new_refs
 
@@ -455,9 +488,7 @@ class BatchedGopDecoder:
                          for k, v in batch.items()}
         with tracing.stage("gop.step_dispatch"):
             (y, u, v), self.refs = self._step(key_frame)(
-                dev_batch, self.refs,
-                None if flags is None else
-                {k: jnp.asarray(v) for k, v in flags.items()})
+                dev_batch, self.refs)
         return (y, u, v), show
 
 
