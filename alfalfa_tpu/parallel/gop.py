@@ -190,8 +190,14 @@ class BatchedGopDecoder:
         self.refs = {"y": (z_y, z_y, z_y), "u": (z_uv, z_uv, z_uv),
                      "v": (z_uv, z_uv, z_uv)}
         self._step_cache = {}
-        from concurrent.futures import ThreadPoolExecutor
-        self._pool = ThreadPoolExecutor(max_workers=min(16, n_gops))
+        import os
+        # the C parsers release the GIL, but with a single CPU the pool
+        # only adds queue/lock overhead (~2 ms per GOP-frame)
+        if (os.cpu_count() or 1) > 1 and n_gops > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=min(16, n_gops))
+        else:
+            self._pool = None
 
     # -- host side -----------------------------------------------------------
 
@@ -206,10 +212,10 @@ class BatchedGopDecoder:
                 self.states[g], sparse_tokens=True).parse(chunk)
             return (header, arrays, chunk)
 
-        if self.G > 1:
+        if self._pool is not None and self.G > 1:
             per = list(self._pool.map(parse_one, range(self.G)))
         else:
-            per = [parse_one(0)]
+            per = [parse_one(g) for g in range(self.G)]
         key_frames = {p[2].key_frame for p in per}
         if len(key_frames) != 1:
             raise ValueError("GOPs must be frame-type aligned")

@@ -57,14 +57,18 @@ def our_fps(clip, frames):
     jax.block_until_ready(y)
     check = int(np.asarray(y[0]).astype(np.uint32).sum())
 
+    REPS = 3  # steady-state throughput: amortize per-clip overheads
     best = float("inf")
     for _ in range(TRIALS):
-        dec = BatchedGopDecoder(ivf.width, ivf.height, G)
         t0 = time.perf_counter()
-        for p in payloads:
-            (y, u, v), _ = dec.decode_frame_batch([p] * G)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(REPS):
+            dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+            for p in payloads:
+                (y, u, v), _ = dec.decode_frame_batch([p] * G)
+        import numpy as _np
+        import jax.numpy as jnp
+        _ = float(jnp.ravel(y)[0])  # force full execution over the tunnel
+        best = min(best, (time.perf_counter() - t0) / REPS)
     return G * frames / best, check
 
 
