@@ -18,11 +18,10 @@ from alfalfa_tpu.state.decoder_state import Raster
 from .costs import Costs
 
 _COSTS = None
-_T2B16 = None
 
 
 def _tables():
-    global _COSTS, _T2B16
+    global _COSTS
     if _COSTS is None:
         _COSTS = Costs()
     return _COSTS

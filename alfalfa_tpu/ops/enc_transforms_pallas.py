@@ -2,7 +2,7 @@
 
 Each 4x4 block is 16 consecutive lanes in row-major order (lane = 4*y + x);
 a whole luma macroblock is 16 blocks = 256 lanes.  Within-block data
-movement is expressed as full-axis pltpu.roll + lane-position masks: every
+movement is expressed as full-axis lane rolls + lane-position masks: every
 roll a block needs stays inside its own 16-lane group at the positions the
 masks keep, so all 16 blocks of an MB transform in one batched op sequence.
 
@@ -13,7 +13,6 @@ intermediates.
 """
 import jax
 import jax.numpy as jnp
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _roll(x, shift):

@@ -122,10 +122,21 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(ours / ref, 3) if ref else None,
     }), flush=True)
+    # secondary metric under a hard budget: a cold Mosaic cache can spend
+    # minutes compiling the encode kernel, and the headline must not hang
+    import signal
+
+    def _bail(signum, frame):
+        raise TimeoutError("encode metric budget exceeded")
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(420)
     try:
         encode_metric(CLIP)
     except Exception as e:
-        print(f"secondary metric failed: {e!r}", file=sys.stderr)
+        print(f"secondary metric skipped: {e!r}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
 
 
 if __name__ == "__main__":
