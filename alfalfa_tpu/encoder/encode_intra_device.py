@@ -99,6 +99,10 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
 
     oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon).
     """
+    import jax
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True   # CPU backends run the kernel interpreted
+
     oy, ou, ov = oplanes
     R, C = (height + 15) // 16, (width + 15) // 16
     sched = RJ.skew_schedule(R, C)
