@@ -1,9 +1,12 @@
 import os
 
-# Unit tests run on a virtual 8-device CPU mesh so multi-chip sharding logic
-# is exercised without TPU hardware. Benchmarks (bench.py) use the real chip.
-# NB: the axon TPU hook (sitecustomize triggered by PALLAS_AXON_POOL_IPS)
-# re-forces JAX_PLATFORMS=axon, so it must be disabled, not just overridden.
+# Intent: prefer a CPU backend with 8 virtual devices.  In practice the
+# axon sitecustomize hook runs at interpreter startup (before this file)
+# and keeps the real TPU registered, so under the full environment the
+# suite runs on the TPU — which is load-bearing: the Pallas kernels are
+# gated by the normal test run.  In a plain environment (no axon hook,
+# e.g. subprocesses spawned by tests, or CI without the tunnel) these
+# settings take effect and everything falls back to CPU/interpret paths.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
