@@ -205,13 +205,26 @@ def update_residues(encoder, orig_yuv, pred_header, pred_arrays,
     q = {k: int(v) for k, v in quant_indices.quantizer().items()}
     oplanes = (orig.y, orig.u, orig.v)
 
-    for r in range(R_):
-        for c in range(C_):
-            if int(arrays.ref[r, c]) == T.CURRENT_FRAME:
-                _apply_intra_mb(oplanes, recon, arrays, r, c, q)
-                arrays.has_nonzero[r, c] = bool(arrays.coeffs[r, c].any())
-            else:
-                _apply_inter_mb(oplanes, recon, arrays, r, c, q, refs)
+    if getattr(encoder, "device_encode", False):
+        # all inter MBs at once on device (fixed MVs -> no dependencies);
+        # intra MBs keep the raster-order host loop below, which is
+        # order-equivalent because inter MBs never read intra output
+        from .reencode_device import apply_inter_residues_device
+        inter_done = apply_inter_residues_device(oplanes, recon, arrays, q,
+                                                 refs)
+        for r in range(R_):
+            for c in range(C_):
+                if not inter_done[r, c]:
+                    _apply_intra_mb(oplanes, recon, arrays, r, c, q)
+                    arrays.has_nonzero[r, c] = bool(arrays.coeffs[r, c].any())
+    else:
+        for r in range(R_):
+            for c in range(C_):
+                if int(arrays.ref[r, c]) == T.CURRENT_FRAME:
+                    _apply_intra_mb(oplanes, recon, arrays, r, c, q)
+                    arrays.has_nonzero[r, c] = bool(arrays.coeffs[r, c].any())
+                else:
+                    _apply_inter_mb(oplanes, recon, arrays, r, c, q, refs)
 
     no_skip = int(arrays.has_nonzero.sum())
     header.prob_skip_false = calc_prob(no_skip, arrays.has_nonzero.size)
