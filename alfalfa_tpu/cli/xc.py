@@ -160,6 +160,9 @@ def cmd_enc_parallel(args):
     t0 = time.time()
     with IVFWriter(args.output, "VP80", reader.width, reader.height,
                    1, 1, 0) as writer:
+        import os as _os
+        if getattr(args, "device", False):
+            _os.environ["ALFALFA_DEVICE_ENCODE"] = "1"
         parallel_encode(frames, reader.width, reader.height, writer,
                         y_ac_qi=args.y_ac_qi, ssim_target=args.ssim,
                         chunk_frames=args.chunk_frames, workers=args.workers,
@@ -555,6 +558,8 @@ def main(argv=None):
     p.add_argument("-c", "--chunk-frames", type=int, default=6)
     p.add_argument("-j", "--workers", type=int, default=None)
     p.add_argument("-w", "--kf-q-weight", type=float, default=0.5)
+    p.add_argument("--device", action="store_true",
+                   help="run keyframe encode + rebase residues on the TPU")
     p.set_defaults(func=cmd_enc_parallel)
 
     p = sub.add_parser("framesize", help="print per-frame compressed sizes")
