@@ -160,15 +160,15 @@ def cmd_enc_parallel(args):
     t0 = time.time()
     with IVFWriter(args.output, "VP80", reader.width, reader.height,
                    1, 1, 0) as writer:
-        import os as _os
-        if getattr(args, "device", False):
-            _os.environ["ALFALFA_DEVICE_ENCODE"] = "1"
+        # device path only in the serial rebase phase: chunk workers are
+        # separate processes and would contend for the single chip
         parallel_encode(frames, reader.width, reader.height, writer,
                         y_ac_qi=args.y_ac_qi, ssim_target=args.ssim,
                         chunk_frames=args.chunk_frames, workers=args.workers,
                         quality=args.quality, two_pass=args.two_pass,
                         kf_q_weight=args.kf_q_weight,
-                        log=lambda m: print(m, file=_sys.stderr))
+                        log=lambda m: print(m, file=_sys.stderr),
+                        device_rebase=getattr(args, "device", False))
     dt = time.time() - t0
     print(f"{len(frames)} frames in {dt:.1f}s = {len(frames)/dt:.2f} fps",
           file=_sys.stderr)
@@ -559,7 +559,7 @@ def main(argv=None):
     p.add_argument("-j", "--workers", type=int, default=None)
     p.add_argument("-w", "--kf-q-weight", type=float, default=0.5)
     p.add_argument("--device", action="store_true",
-                   help="run keyframe encode + rebase residues on the TPU")
+                   help="run the rebase residue updates on the TPU")
     p.set_defaults(func=cmd_enc_parallel)
 
     p = sub.add_parser("framesize", help="print per-frame compressed sizes")

@@ -60,7 +60,7 @@ def _encode_one_chunk(args):
 def parallel_encode(frames, width, height, writer, y_ac_qi=None,
                     ssim_target=None, chunk_frames=6, workers=None,
                     quality="best", two_pass=False, kf_q_weight=0.5,
-                    log=None):
+                    log=None, device_rebase=False):
     """Encode `frames` (list of (y, u, v)) into `writer` (IVFWriter) via
     parallel chunk encode + serial rebase. Returns per-chunk stats."""
     from alfalfa_tpu.encoder.encoder import Encoder
@@ -94,7 +94,8 @@ def parallel_encode(frames, width, height, writer, y_ac_qi=None,
         if g == 0:
             for p in payloads:
                 writer.append_frame(p)
-            enc = Encoder(width, height, quality=quality)
+            enc = Encoder(width, height, quality=quality,
+                          device_encode=device_rebase or None)
             enc.state, enc.references = serdes.load_decoder(state_bytes)
             enc.frame_no = 1
             stats.append({"chunk": 0, "rebased": False,
