@@ -207,13 +207,16 @@ class Encoder:
         q = {k: int(v) for k, v in q.items()}
         rate_mult, dist_mult = rd_multipliers(q["y_ac"])
 
+        from alfalfa_tpu.util import tracing
         oplanes = (orig.y, orig.u, orig.v)
         if self.device_encode and not self.two_pass:
             # the whole MB wavefront runs on-chip (SURVEY section 7.2
             # stage 4); bit-identical to the host loop below
             from .encode_intra_device import encode_keyframe_device
-            arrays, recon = encode_keyframe_device(
-                oplanes, self.width, self.height, q, rate_mult, dist_mult)
+            with tracing.stage("enc.kf_mb_wavefront"):
+                arrays, recon = encode_keyframe_device(
+                    oplanes, self.width, self.height, q, rate_mult,
+                    dist_mult)
         else:
             passes = 2 if self.two_pass else 1
             for pass_i in range(passes):
@@ -246,18 +249,21 @@ class Encoder:
 
         # per-frame coefficient probability optimization (encoder.cc:418-439)
         from .serializer import count_token_branches, optimize_token_probs
-        counts = count_token_branches(arrays)
+        with tracing.stage("enc.token_counts"):
+            counts = count_token_branches(arrays)
         header.token_prob_update = optimize_token_probs(
             counts, new_state.probability_tables.coeff_probs)
         frame_probs = new_state.probability_tables.copy()
         frame_probs.coeff_prob_update(header)
 
-        lf_level, filtered = self._search_loopfilter(header, arrays, new_state,
-                                                     recon, orig, True)
+        with tracing.stage("enc.lf_search"):
+            lf_level, filtered = self._search_loopfilter(
+                header, arrays, new_state, recon, orig, True)
         header.loop_filter_level = lf_level
 
-        payload = serialize_frame(header, arrays, frame_probs,
-                                  True, self.width, self.height)
+        with tracing.stage("enc.serialize"):
+            payload = serialize_frame(header, arrays, frame_probs,
+                                      True, self.width, self.height)
         quality = ssim(*(filtered.display()[0], orig.display()[0]))
 
         if update:
