@@ -27,7 +27,7 @@ def _parse_frames(payloads, w, h):
 
 
 def _rebase(tmp_path, device):
-    w, h, n = 80, 64, 5
+    w, h, n = 80, 48, 5
     clip = gen_clip(w, h, n, seed=41)
 
     # chunk 0 establishes the inherited state
