@@ -155,13 +155,16 @@ def parse_token_prob_update(bd):
     up = tables.COEFF_UPDATE_PROBS
     if getattr(bd, "complete", False):
         # 1056 flag reads dominate header-parse time; run them natively
-        from alfalfa_tpu.native import bitwork
-        flags, vals = bitwork.parse_flagged_literals(
-            bd, up.reshape(-1), up.size, 8)
-        import numpy as _np
-        idx = _np.flatnonzero(flags)
-        keys = _np.stack(_np.unravel_index(idx, up.shape), axis=1).tolist()
-        return dict(zip(map(tuple, keys), vals[idx].tolist()))
+        try:
+            from alfalfa_tpu.native import bitwork
+            flags, vals = bitwork.parse_flagged_literals(
+                bd, up.reshape(-1), up.size, 8)
+            import numpy as _np
+            idx = _np.flatnonzero(flags)
+            keys = _np.stack(_np.unravel_index(idx, up.shape), axis=1).tolist()
+            return dict(zip(map(tuple, keys), vals[idx].tolist()))
+        except (ImportError, AttributeError, OSError, RuntimeError):
+            pass  # no native toolchain: fall through to the Python loop
     updates = {}
     for i in range(tables.BLOCK_TYPES):
         for j in range(tables.COEF_BANDS):
@@ -191,14 +194,17 @@ def parse_mv_prob_update(bd):
     """
     up = tables.MV_UPDATE_PROBS
     if getattr(bd, "complete", False):
-        from alfalfa_tpu.native import bitwork
-        flags, vals = bitwork.parse_flagged_literals(
-            bd, up.reshape(-1), up.size, 7)
-        import numpy as _np
-        n = up.shape[1]
-        return {(int(i) // n, int(i) % n):
-                ((int(vals[i]) << 1) if vals[i] else 1)
-                for i in _np.flatnonzero(flags)}
+        try:
+            from alfalfa_tpu.native import bitwork
+            flags, vals = bitwork.parse_flagged_literals(
+                bd, up.reshape(-1), up.size, 7)
+            import numpy as _np
+            n = up.shape[1]
+            return {(int(i) // n, int(i) % n):
+                    ((int(vals[i]) << 1) if vals[i] else 1)
+                    for i in _np.flatnonzero(flags)}
+        except (ImportError, AttributeError, OSError, RuntimeError):
+            pass  # no native toolchain: fall through to the Python loop
     updates = {}
     for i in range(2):
         for j in range(tables.MV_PROB_CNT):

@@ -6,7 +6,6 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libbitwork.so")
 _SRC = os.path.join(_HERE, "bitwork.cc")
 
 _lib = None
@@ -16,11 +15,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
-                       check=True, capture_output=True)
-    lib = ctypes.CDLL(_SO)
+    from alfalfa_tpu.native._build import load_library
+    lib = load_library(_SRC)
     lib.vp8_parse_tokens.restype = ctypes.c_int
     lib.vp8_parse_tokens.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -73,27 +69,32 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     y2_u8 = np.ascontiguousarray(y2_coded, np.uint8)
     if coeffs_out is not None:
         assert coeffs_out.flags.c_contiguous and coeffs_out.dtype == np.int16
-    if sparse:
-        # worst case is bounded by the bitstream length (>= 2 bits/coeff)
-        cap = max(4096, 4 * len(data) + 16)
+    if not sparse:
+        rc = lib.vp8_parse_tokens(
+            data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
+            probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
+            None if coeffs_out is None else coeffs_out.ctypes.data,
+            has_nonzero_out.ctypes.data, None, None, None)
+        return rc == 0
+    # usual case is bounded by the bitstream length (>= 2 bits/coeff), but
+    # extreme probabilities can beat that; retry at the true dense bound
+    # (mb_rows*mb_cols*25*16) on overflow instead of losing the fast path
+    for cap in (max(4096, 4 * len(data) + 16), mb_rows * mb_cols * 25 * 16):
         sp_idx = np.empty(cap, np.int32)
         sp_val = np.empty(cap, np.int16)
         sp_meta = np.array([0, cap], np.int64)
-        sp_args = (sp_idx.ctypes.data, sp_val.ctypes.data,
-                   sp_meta.ctypes.data)
-    else:
-        sp_args = (None, None, None)
-    rc = lib.vp8_parse_tokens(
-        data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
-        probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
-        None if coeffs_out is None else coeffs_out.ctypes.data,
-        has_nonzero_out.ctypes.data, *sp_args)
-    if not sparse:
-        return rc == 0
-    if rc != 0:
-        return None
-    n = int(sp_meta[0])
-    return sp_idx[:n], sp_val[:n]
+        rc = lib.vp8_parse_tokens(
+            data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
+            probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
+            None if coeffs_out is None else coeffs_out.ctypes.data,
+            has_nonzero_out.ctypes.data,
+            sp_idx.ctypes.data, sp_val.ctypes.data, sp_meta.ctypes.data)
+        if rc == 0:
+            n = int(sp_meta[0])
+            return sp_idx[:n], sp_val[:n]
+        if rc != -2:  # not a capacity overflow: genuine parse failure
+            break
+    return None
 
 
 def parse_flagged_literals(bd, update_probs, n, width):
@@ -234,7 +235,6 @@ def hash_bytes(seed, values_u8):
 
 
 _mblib = None
-_MB_SO = os.path.join(_HERE, "libmbparse.so")
 _MB_SRC = os.path.join(_HERE, "mbparse.cc")
 
 
@@ -242,11 +242,8 @@ def _load_mb():
     global _mblib
     if _mblib is not None:
         return _mblib
-    if (not os.path.exists(_MB_SO)
-            or os.path.getmtime(_MB_SO) < os.path.getmtime(_MB_SRC)):
-        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _MB_SO, _MB_SRC],
-                       check=True, capture_output=True)
-    lib = ctypes.CDLL(_MB_SO)
+    from alfalfa_tpu.native._build import load_library
+    lib = load_library(_MB_SRC)
     lib.vp8_parse_mb_headers.restype = ctypes.c_int
     lib.vp8_parse_mb_headers.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64,

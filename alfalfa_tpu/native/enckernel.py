@@ -7,7 +7,6 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libenckernel.so")
 _SRC = os.path.join(_HERE, "enckernel.cc")
 
 _lib = None
@@ -21,11 +20,8 @@ def available():
     if _lib is not None:
         return True
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
-                           check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO)
+        from alfalfa_tpu.native._build import load_library
+        lib = load_library(_SRC)
         lib.vp8_inter_predict.restype = None
         lib.vp8_inter_predict.argtypes = [ctypes.c_void_p] + [ctypes.c_int]*3 + \
             [ctypes.c_void_p] + [ctypes.c_int]*6

@@ -34,10 +34,7 @@ for p in payloads:
         if hasattr(v, 'block_until_ready'):
             v.block_until_ready()
     t2 = time.perf_counter()
-    import jax.numpy as jnp
-    (y, u, v), dec.refs = dec._step(key_frame)(
-        dev_batch, dec.refs,
-        None if flags is None else {k: jnp.asarray(v) for k, v in flags.items()})
+    (y, u, v), dec.refs = dec._step(key_frame)(dev_batch, dec.refs)
     jax.block_until_ready(y)
     t3 = time.perf_counter()
     parse_t.append(t1 - t0); upload_t.append(t2 - t1); step_t.append(t3 - t2)
