@@ -190,9 +190,13 @@ class FrameParser:
     """Parses one frame against a DecoderState; mutates the state exactly as
     DecoderState::parse_and_apply does (prob persistence, segmentation map)."""
 
-    def __init__(self, state, sparse_tokens=False):
+    def __init__(self, state, sparse_tokens=False, defer_tokens=False):
         self.state = state
         self.sparse_tokens = sparse_tokens
+        # defer_tokens: stop after the MB headers; the caller runs the token
+        # parse itself (the GOP-batched decoder interleaves G frames' token
+        # streams in one native call — see native/bitwork.parse_tokens_gop)
+        self.defer_tokens = defer_tokens
         self.mb_cols = (state.width + 15) // 16
         self.mb_rows = (state.height + 15) // 16
 
@@ -200,38 +204,48 @@ class FrameParser:
 
     def parse(self, chunk: UncompressedChunk):
         """Returns (header, FrameArrays, frame_probability_tables)."""
+        header, frame_probs, bd = self.parse_header_phase(chunk)
         if chunk.key_frame:
-            return self._parse_keyframe(chunk)
-        return self._parse_interframe(chunk)
-
-    def _parse_keyframe(self, chunk):
-        bd = BoolDecoder(chunk.first_partition,
-                         chunk.corruption_level < CORRUPTED_FIRST_PARTITION)
-        if chunk.experimental:
-            raise ValueError("experimental key frame")
-        header = KeyFrameHeader.parse(bd)
-
-        # keyframe resets all persistent state
-        from alfalfa_tpu.state.decoder_state import DecoderState
-        st = DecoderState.from_keyframe_header(header, self.state.width,
-                                               self.state.height)
-        self.state.probability_tables = st.probability_tables
-        self.state.segmentation = st.segmentation
-        self.state.filter_adjustments = st.filter_adjustments
-
-        frame_probs = self.state.probability_tables.copy()
-        frame_probs.coeff_prob_update(header)
-        if header.refresh_entropy_probs:
-            self.state.probability_tables = frame_probs.copy()
-
-        arrays = self._parse_macroblock_headers(bd, header, frame_probs,
-                                                key_frame=True,
-                                                error_concealment=False)
+            arrays = self._parse_macroblock_headers(bd, header, frame_probs,
+                                                    key_frame=True,
+                                                    error_concealment=False)
+        else:
+            arrays = self._parse_macroblock_headers(
+                bd, header, frame_probs, key_frame=False,
+                error_concealment=(chunk.corruption_level
+                                   > CORRUPTED_RESIDUES))
         self._apply_segmentation_map(arrays)
-        self._parse_tokens(chunk, header, arrays, frame_probs)
+        if not self.defer_tokens:
+            self._parse_tokens(chunk, header, arrays, frame_probs)
         return header, arrays, frame_probs
 
-    def _parse_interframe(self, chunk):
+    def parse_header_phase(self, chunk):
+        """Frame header + persistent-state updates only; returns (header,
+        frame_probs, bd) with ``bd`` positioned at the MB headers.  The
+        GOP-batched decoder uses this split to run the MB-header parse of
+        G frames interleaved in one native call."""
+        if chunk.key_frame:
+            bd = BoolDecoder(chunk.first_partition,
+                             chunk.corruption_level
+                             < CORRUPTED_FIRST_PARTITION)
+            if chunk.experimental:
+                raise ValueError("experimental key frame")
+            header = KeyFrameHeader.parse(bd)
+
+            # keyframe resets all persistent state
+            from alfalfa_tpu.state.decoder_state import DecoderState
+            st = DecoderState.from_keyframe_header(header, self.state.width,
+                                                   self.state.height)
+            self.state.probability_tables = st.probability_tables
+            self.state.segmentation = st.segmentation
+            self.state.filter_adjustments = st.filter_adjustments
+
+            frame_probs = self.state.probability_tables.copy()
+            frame_probs.coeff_prob_update(header)
+            if header.refresh_entropy_probs:
+                self.state.probability_tables = frame_probs.copy()
+            return header, frame_probs, bd
+
         bd = BoolDecoder(chunk.first_partition,
                          chunk.corruption_level < CORRUPTED_FIRST_PARTITION)
         header = InterFrameHeader.parse(bd)
@@ -260,13 +274,7 @@ class FrameParser:
                     self.state.width, self.state.height, header)
         else:
             self.state.segmentation = None
-
-        arrays = self._parse_macroblock_headers(
-            bd, header, frame_probs, key_frame=False,
-            error_concealment=(chunk.corruption_level > CORRUPTED_RESIDUES))
-        self._apply_segmentation_map(arrays)
-        self._parse_tokens(chunk, header, arrays, frame_probs)
-        return header, arrays, frame_probs
+        return header, frame_probs, bd
 
     # -- macroblock headers --------------------------------------------------
 

@@ -102,7 +102,20 @@ struct FastBool {
   }
 
   inline void fill() {
-    int shift = 64 - 8 - (count + 8);
+    int shift = 48 - count; /* = 64 - 8 - (count + 8) */
+    if (pos + 8 <= size) {
+      /* bulk refill: one big-endian 64-bit load places every whole byte
+       * that fits under the window (bits below the last byte masked off
+       * so later refills still OR into zeros) */
+      uint64_t big;
+      memcpy(&big, data + pos, 8);
+      big = __builtin_bswap64(big);
+      const int nbytes = (shift >> 3) + 1;
+      value |= (big >> (56 - shift)) & (~0ULL << (shift & 7));
+      pos += nbytes;
+      count += nbytes << 3;
+      return;
+    }
     while (shift >= 0) {
       uint64_t b = pos < size ? data[pos] : 0;
       pos++; /* virtual position keeps bit accounting uniform past EOS */
@@ -115,13 +128,11 @@ struct FastBool {
   inline int get(int probability) {
     const uint32_t split = 1 + (((range_ - 1) * (uint32_t)probability) >> 8);
     const uint64_t big_split = (uint64_t)split << 56;
-    uint32_t range = split;
-    int ret = 0;
-    if (value >= big_split) {
-      ret = 1;
-      range = range_ - split;
-      value -= big_split;
-    }
+    /* branchless select: the outcome of a coded bool is data-dependent
+     * noise, so a cmov beats a ~50% mispredict */
+    const int ret = value >= big_split;
+    const uint32_t range = ret ? range_ - split : split;
+    value -= ret ? big_split : 0;
     const int shift = kNormTable.v[range];
     value <<= shift;
     range_ = range << shift;
@@ -218,7 +229,8 @@ inline int parse_block(FastBool &bd, const uint8_t *coeff_probs,
         }
       }
     }
-    if (bd.get(128)) value = -value;
+    const int sign = bd.get(128);
+    value = (value ^ -sign) + sign; /* branchless negate */
     if (out16) out16[kZigzag[index]] = (int16_t)value;
     if (sink && sink->count < sink->cap) {
       sink->idx[sink->count] = (int32_t)(sink->base + kZigzag[index]);
@@ -353,6 +365,155 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
     if (sink->count >= sink->cap) return -2; /* truncated */
   }
   return 0;
+}
+
+/* GOP-batched token parse: G frames' DCT partitions decoded in ONE call
+ * with block-level interleaving across the (independent) streams.  The
+ * range decoder is a serial dependency chain (~10 cycles/bit); round-
+ * robining blocks across G streams gives the out-of-order core G
+ * independent chains, which is worth ~2-3x on top of the single-stream
+ * loop.  This is the host-side mirror of the TPU's GOP-lockstep decode
+ * (parallel/gop.py): same batch, same layout.
+ *
+ * Layout: data = all partitions of all frames concatenated; frame g's
+ * partition p spans [offsets[part_base[g]+p], offsets[part_base[g]+p+1]).
+ * coeff_probs: (G, 4*8*3*11); skip/y2_coded/has_nonzero: (G, R*C).
+ * Sparse output indices are GLOBAL: g*R*C*25*16 + mb*25*16 + block*16 + pos
+ * (exactly what the batched decoder scatters).  Returns -2 on sparse
+ * overflow (caller grows and retries). */
+int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
+                         const uint8_t *data, const int64_t *offsets,
+                         const int32_t *nparts, const int32_t *part_base,
+                         const uint8_t *coeff_probs, const uint8_t *skip,
+                         const uint8_t *y2_coded, uint8_t *has_nonzero_out,
+                         int32_t *sparse_idx, int16_t *sparse_val,
+                         int64_t *sparse_meta) {
+  if (G < 1 || G > 16) return -1;
+  const int R = mb_rows, C = mb_cols;
+  FastBool decs[16][8];
+  for (int g = 0; g < G; g++) {
+    if (nparts[g] < 1 || nparts[g] > 8) return -1;
+    for (int p = 0; p < nparts[g]; p++) {
+      const int64_t b = offsets[part_base[g] + p];
+      decs[g][p].init(data + b, offsets[part_base[g] + p + 1] - b);
+    }
+  }
+  SparseSink sink{sparse_idx, sparse_val, 0, sparse_meta[1], 0};
+
+  /* per-frame context planes, packed [g][...] */
+  uint8_t *y_nz = new uint8_t[(size_t)G * R * 4 * C * 4]();
+  uint8_t *u_nz = new uint8_t[(size_t)G * R * 2 * C * 2]();
+  uint8_t *v_nz = new uint8_t[(size_t)G * R * 2 * C * 2]();
+  uint8_t *y2_above = new uint8_t[(size_t)G * C]();
+  uint8_t *y2_above_valid = new uint8_t[(size_t)G * C]();
+  uint8_t y2_left[16], y2_left_valid[16];
+  FastBool *bd_row[16];
+  /* per-(g) per-MB scratch */
+  uint8_t live[16];     /* not skipped */
+  int mb_nz[16];
+  const int64_t frame_elems = (int64_t)R * C * 25 * 16;
+
+  for (int r = 0; r < R; r++) {
+    for (int g = 0; g < G; g++) {
+      bd_row[g] = &decs[g][r % nparts[g]];
+      y2_left[g] = 0;
+      y2_left_valid[g] = 0;
+    }
+    for (int c = 0; c < C; c++) {
+      const int mb = r * C + c;
+      /* phase 0: skips + Y2 blocks (independent across g) */
+      for (int g = 0; g < G; g++) {
+        const int gmb = g * R * C + mb;
+        mb_nz[g] = 0;
+        if (skip[gmb]) {
+          live[g] = 0;
+          uint8_t *yg = y_nz + (size_t)g * R * 4 * C * 4;
+          for (int sr = 0; sr < 4; sr++)
+            memset(yg + (r * 4 + sr) * C * 4 + c * 4, 0, 4);
+          uint8_t *ug = u_nz + (size_t)g * R * 2 * C * 2;
+          uint8_t *vg = v_nz + (size_t)g * R * 2 * C * 2;
+          for (int sr = 0; sr < 2; sr++) {
+            memset(ug + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+            memset(vg + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+          }
+          if (y2_coded[gmb]) {
+            y2_above[g * C + c] = 0;
+            y2_above_valid[g * C + c] = 1;
+            y2_left[g] = 0;
+            y2_left_valid[g] = 1;
+          }
+          continue;
+        }
+        live[g] = 1;
+        if (y2_coded[gmb]) {
+          const int ctx = (y2_above_valid[g * C + c] ? y2_above[g * C + c] : 0)
+                          + (y2_left_valid[g] ? y2_left[g] : 0);
+          sink.base = g * frame_elems + (int64_t)mb * 25 * 16 + 24 * 16;
+          const int nz = parse_block(*bd_row[g],
+                                     coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
+                                     1 /*Y2*/, ctx, 0, nullptr, &sink);
+          y2_above[g * C + c] = (uint8_t)nz;
+          y2_above_valid[g * C + c] = 1;
+          y2_left[g] = (uint8_t)nz;
+          y2_left_valid[g] = 1;
+          mb_nz[g] |= nz;
+        }
+      }
+      /* phase 1: 16 Y blocks, g-inner so chains interleave */
+      for (int sr = 0; sr < 4; sr++) {
+        for (int sc = 0; sc < 4; sc++) {
+          const int gr = r * 4 + sr, gc = c * 4 + sc;
+          for (int g = 0; g < G; g++) {
+            if (!live[g]) continue;
+            const int gmb = g * R * C + mb;
+            uint8_t *yg = y_nz + (size_t)g * R * 4 * C * 4;
+            const int ctx = (gr > 0 ? yg[(gr - 1) * C * 4 + gc] : 0) +
+                            (gc > 0 ? yg[gr * C * 4 + gc - 1] : 0);
+            const int y2c = y2_coded[gmb];
+            sink.base = g * frame_elems + (int64_t)mb * 25 * 16
+                        + (sr * 4 + sc) * 16;
+            const int nz = parse_block(
+                *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
+                y2c ? 0 : 3, ctx, y2c ? 1 : 0, nullptr, &sink);
+            yg[gr * C * 4 + gc] = (uint8_t)nz;
+            mb_nz[g] |= nz;
+          }
+        }
+      }
+      /* phase 2: 8 chroma blocks */
+      for (int plane = 0; plane < 2; plane++) {
+        uint8_t *nz_base = plane ? v_nz : u_nz;
+        const int cbase = 16 + plane * 4;
+        for (int sr = 0; sr < 2; sr++) {
+          for (int sc = 0; sc < 2; sc++) {
+            const int gr = r * 2 + sr, gc = c * 2 + sc;
+            for (int g = 0; g < G; g++) {
+              if (!live[g]) continue;
+              uint8_t *nzp = nz_base + (size_t)g * R * 2 * C * 2;
+              const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
+                              (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
+              sink.base = g * frame_elems + (int64_t)mb * 25 * 16
+                          + (cbase + sr * 2 + sc) * 16;
+              const int nz = parse_block(
+                  *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
+                  2 /*UV*/, ctx, 0, nullptr, &sink);
+              nzp[gr * C * 2 + gc] = (uint8_t)nz;
+              mb_nz[g] |= nz;
+            }
+          }
+        }
+      }
+      for (int g = 0; g < G; g++)
+        if (live[g]) has_nonzero_out[g * R * C + mb] = (uint8_t)(mb_nz[g] != 0);
+    }
+  }
+  delete[] y_nz;
+  delete[] u_nz;
+  delete[] v_nz;
+  delete[] y2_above;
+  delete[] y2_above_valid;
+  sparse_meta[0] = sink.count;
+  return sink.count >= sink.cap ? -2 : 0;
 }
 
 /* Header fast path: a run of N "Flagged<Unsigned<width>>" elements, the

@@ -23,6 +23,10 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.vp8_parse_tokens_gop.restype = ctypes.c_int
+    lib.vp8_parse_tokens_gop.argtypes = (
+        [ctypes.c_int] * 3 + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 3)
     lib.vp8_parse_flagged_literals.restype = ctypes.c_int
     lib.vp8_parse_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
@@ -93,6 +97,53 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
             n = int(sp_meta[0])
             return sp_idx[:n], sp_val[:n]
         if rc != -2:  # not a capacity overflow: genuine parse failure
+            break
+    return None
+
+
+def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
+                     skip_all, y2_all, has_nonzero_out):
+    """Token-parse G frames in one interleaved call (see bitwork.cc
+    vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
+    strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
+    has_nonzero_out: (G, R, C) u8, filled in place.  Returns global sparse
+    (idx i32, val i16) or None on parse failure."""
+    lib = _load()
+    G = len(frame_parts)
+    data = b"".join(p for parts in frame_parts for p in parts)
+    nparts = np.array([len(parts) for parts in frame_parts], np.int32)
+    part_base = np.zeros(G, np.int32)
+    offsets = np.zeros(int(nparts.sum()) + G, np.int64)
+    k = 0
+    pos = 0
+    for g, parts in enumerate(frame_parts):
+        part_base[g] = k
+        offsets[k] = pos
+        for p in parts:
+            pos += len(p)
+            k += 1
+            offsets[k] = pos
+        k += 1
+    probs = np.ascontiguousarray(
+        np.stack([np.asarray(p, np.uint8) for p in coeff_probs_list]))
+    skip_u8 = np.ascontiguousarray(skip_all, np.uint8)
+    y2_u8 = np.ascontiguousarray(y2_all, np.uint8)
+    assert has_nonzero_out.flags.c_contiguous
+    for cap in (max(4096, 4 * len(data) + 16),
+                G * mb_rows * mb_cols * 25 * 16):
+        sp_idx = np.empty(cap, np.int32)
+        sp_val = np.empty(cap, np.int16)
+        sp_meta = np.array([0, cap], np.int64)
+        rc = lib.vp8_parse_tokens_gop(
+            G, mb_rows, mb_cols, data, offsets.ctypes.data,
+            nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
+            skip_u8.ctypes.data, y2_u8.ctypes.data,
+            has_nonzero_out.ctypes.data,
+            sp_idx.ctypes.data, sp_val.ctypes.data, sp_meta.ctypes.data)
+        if rc == 0:
+            n = int(sp_meta[0])
+            return sp_idx[:n], sp_val[:n]
+        if rc != -2:
             break
     return None
 
@@ -244,6 +295,10 @@ def _load_mb():
         return _mblib
     from alfalfa_tpu.native._build import load_library
     lib = load_library(_MB_SRC)
+    lib.vp8_parse_mb_headers_gop.restype = ctypes.c_int
+    lib.vp8_parse_mb_headers_gop.argtypes = (
+        [ctypes.c_int] * 3 + [ctypes.c_void_p] * 3
+        + [ctypes.c_void_p] * 6 + [ctypes.c_void_p] * 10)
     lib.vp8_parse_mb_headers.restype = ctypes.c_int
     lib.vp8_parse_mb_headers.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64,
@@ -258,6 +313,74 @@ def _load_mb():
         + [ctypes.c_void_p])
     _mblib = lib
     return lib
+
+
+def parse_mb_headers_gop(items, mb_rows, mb_cols, kf_b_mode_probs):
+    """MB-header parse of G frames interleaved in one native call.
+
+    items: list of (bd, header, frame_probs, key_frame) after the frame
+    header phase; each bd is advanced in place.  Returns per-frame dicts of
+    output slabs (views into the (G, ...) batch arrays), or None if the
+    native library is unavailable."""
+    lib = _load_mb()
+    G = len(items)
+    R, C = mb_rows, mb_cols
+    n = R * C
+    data = b"".join(bytes(bd.data) for bd, _, _, _ in items)
+    off = np.zeros(G + 1, np.int64)
+    np.cumsum([len(bd.data) for bd, _, _, _ in items], out=off[1:])
+    states = np.zeros((G, 4), np.int64)
+    params = np.zeros((G, 12), np.int32)
+    seg_probs = np.full((G, 3), 255, np.uint8)
+    ymp = np.zeros((G, 4), np.uint8)
+    uvp = np.zeros((G, 3), np.uint8)
+    mvp = np.zeros((G, 2, 19), np.uint8)
+    for g, (bd, header, fp, key_frame) in enumerate(items):
+        states[g] = (bd.pos, bd.range, bd.value, bd.bit_count)
+        us = header.update_segmentation
+        params[g] = (int(key_frame),
+                     int(us is not None and us.update_mb_segmentation_map),
+                     int(header.prob_skip_false is not None),
+                     header.prob_skip_false or 0,
+                     0 if key_frame else header.prob_inter,
+                     0 if key_frame else header.prob_references_last,
+                     0 if key_frame else header.prob_references_golden,
+                     0 if key_frame else int(header.sign_bias_golden),
+                     0 if key_frame else int(header.sign_bias_alternate),
+                     0, 0, 0)
+        if us is not None:
+            seg_probs[g] = us.segment_tree_probs()
+        ymp[g] = np.asarray(fp.y_mode_probs, np.uint8)
+        uvp[g] = np.asarray(fp.uv_mode_probs, np.uint8)
+        mvp[g] = np.asarray(fp.mv_probs, np.uint8)
+    kfb = np.ascontiguousarray(kf_b_mode_probs, np.uint8)
+
+    out = dict(
+        ymode=np.zeros((G, R, C), np.int8),
+        uvmode=np.zeros((G, R, C), np.int8),
+        ref=np.zeros((G, R, C), np.int8),
+        segment_update=np.full((G, R, C), -1, np.int16),
+        skip=np.zeros((G, R, C), np.uint8),
+        y2_coded=np.zeros((G, R, C), np.uint8),
+        bmode=np.zeros((G, R, C, 4, 4), np.int8),
+        sub_mv=np.zeros((G, R, C, 4, 4, 2), np.int16),
+        uv_mv=np.zeros((G, R, C, 2, 2, 2), np.int16),
+        splitmv_pid=np.full((G, R, C), -1, np.int8))
+    rc = lib.vp8_parse_mb_headers_gop(
+        G, R, C, data, off.ctypes.data, states.ctypes.data,
+        params.ctypes.data, seg_probs.ctypes.data, ymp.ctypes.data,
+        uvp.ctypes.data, kfb.ctypes.data, mvp.ctypes.data,
+        out["ymode"].ctypes.data, out["uvmode"].ctypes.data,
+        out["ref"].ctypes.data, out["segment_update"].ctypes.data,
+        out["skip"].ctypes.data, out["y2_coded"].ctypes.data,
+        out["bmode"].ctypes.data, out["sub_mv"].ctypes.data,
+        out["uv_mv"].ctypes.data, out["splitmv_pid"].ctypes.data)
+    if rc != 0:
+        return None
+    for g, (bd, _, _, _) in enumerate(items):
+        bd.pos, bd.range = int(states[g, 0]), int(states[g, 1])
+        bd.value, bd.bit_count = int(states[g, 2]), int(states[g, 3])
+    return out
 
 
 def parse_mb_headers(bd, mb_rows, mb_cols, key_frame, read_segment_id,

@@ -154,8 +154,9 @@ def gop_encode_step(mesh, mb_rows, mb_cols, n_chunks, axis="gop", seed=0):
 # a leading GOP axis, and a single vmapped reconstruction step advances
 # all G chunks at once — the sequential wavefronts amortize G-fold.
 
-from alfalfa_tpu.bitstream.header import UncompressedChunk
-from alfalfa_tpu.decoder.parse import FrameParser
+from alfalfa_tpu.bitstream.header import (UncompressedChunk,
+                                          CORRUPTED_RESIDUES)
+from alfalfa_tpu.decoder.parse import FrameParser, FrameArrays
 from alfalfa_tpu.decoder import reconstruct_jax as _RJ
 from alfalfa_tpu.state.decoder_state import DecoderState
 from alfalfa_tpu.bitstream import tables as _T
@@ -190,40 +191,103 @@ class BatchedGopDecoder:
         self.refs = {"y": (z_y, z_y, z_y), "u": (z_uv, z_uv, z_uv),
                      "v": (z_uv, z_uv, z_uv)}
         self._step_cache = {}
-        import os
-        # the C parsers release the GIL, but with a single CPU the pool
-        # only adds queue/lock overhead (~2 ms per GOP-frame)
-        if (os.cpu_count() or 1) > 1 and n_gops > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(max_workers=min(16, n_gops))
-        else:
-            self._pool = None
 
     # -- host side -----------------------------------------------------------
 
     def parse_frame_batch(self, payloads):
         """Parse one frame from each GOP (list of G byte strings).  Returns
-        the stacked device inputs + flags; advances per-GOP header state."""
-        def parse_one(g):
-            # the C token/MB parsers release the GIL, so GOPs parse in
-            # parallel threads; sparse tokens skip the dense coeff tensor
-            chunk = UncompressedChunk(payloads[g], self.width, self.height)
-            header, arrays, _fp = FrameParser(
-                self.states[g], sparse_tokens=True).parse(chunk)
-            return (header, arrays, chunk)
+        the stacked device inputs + flags; advances per-GOP header state.
 
-        if self._pool is not None and self.G > 1:
-            per = list(self._pool.map(parse_one, range(self.G)))
-        else:
-            per = [parse_one(g) for g in range(self.G)]
-        key_frames = {p[2].key_frame for p in per}
+        The bit-serial phases run as ONE native call each across the whole
+        batch (MB headers, then tokens), with the G independent range-
+        decoder chains interleaved so they overlap in the out-of-order
+        core — the host-side mirror of the TPU's GOP-lockstep decode."""
+        G, R, C = self.G, self.mb_rows, self.mb_cols
+        chunks = [UncompressedChunk(payloads[g], self.width, self.height)
+                  for g in range(G)]
+        key_frames = {c.key_frame for c in chunks}
         if len(key_frames) != 1:
             raise ValueError("GOPs must be frame-type aligned")
         key_frame = key_frames.pop()
 
-        def stack(fn, dtype=None):
-            a = np.stack([fn(p) for p in per])
-            return a if dtype is None else a.astype(dtype)
+        parsers = [FrameParser(self.states[g], sparse_tokens=True,
+                               defer_tokens=True) for g in range(G)]
+        hdr = [parsers[g].parse_header_phase(chunks[g]) for g in range(G)]
+
+        clean = all(c.corruption_level == 0 for c in chunks)
+
+        # MB headers: one interleaved native call over the batch; the
+        # outputs land in (G, ...) slabs the device packing uses directly
+        S = None
+        if clean:
+            try:
+                from alfalfa_tpu.native import bitwork
+                S = bitwork.parse_mb_headers_gop(
+                    [(hdr[g][2], hdr[g][0], hdr[g][1], key_frame)
+                     for g in range(G)], R, C, _T.KF_B_MODE_PROBS)
+            except (ImportError, AttributeError, OSError):
+                S = None
+        per = []
+        if S is not None:
+            for g in range(G):
+                arrays = FrameArrays(
+                    R, C,
+                    ymode=S["ymode"][g], uvmode=S["uvmode"][g],
+                    ref=S["ref"][g], segment=np.zeros((R, C), np.uint8),
+                    skip_coeff=S["skip"][g].view(bool),
+                    has_nonzero=np.zeros((R, C), bool),
+                    y2_coded=S["y2_coded"][g].view(bool),
+                    bmode=S["bmode"][g], sub_mv=S["sub_mv"][g],
+                    uv_mv=S["uv_mv"][g], splitmv_pid=S["splitmv_pid"][g],
+                    segment_update=S["segment_update"][g],
+                    alloc_coeffs=False)
+                parsers[g]._segment_updates = arrays.segment_update
+                parsers[g]._apply_segmentation_map(arrays)
+                per.append((hdr[g][0], arrays, chunks[g], hdr[g][1],
+                            parsers[g]))
+        else:
+            for g in range(G):
+                header, fp, bd = hdr[g]
+                arrays = parsers[g]._parse_macroblock_headers(
+                    bd, header, fp, key_frame=key_frame,
+                    error_concealment=(not key_frame
+                                       and chunks[g].corruption_level
+                                       > CORRUPTED_RESIDUES))
+                parsers[g]._apply_segmentation_map(arrays)
+                per.append((header, arrays, chunks[g], fp, parsers[g]))
+            S = dict(
+                ymode=np.stack([p[1].ymode for p in per]),
+                uvmode=np.stack([p[1].uvmode for p in per]),
+                ref=np.stack([p[1].ref for p in per]),
+                skip=np.stack([p[1].skip_coeff for p in per]).astype(np.uint8),
+                y2_coded=np.stack([p[1].y2_coded for p in per]).astype(np.uint8),
+                bmode=np.stack([p[1].bmode for p in per]),
+                sub_mv=np.stack([p[1].sub_mv for p in per]))
+
+        # token decode: one native call interleaving all G streams
+        batch_sparse = None
+        if clean:
+            try:
+                from alfalfa_tpu.native import bitwork
+                frame_parts = [
+                    p[2].dct_partitions(
+                        1 << p[0].log2_number_of_dct_partitions)
+                    for p in per]
+                hnz = np.zeros((G, R, C), np.uint8)
+                batch_sparse = bitwork.parse_tokens_gop(
+                    frame_parts, R, C, [p[3].coeff_probs for p in per],
+                    S["skip"], S["y2_coded"], hnz)
+                if batch_sparse is not None:
+                    S["has_nonzero"] = hnz
+                    for g, p in enumerate(per):
+                        p[1].has_nonzero[:] = hnz[g].view(bool)
+            except (ImportError, AttributeError, OSError):
+                batch_sparse = None
+        if batch_sparse is None:
+            for header, arrays, chunk, fp, parser in per:
+                parser._parse_tokens(chunk, header, arrays, fp)
+            S["has_nonzero"] = np.stack(
+                [p[1].has_nonzero for p in per]).astype(np.uint8)
 
         def bucket(n, floor):
             # coarse pow4 buckets: shape variety costs minutes of XLA
@@ -239,20 +303,30 @@ class BatchedGopDecoder:
         # and small per-MB maps.  Chroma MVs, loop filter limits, and
         # dequant factors are re-derived on device.
         frame_elems = self.mb_rows * self.mb_cols * 25 * 16
-        sp = [p[1].coeff_sparse for p in per]
-        n_nz = sum(len(s[0]) for s in sp)
-        cap = bucket(n_nz, 1 << 16)
-        coeff_idx = np.zeros(cap, np.int32)
-        coeff_val = np.zeros(cap, np.int16)
-        pos = 0
-        for g, (idx, val) in enumerate(sp):
-            coeff_idx[pos:pos + len(idx)] = idx + g * frame_elems
-            coeff_val[pos:pos + len(idx)] = val
-            pos += len(idx)
-        if n_nz:
-            coeff_idx[n_nz:] = coeff_idx[0]  # duplicates add 0
+        if batch_sparse is not None:
+            sp_idx, sp_val = batch_sparse     # already globally indexed
+            n_nz = len(sp_idx)
+            cap = bucket(n_nz, 1 << 16)
+            coeff_idx = np.empty(cap, np.int32)
+            coeff_val = np.zeros(cap, np.int16)
+            coeff_idx[:n_nz] = sp_idx
+            coeff_val[:n_nz] = sp_val
+            coeff_idx[n_nz:] = sp_idx[0] if n_nz else 0  # duplicates add 0
+        else:
+            sp = [p[1].coeff_sparse for p in per]
+            n_nz = sum(len(s[0]) for s in sp)
+            cap = bucket(n_nz, 1 << 16)
+            coeff_idx = np.zeros(cap, np.int32)
+            coeff_val = np.zeros(cap, np.int16)
+            pos = 0
+            for g, (idx, val) in enumerate(sp):
+                coeff_idx[pos:pos + len(idx)] = idx + g * frame_elems
+                coeff_val[pos:pos + len(idx)] = val
+                pos += len(idx)
+            if n_nz:
+                coeff_idx[n_nz:] = coeff_idx[0]  # duplicates add 0
 
-        smv = stack(lambda p: p[1].sub_mv, np.int16)
+        smv = S["sub_mv"]
         mv0 = smv[:, :, :, 0, 0, :]
         split = np.any(smv != mv0[:, :, :, None, None, :], axis=(3, 4, 5))
         sidx = np.flatnonzero(split)
@@ -268,7 +342,7 @@ class BatchedGopDecoder:
 
         # per-segment dequant factor tables + segment map (device gathers)
         qf_table = np.zeros((self.G, len(_QF_KEYS), 4), np.int16)
-        for g, (header, arrays, chunk) in enumerate(per):
+        for g, (header, arrays, chunk, _fp, _parser) in enumerate(per):
             seg = self.states[g].segmentation
             if seg is not None:
                 qs = [header.quant_indices.quantizer(
@@ -282,7 +356,7 @@ class BatchedGopDecoder:
         # loop-filter base level per MB (pre-clip, with segment/mode/ref
         # adjustments; _frame_lf_params semantics) — limits derive on device
         def lf_base(g):
-            header, arrays, _ = per[g]
+            header, arrays = per[g][0], per[g][1]
             seg = self.states[g].segmentation
             fa = self.states[g].filter_adjustments
             R, C = self.mb_rows, self.mb_cols
@@ -314,8 +388,7 @@ class BatchedGopDecoder:
         else:
             R, C = self.mb_rows, self.mb_cols
             d_of = 2 * np.arange(R)[:, None] + np.arange(C)[None, :]
-            refs_all = np.stack([p[1].ref for p in per])
-            active = np.unique(d_of[None].repeat(self.G, 0)[refs_all == 0])
+            active = np.unique(d_of[None].repeat(self.G, 0)[S["ref"] == 0])
             n_diags = 2 * (R - 1) + C
             # two shape buckets only (compile time): sparse or full
             A = 16 if len(active) <= 16 else n_diags
@@ -325,19 +398,15 @@ class BatchedGopDecoder:
         # pack the small per-MB maps into two buffers: each device_put is
         # a separate tunnel dispatch, and ~15 of them cost more than the
         # bytes themselves
-        G, R, C = self.G, self.mb_rows, self.mb_cols
         buf8 = np.empty((G, R, C, 22), np.int8)
-        for i, (fn, dt) in enumerate((
-                (lambda p: p[1].segment, np.uint8),
-                (lambda p: p[1].y2_coded, None),
-                (lambda p: p[1].has_nonzero, None),
-                (lambda p: p[1].ymode, np.int8),
-                (lambda p: p[1].uvmode, np.int8),
-                (lambda p: p[1].ref, np.int8))):
-            for g, pp in enumerate(per):
-                buf8[g, :, :, i] = fn(pp)
         for g, pp in enumerate(per):
-            buf8[g, :, :, 6:22] = pp[1].bmode.reshape(R, C, 16)
+            buf8[g, :, :, 0] = pp[1].segment
+        buf8[:, :, :, 1] = S["y2_coded"]
+        buf8[:, :, :, 2] = S["has_nonzero"]
+        buf8[:, :, :, 3] = S["ymode"]
+        buf8[:, :, :, 4] = S["uvmode"]
+        buf8[:, :, :, 5] = S["ref"]
+        buf8[:, :, :, 6:22] = S["bmode"].reshape(G, R, C, 16)
 
         if key_frame:
             fl = np.zeros((5, G), np.int16)

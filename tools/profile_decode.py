@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Stage-level profile of the 720p 8-GOP decode bench path."""
 import sys, time, os
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
