@@ -440,53 +440,180 @@ def cmd_run_contest(args):
     print(f"link: {link.stats}")
 
 
+_MBMODE_NAMES = ["DC_PRED", "V_PRED", "H_PRED", "TM_PRED", "B_PRED",
+                 "NEARESTMV", "NEARMV", "ZEROMV", "NEWMV", "SPLITMV"]
+_BMODE_NAMES = ["B_DC_PRED", "B_TM_PRED", "B_VE_PRED", "B_HE_PRED",
+                "B_LD_PRED", "B_RD_PRED", "B_VR_PRED", "B_VL_PRED",
+                "B_HD_PRED", "B_HU_PRED", "LEFT4X4", "ABOVE4X4", "ZERO4X4",
+                "NEW4X4"]
+_REF_NAMES = ["CURRENT_FRAME", "LAST_FRAME", "GOLDEN_FRAME", "ALTREF_FRAME"]
+
+
 def cmd_dissect(args):
+    """Bitstream analyzer with the reference xc-dissect's detail
+    (xc-dissect.cc:43-478): full header dump, -p probability-table
+    updates, -m per-macroblock modes/MVs, -C coefficients, -f frame
+    filter, -s initial state."""
     from alfalfa_tpu.util.ivf import IVFReader
     from alfalfa_tpu.bitstream.header import UncompressedChunk
     from alfalfa_tpu.state.decoder_state import DecoderState
     from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.bitstream import tables as T
+
+    def kv(key, value, level=0):
+        print(("  " * level + key + ":").ljust(25) + str(value))
+
+    def print_prob_tables(header):
+        print("[Probability Tables]")
+        upd = header.token_prob_update
+        for i in range(T.BLOCK_TYPES):
+            for j in range(T.COEF_BANDS):
+                for k in range(T.PREV_COEF_CONTEXTS):
+                    row = "\t".join(
+                        str(upd[(i, j, k, l)]) if (i, j, k, l) in upd
+                        else "-" for l in range(T.ENTROPY_NODES))
+                    print(f"[ {i}, {j}, {k} ] = {{ {row}\t }}")
+        print()
+
+    def print_header_common(h):
+        kv("refresh_entropy_probs", h.refresh_entropy_probs)
+        kv("update_segmentation", h.update_segmentation is not None)
+        kv("filter_type", h.filter_type)
+        kv("mode_lf_adjustments", h.mode_lf_adjustments_enabled)
+        if h.mode_lf_adjustments_enabled:
+            upd = h.mode_lf_adjustments
+            kv("lf_delta_update", upd is not None, 1)
+            if upd is not None:
+                print("  " * 2 + "ref_update:".ljust(21)
+                      + "".join(f"{('X' if v is None else v)!s:>6}"
+                                for v in upd.ref_update))
+                print("  " * 2 + "mode_update:".ljust(21)
+                      + "".join(f"{('X' if v is None else v)!s:>6}"
+                                for v in upd.mode_update))
+        kv("loop_filter_level", h.loop_filter_level)
+        kv("sharpness_level", h.sharpness_level)
+        kv("mb_no_skip_coeff", h.prob_skip_false is not None)
+        if h.prob_skip_false is not None:
+            kv("prob_skip_false", h.prob_skip_false)
+
+    def print_frame_header(h, key_frame):
+        if key_frame:
+            print("[Keyframe Header]")
+            kv("color_space", h.color_space)
+            kv("clamping_type", h.clamping_type)
+            print_header_common(h)
+        else:
+            print("[Interframe Header]")
+            print_header_common(h)
+            kv("refresh_last", h.refresh_last)
+            kv("refresh_golden_frame", h.refresh_golden_frame)
+            kv("refresh_alternate_frame", h.refresh_alternate_frame)
+            kv("prob_inter", h.prob_inter)
+            kv("prob_last", h.prob_references_last)
+            kv("prob_golden", h.prob_references_golden)
+            kv("16x16_prob_update", h.intra_16x16_prob is not None)
+            if h.intra_16x16_prob is not None:
+                print("  16x16_prob:".ljust(25)
+                      + "".join(f"{v:>6}" for v in h.intra_16x16_prob))
+            kv("chroma_prob_update", h.intra_chroma_prob is not None)
+            if h.intra_chroma_prob is not None:
+                print("  chroma_prob:".ljust(25)
+                      + "".join(f"{v:>6}" for v in h.intra_chroma_prob))
+            cells = []
+            for i in range(2):
+                for j in range(T.MV_PROB_CNT):
+                    v = h.mv_prob_update.get((i, j))
+                    # the parsed dict stores effective probs (raw<<1 or 1)
+                    cells.append("-" if v is None
+                                 else str((v >> 1) if v > 1 else 0))
+            print("mv_prob_update:".ljust(25) + "|".join(cells))
+        print()
+
+    def print_quantizer(qi):
+        print("[Quantizer]")
+        print(f"y_ac_qi = {qi.y_ac_qi}")
+        for name, v in (("y_dc", qi.y_dc), ("y2_dc", qi.y2_dc),
+                        ("y2_ac", qi.y2_ac), ("uv_dc", qi.uv_dc),
+                        ("uv_ac", qi.uv_ac)):
+            if v is not None:
+                print(f"{name:<7} = {v}")
+        print()
+
+    def print_coeffs(label, co, first=0):
+        if co[first:].any() if first else co.any():
+            print(f"DCT coeffs: {{ {' '.join(str(int(x)) for x in co)} }}")
+            print()
+        else:
+            print("ALL ZERO")
+
+    def print_macroblocks(arrays, coefficients):
+        print("[Macroblocks]")
+        for r in range(arrays.mb_rows):
+            for c in range(arrays.mb_cols):
+                print(f"Macroblock [ {c}, {r} ]")
+                print("<Y>")
+                ym = int(arrays.ymode[r, c])
+                inter = int(arrays.ref[r, c]) > 0
+                print(f"Prediction Mode: {_MBMODE_NAMES[ym]}")
+                if inter:
+                    mv = arrays.sub_mv[r, c, 3, 3]
+                    print(f"Base Motion Vector: ( {int(mv[0])}, "
+                          f"{int(mv[1])} )")
+                    print(f"Reference: {_REF_NAMES[int(arrays.ref[r, c])]}")
+                print()
+                for sr in range(4):
+                    for sc in range(4):
+                        print(f"Y Subblock [ {sc}, {sr} ]")
+                        if ym in (T.B_PRED, T.SPLITMV):
+                            bm = int(arrays.bmode[r, c, sr, sc])
+                            print("Prediction Mode: "
+                                  + _BMODE_NAMES[bm])
+                        if coefficients:
+                            print_coeffs("Y", arrays.coeffs[r, c, sr * 4 + sc])
+                if coefficients and arrays.y2_coded[r, c]:
+                    print("<Y2>")
+                    print_coeffs("Y2", arrays.coeffs[r, c, 24])
+                    print()
+                print()
+                for plane, base in (("U", 16), ("V", 20)):
+                    print(f"<{plane}>")
+                    if not inter:
+                        uv = int(arrays.uvmode[r, c])
+                        print(f"Prediction Mode: {_MBMODE_NAMES[uv]}")
+                    print()
+                    for sr in range(2):
+                        for sc in range(2):
+                            print(f"{plane} Subblock [ {sc}, {sr} ]")
+                            if coefficients:
+                                print_coeffs(
+                                    plane,
+                                    arrays.coeffs[r, c, base + sr * 2 + sc])
+                print()
 
     if args.coeffs:
         args.macroblocks = True
     src = IVFReader(args.input)
-    state = DecoderState.initial(src.width, src.height)
+    if args.initial_state:
+        from alfalfa_tpu.state import serdes
+        state, _refs = serdes.load_decoder(args.initial_state)
+    else:
+        state = DecoderState.initial(src.width, src.height)
     for i, payload in enumerate(src):
         chunk = UncompressedChunk(payload, src.width, src.height)
         header, arrays, _ = FrameParser(state).parse(chunk)
+        if args.frame is not None and i != args.frame:
+            continue
         kind = "keyframe" if chunk.key_frame else "interframe"
-        print(f"frame #{i}: {kind}, {len(payload)} bytes, "
-              f"show={chunk.show_frame}")
-        print(f"  quantizer: y_ac_qi={header.quant_indices.y_ac_qi}")
-        print(f"  loop filter: level={header.loop_filter_level} "
-              f"sharpness={header.sharpness_level}")
-        print(f"  prob updates: {len(header.token_prob_update)} token")
-        if not chunk.key_frame:
-            import numpy as np
-            total = arrays.ref.size
-            inter = int((arrays.ref > 0).sum())
-            print(f"  inter-coded: {100.0 * inter / total:.1f}%  "
-                  f"(last {int((arrays.ref == 1).sum())}, "
-                  f"golden {int((arrays.ref == 2).sum())}, "
-                  f"alt {int((arrays.ref == 3).sum())})")
-            print(f"  refresh: last={header.refresh_last} "
-                  f"golden={header.refresh_golden_frame} "
-                  f"alt={header.refresh_alternate_frame}")
+        print(f"frame #{i}: {kind}, {len(payload)} bytes")
+        if not chunk.show_frame:
+            print("(hidden frame)")
+        if args.probability_tables:
+            print_prob_tables(header)
+        print_frame_header(header, chunk.key_frame)
+        print_quantizer(header.quant_indices)
         if args.macroblocks:
-            for r in range(arrays.mb_rows):
-                for c in range(arrays.mb_cols):
-                    print(f"  mb({r},{c}): ymode={int(arrays.ymode[r, c])} "
-                          f"uv={int(arrays.uvmode[r, c])} ref={int(arrays.ref[r, c])} "
-                          f"mv={tuple(int(v) for v in arrays.sub_mv[r, c, 3, 3])} "
-                          f"nz={bool(arrays.has_nonzero[r, c])}")
-                    if args.coeffs:
-                        names = ([f"y{k}" for k in range(16)]
-                                 + [f"u{k}" for k in range(4)]
-                                 + [f"v{k}" for k in range(4)] + ["y2"])
-                        for b in range(25):
-                            co = arrays.coeffs[r, c, b]
-                            if co.any():
-                                print(f"    {names[b]}: "
-                                      f"{[int(x) for x in co]}")
+            arrays.densify_coeffs()
+            print_macroblocks(arrays, args.coeffs)
 
 
 def main(argv=None):
@@ -629,8 +756,14 @@ def main(argv=None):
     p = sub.add_parser("dissect", help="bitstream analyzer")
     p.add_argument("input")
     p.add_argument("-m", "--macroblocks", action="store_true")
-    p.add_argument("-C", "--coeffs", action="store_true",
-                   help="dump nonzero coefficient blocks (implies -m)")
+    p.add_argument("-p", "--probability-tables", action="store_true",
+                   help="print the prob-table updates for each frame")
+    p.add_argument("-C", "-c", "--coeffs", action="store_true",
+                   help="dump coefficient blocks (implies -m)")
+    p.add_argument("-f", "--frame", type=int, default=None,
+                   help="print information for frame #<arg> only")
+    p.add_argument("-s", "--initial-state", default=None,
+                   help="decoder initial state file")
     p.set_defaults(func=cmd_dissect)
 
     args = parser.parse_args(argv)

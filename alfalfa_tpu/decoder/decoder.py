@@ -38,8 +38,10 @@ class Decoder:
 
         chunk = UncompressedChunk(payload, self.width, self.height,
                                   accept_partial=self.error_concealment)
-        if not chunk.key_frame and chunk.experimental:
-            raise ValueError("experimental interframes not supported in decode path")
+        # experimental (version 4/6) interframes decode like normal
+        # interframes — the version bits are advisory (the reference's
+        # tools parse them identically, e.g. xc-dump.cc:126; its playback
+        # path throws Unsupported, decoder.cc:133 — we decode instead)
 
         with tracing.stage("decode.parse"):
             parser = FrameParser(self.state)

@@ -129,6 +129,37 @@ def _write_slab(D, d, slab):
     return jax.lax.dynamic_update_slice(D, slab[None], start)
 
 
+_SCHED_B_CACHE = {}
+
+
+def skew_schedule_batch(mb_rows, mb_cols, n_gops):
+    """Schedule for the GOP-batched wavefront: the G frames fold into the
+    sublane axis (storage row = g * R_pad + r), so one slab step advances
+    diagonal d of every frame (ops/wavefront_pallas.py).  No DPAD rows —
+    the merged kernel's ring handles d < 0 reads via masks."""
+    key = (mb_rows, mb_cols, n_gops)
+    if key in _SCHED_B_CACHE:
+        return _SCHED_B_CACHE[key]
+    s = skew_schedule(mb_rows, mb_cols)
+    R, C, G = mb_rows, mb_cols, n_gops
+    nd, Rp = s["scat_idx"].shape
+    scat = s["scat_idx"]
+    scat_b = np.where(scat[None] < R * C,
+                      scat[None] + (np.arange(G) * (R * C))[:, None, None],
+                      G * R * C).transpose(1, 0, 2).reshape(nd, G * Rp)
+    d_of = s["unskew_idx"] // Rp
+    r_of = s["unskew_idx"] % Rp
+    unskew_b = (d_of[None] * (G * Rp) + np.arange(G)[:, None, None] * Rp
+                + r_of[None])                      # (G, R, C)
+    out = dict(n_diags=nd, L=G * Rp,
+               scat_idx=scat_b.astype(np.int32),
+               unskew_idx=unskew_b.astype(np.int32))
+    for k in ("valid", "has_row", "has_col", "last_col"):
+        out[k] = np.tile(s[k], (1, G))
+    _SCHED_B_CACHE[key] = out
+    return out
+
+
 # legacy helper kept for callers that want the plain diagonal listing
 def wavefront_schedule(mb_rows, mb_cols):
     sched = skew_schedule(mb_rows, mb_cols)
@@ -143,21 +174,12 @@ def wavefront_schedule(mb_rows, mb_cols):
 # the jitted frame kernel
 # ---------------------------------------------------------------------------
 
-def reconstruct_core(mb_rows, mb_cols, key_frame,
-                     coeffs, qf, y2_coded, has_nonzero,
-                     ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
-                     ref_y, ref_u, ref_v,
-                     lf_params, sched, intra_active=None):
-    R, C = mb_rows, mb_cols
-    n_diags = int(sched["scat_idx"].shape[0])
-    L = int(sched["scat_idx"].shape[1])        # = R_pad
-    scat_idx = sched["scat_idx"]
-    unskew_idx = sched["unskew_idx"]
-
-    def skew(x):
-        return _skew(x, scat_idx, n_diags, L)
-
-    # ---- stage A: residuals (fully parallel) ----
+def _stage_ab(R, C, key_frame, coeffs, qf, y2_coded, has_nonzero,
+              ref_sel, sub_mv, uv_mv, ref_y, ref_u, ref_v):
+    """Stages A (residuals) + B (inter prediction): the fully parallel
+    dense front of the pipeline, shared by the per-frame and GOP-batched
+    cores.  Returns (y/u/v stage-B tiles, res_y/u/v, res subblocks,
+    intra mask)."""
     res = transforms.residuals_from_coeffs(coeffs, qf, y2_coded)  # (R,C,25,4,4)
     res = jnp.where(has_nonzero[:, :, None, None, None], res, 0)
 
@@ -177,7 +199,6 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
     res_u = res_mb_uv(res[:, :, 16:20])
     res_v = res_mb_uv(res[:, :, 20:24])
 
-    # ---- stage B: inter prediction (fully parallel) ----
     if not key_frame:
         is_inter = ref_sel > 0
 
@@ -195,6 +216,28 @@ def reconstruct_core(mb_rows, mb_cols, key_frame,
         intra_mask_full = ~is_inter
     else:
         intra_mask_full = jnp.ones((R, C), bool)
+    return (y_tiles, u_tiles, v_tiles, res_y, res_u, res_v, res,
+            intra_mask_full)
+
+
+def reconstruct_core(mb_rows, mb_cols, key_frame,
+                     coeffs, qf, y2_coded, has_nonzero,
+                     ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
+                     ref_y, ref_u, ref_v,
+                     lf_params, sched, intra_active=None):
+    R, C = mb_rows, mb_cols
+    n_diags = int(sched["scat_idx"].shape[0])
+    L = int(sched["scat_idx"].shape[1])        # = R_pad
+    scat_idx = sched["scat_idx"]
+    unskew_idx = sched["unskew_idx"]
+
+    def skew(x):
+        return _skew(x, scat_idx, n_diags, L)
+
+    (y_tiles, u_tiles, v_tiles, res_y, res_u, res_v, res,
+     intra_mask_full) = _stage_ab(
+        R, C, key_frame, coeffs, qf, y2_coded, has_nonzero,
+        ref_sel, sub_mv, uv_mv, ref_y, ref_u, ref_v)
 
     # ---- skew everything the wavefronts touch ----
     # pixel carries are int16: halves slab traffic, values stay in [0, 255]
@@ -388,6 +431,113 @@ def _finish(D_y, D_u, D_v, lf_params, masks, skew, strip,
         return t.transpose(0, 2, 1, 3).reshape(R * size, C * size).astype(jnp.uint8)
 
     return untile(y_tiles, 16), untile(u_tiles, 8), untile(v_tiles, 8)
+
+
+def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
+                           coeffs, qf, y2_coded, has_nonzero,
+                           ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
+                           ref_y, ref_u, ref_v, lf_params):
+    """GOP-batched TPU reconstruction: stages A/B run vmapped over the
+    batch; the sequential wavefront (intra + loop filter) runs as ONE
+    merged Pallas pass with the batch folded into the sublane axis
+    (ops/wavefront_pallas.py).  All array args carry a leading G axis;
+    returns (G, H, W) planes.
+
+    The fold is chunked so each kernel invocation's slabs + temporaries
+    fit the ~16 MB VMEM core budget (720p G=8 needs 17 MB unfolded); the
+    chunks share one compiled kernel when evenly sized."""
+    from alfalfa_tpu.ops import wavefront_pallas
+
+    R, C, G = mb_rows, mb_cols, n_gops
+
+    ab = jax.vmap(partial(_stage_ab, R, C, key_frame))(
+        coeffs, qf, y2_coded, has_nonzero, ref_sel, sub_mv, uv_mv,
+        ref_y, ref_u, ref_v)
+    (y_tiles, u_tiles, v_tiles, res_y, res_u, res_v, res,
+     intra_mask_full) = ab
+
+    lf_level, lf_interior, lf_mb_limit, lf_sb_limit, lf_hev, lf_skip_sb = \
+        lf_params
+
+    R_pad = ((R + 7) // 8) * 8
+    # bound sublanes per invocation so rings + streams + kernel stack stay
+    # within VMEM (the kernel raises the soft scoped-vmem limit; ~1k
+    # sublanes keeps the resident rings near 6 MB)
+    gb_max = max(1, 1024 // R_pad)
+    import math
+    GB = max(1, G // math.ceil(G / gb_max))
+
+    outs = []
+    for g0 in range(0, G, GB):
+        gs = min(GB, G - g0)
+        sched_b = skew_schedule_batch(R, C, gs)
+        nd = int(sched_b["scat_idx"].shape[0])
+        L = int(sched_b["scat_idx"].shape[1])      # = gs * R_pad
+        scat_idx = jnp.asarray(sched_b["scat_idx"])
+        sl = slice(g0, g0 + gs)
+
+        def skew(x):
+            # (gs, R, C, ...) -> (nd, gs*R_pad, ...): flatten to
+            # g*R*C + r*C + c, gather with the batch schedule
+            # (sentinel = zero row)
+            flat = x.reshape((gs * R * C, -1)) if x.ndim > 3 \
+                else x.reshape((gs * R * C,))
+            pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+            flat = jnp.concatenate([flat, pad])
+            return jnp.take(flat, scat_idx.reshape(-1), axis=0) \
+                .reshape((nd, L) + flat.shape[1:])
+
+        def i16s(x):
+            return skew(x).astype(jnp.int16)
+
+        masks = {k: jnp.asarray(sched_b[k]) for k in
+                 ("valid", "has_row", "has_col", "last_col")}
+
+        head = jnp.stack(
+            [i16s(ymode[sl]), i16s(uvmode[sl]), i16s(has_nonzero[sl]),
+             i16s(intra_mask_full[sl]), masks["valid"].astype(jnp.int16),
+             masks["has_row"].astype(jnp.int16),
+             masks["has_col"].astype(jnp.int16),
+             masks["last_col"].astype(jnp.int16)], axis=-1)
+        prm = jnp.concatenate(
+            [head, i16s(bmode[sl].reshape(gs, R, C, 16)),
+             jnp.zeros((nd, L, 8), jnp.int16)], axis=-1)
+
+        apply_f = masks["valid"] & (skew(lf_level[sl]) > 0)
+        lfprm = jnp.stack([
+            apply_f.astype(jnp.int16),
+            i16s(lf_interior[sl]), i16s(lf_mb_limit[sl]),
+            i16s(lf_sb_limit[sl]), i16s(lf_hev[sl]),
+            (apply_f & ~skew(lf_skip_sb[sl])).astype(jnp.int16),
+            (apply_f & masks["has_col"]).astype(jnp.int16),
+            (apply_f & masks["has_row"]).astype(jnp.int16),
+        ], axis=-1)
+
+        B_y, B_u, B_v = wavefront_pallas.wavefront_frame_batch(
+            i16s(y_tiles[sl].reshape(gs, R, C, 256)),
+            i16s(u_tiles[sl].reshape(gs, R, C, 64)),
+            i16s(v_tiles[sl].reshape(gs, R, C, 64)),
+            prm,
+            i16s(res_y[sl].reshape(gs, R, C, 256)),
+            i16s(res[sl, :, :, 0:16].reshape(gs, R, C, 256)),
+            i16s(res_u[sl].reshape(gs, R, C, 64)),
+            i16s(res_v[sl].reshape(gs, R, C, 64)),
+            lfprm)
+
+        unskew_idx = jnp.asarray(sched_b["unskew_idx"])
+
+        def unskew(B, S):
+            flat = B.reshape((-1,) + B.shape[2:])
+            t = jnp.take(flat, unskew_idx.reshape(-1), axis=0) \
+                .reshape((gs, R, C, S, S))
+            return t.transpose(0, 1, 3, 2, 4) \
+                .reshape(gs, R * S, C * S).astype(jnp.uint8)
+
+        outs.append((unskew(B_y, 16), unskew(B_u, 8), unskew(B_v, 8)))
+
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
 
 
 def _lf_scan(D_y, D_u, D_v, prm, d_idx, L):

@@ -187,6 +187,17 @@ def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None
     flipped_map = np.zeros((R_, C_), bool)  # no sign biases emitted
     realtime = encoder.quality == "rt"
 
+    # two-pass: trellis-quantize intra MBs (a documented superset — the
+    # reference's interframe path hard-codes FIRST_PASS everywhere,
+    # encode_inter.cc:614-622, so its encode_intra.cc:203 trellis branch
+    # is dead for interframes; we apply it directly)
+    trellis_ctx = None
+    if getattr(encoder, "two_pass", False):
+        from .trellis import TrellisContext
+        trellis_ctx = TrellisContext(
+            encoder.state.probability_tables.coeff_probs, R_, C_, q,
+            rate_mult, dist_mult)
+
     oy, ou, ov = orig.y, orig.u, orig.v
     ref_y = refs.last.y
     pred16 = np.zeros((16, 16), np.uint8)
@@ -255,7 +266,7 @@ def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None
                 # full intra encode (includes the B_PRED search)
                 encode_intra_np.encode_intra_mb(
                     (oy, ou, ov), recon, arrays, r, c, q, rate_mult, dist_mult,
-                    interframe=True)
+                    interframe=True, trellis=trellis_ctx)
                 arrays.ref[r, c] = T.CURRENT_FRAME
                 continue
 

@@ -444,15 +444,29 @@ class BatchedGopDecoder:
         R, C = self.mb_rows, self.mb_cols
         sched = self._sched
 
-        def one(coeffs, qf, y2c, nz, ymode, uvmode, bmode, refsel, smv, uvmv,
-                ry, ru, rv, lfp, intra_active):
-            return _RJ.reconstruct_core(R, C, key_frame, coeffs, qf, y2c, nz,
-                                        ymode, uvmode, bmode, refsel, smv,
-                                        uvmv, ry, ru, rv, lfp, sched,
-                                        intra_active)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            # one merged wavefront kernel over the whole batch (sublane-
+            # folded); intra_active is unused — the kernel cond-skips
+            # diagonals without intra MBs internally
+            G = self.G
 
-        # intra_active is shared across the GOP batch (union list)
-        vone = jax.vmap(one, in_axes=(0,) * 14 + (None,))
+            def vone(coeffs, qf, y2c, nz, ymode, uvmode, bmode, refsel,
+                     smv, uvmv, ry, ru, rv, lfp, intra_active):
+                return _RJ.reconstruct_core_batch(
+                    R, C, G, key_frame, coeffs, qf, y2c, nz,
+                    ymode, uvmode, bmode, refsel, smv, uvmv,
+                    ry, ru, rv, lfp)
+        else:
+            def one(coeffs, qf, y2c, nz, ymode, uvmode, bmode, refsel, smv,
+                    uvmv, ry, ru, rv, lfp, intra_active):
+                return _RJ.reconstruct_core(R, C, key_frame, coeffs, qf,
+                                            y2c, nz, ymode, uvmode, bmode,
+                                            refsel, smv, uvmv, ry, ru, rv,
+                                            lfp, sched, intra_active)
+
+            # intra_active is shared across the GOP batch (union list)
+            vone = jax.vmap(one, in_axes=(0,) * 14 + (None,))
 
         def sel3(cond, a, b):
             return jnp.where(cond[:, None, None], a, b)
