@@ -175,11 +175,13 @@ def wavefront_schedule(mb_rows, mb_cols):
 # ---------------------------------------------------------------------------
 
 def _stage_ab(R, C, key_frame, coeffs, qf, y2_coded, has_nonzero,
-              ref_sel, sub_mv, uv_mv, ref_y, ref_u, ref_v):
+              ref_sel, sub_mv, uv_mv, ref_y, ref_u, ref_v,
+              refs_prepadded=False):
     """Stages A (residuals) + B (inter prediction): the fully parallel
     dense front of the pipeline, shared by the per-frame and GOP-batched
     cores.  Returns (y/u/v stage-B tiles, res_y/u/v, res subblocks,
-    intra mask)."""
+    intra mask).  refs_prepadded: ref planes are already in MC layout
+    (sixtap_pallas.pad_refs) — the persistent-reference decode path."""
     res = transforms.residuals_from_coeffs(coeffs, qf, y2_coded)  # (R,C,25,4,4)
     res = jnp.where(has_nonzero[:, :, None, None, None], res, 0)
 
@@ -202,10 +204,36 @@ def _stage_ab(R, C, key_frame, coeffs, qf, y2_coded, has_nonzero,
     if not key_frame:
         is_inter = ref_sel > 0
 
-        pred = sixtap.predict_mb_tiles(ref_y, ref_sel, sub_mv, 16)
+        if refs_prepadded:
+            # persistent MC-layout references: vertically byte-packed,
+            # edge-padded stacks (sixtap_pallas.pack_refs32)
+            from alfalfa_tpu.ops import sixtap_pallas as SP
+            i32 = jnp.int32
+            if jax.default_backend() == "tpu":
+                pred = SP.mc_tiles_packed(
+                    ref_y, R * 16, C * 16, ref_sel.astype(i32),
+                    sub_mv.astype(i32), 16)
+                pred_u = SP.mc_tiles_packed(
+                    ref_u, R * 8, C * 8, ref_sel.astype(i32),
+                    uv_mv.astype(i32), 8)
+                pred_v = SP.mc_tiles_packed(
+                    ref_v, R * 8, C * 8, ref_sel.astype(i32),
+                    uv_mv.astype(i32), 8)
+            else:
+                pred = sixtap._predict_prepadded(
+                    SP.unpack_refs32(ref_y), ref_sel, sub_mv, 16,
+                    R * 16, C * 16, SP.PAD)
+                pred_u = sixtap._predict_prepadded(
+                    SP.unpack_refs32(ref_u), ref_sel, uv_mv, 8,
+                    R * 8, C * 8, SP.PAD)
+                pred_v = sixtap._predict_prepadded(
+                    SP.unpack_refs32(ref_v), ref_sel, uv_mv, 8,
+                    R * 8, C * 8, SP.PAD)
+        else:
+            pred = sixtap.predict_mb_tiles(ref_y, ref_sel, sub_mv, 16)
+            pred_u = sixtap.predict_mb_tiles(ref_u, ref_sel, uv_mv, 8)
+            pred_v = sixtap.predict_mb_tiles(ref_v, ref_sel, uv_mv, 8)
         y_inter = jnp.clip(pred + res_y, 0, 255)
-        pred_u = sixtap.predict_mb_tiles(ref_u, ref_sel, uv_mv, 8)
-        pred_v = sixtap.predict_mb_tiles(ref_v, ref_sel, uv_mv, 8)
         u_inter = jnp.clip(pred_u + res_u, 0, 255)
         v_inter = jnp.clip(pred_v + res_v, 0, 255)
 
@@ -436,7 +464,8 @@ def _finish(D_y, D_u, D_v, lf_params, masks, skew, strip,
 def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
                            coeffs, qf, y2_coded, has_nonzero,
                            ymode, uvmode, bmode, ref_sel, sub_mv, uv_mv,
-                           ref_y, ref_u, ref_v, lf_params):
+                           ref_y, ref_u, ref_v, lf_params,
+                           refs_prepadded=False):
     """GOP-batched TPU reconstruction: stages A/B run vmapped over the
     batch; the sequential wavefront (intra + loop filter) runs as ONE
     merged Pallas pass with the batch folded into the sublane axis
@@ -450,7 +479,8 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
 
     R, C, G = mb_rows, mb_cols, n_gops
 
-    ab = jax.vmap(partial(_stage_ab, R, C, key_frame))(
+    ab = jax.vmap(partial(_stage_ab, R, C, key_frame,
+                          refs_prepadded=refs_prepadded))(
         coeffs, qf, y2_coded, has_nonzero, ref_sel, sub_mv, uv_mv,
         ref_y, ref_u, ref_v)
     (y_tiles, u_tiles, v_tiles, res_y, res_u, res_v, res,
@@ -473,19 +503,23 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
         sched_b = skew_schedule_batch(R, C, gs)
         nd = int(sched_b["scat_idx"].shape[0])
         L = int(sched_b["scat_idx"].shape[1])      # = gs * R_pad
-        scat_idx = jnp.asarray(sched_b["scat_idx"])
+        Rp = L // gs
         sl = slice(g0, g0 + gs)
 
         def skew(x):
-            # (gs, R, C, ...) -> (nd, gs*R_pad, ...): flatten to
-            # g*R*C + r*C + c, gather with the batch schedule
-            # (sentinel = zero row)
-            flat = x.reshape((gs * R * C, -1)) if x.ndim > 3 \
-                else x.reshape((gs * R * C,))
-            pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
-            flat = jnp.concatenate([flat, pad])
-            return jnp.take(flat, scat_idx.reshape(-1), axis=0) \
-                .reshape((nd, L) + flat.shape[1:])
+            # (gs, R, C[, P]) -> (nd, gs*R_pad[, P]) WITHOUT gathers:
+            # with S[r, d] = X[r, d-2r], row-major X padded to width nd+2
+            # flattens to the same buffer as row-major S of width nd
+            # (r*(nd+2)+c == r*nd + (2r+c)), so the skew is pad + reshape
+            # + slice + transpose — dense copies at HBM speed
+            P = x.shape[3:]
+            pP = ((0, 0),) * len(P)
+            y = jnp.pad(x, ((0, 0), (0, 0), (0, nd + 2 - C)) + pP)
+            y = y.reshape((gs, R * (nd + 2)) + P)[:, :R * nd]
+            y = y.reshape((gs, R, nd) + P)
+            y = jnp.pad(y, ((0, 0), (0, Rp - R), (0, 0)) + pP)
+            return y.transpose((2, 0, 1) + tuple(range(3, 3 + len(P)))) \
+                .reshape((nd, L) + P)
 
         def i16s(x):
             return skew(x).astype(jnp.int16)
@@ -524,12 +558,16 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
             i16s(res_v[sl].reshape(gs, R, C, 64)),
             lfprm)
 
-        unskew_idx = jnp.asarray(sched_b["unskew_idx"])
-
         def unskew(B, S):
-            flat = B.reshape((-1,) + B.shape[2:])
-            t = jnp.take(flat, unskew_idx.reshape(-1), axis=0) \
-                .reshape((gs, R, C, S, S))
+            # inverse of the dense skew: transpose + reshape through the
+            # width-(nd+2) view, then untile
+            P = B.shape[2:]
+            y = B.reshape((nd, gs, Rp) + P).transpose(
+                (1, 2, 0) + tuple(range(3, 3 + len(P))))[:, :R]
+            y = y.reshape((gs, R * nd) + P)
+            y = jnp.pad(y, ((0, 0), (0, 2 * R)) + ((0, 0),) * len(P))
+            y = y.reshape((gs, R, nd + 2) + P)[:, :, :C]
+            t = y.reshape(gs, R, C, S, S)
             return t.transpose(0, 1, 3, 2, 4) \
                 .reshape(gs, R * S, C * S).astype(jnp.uint8)
 

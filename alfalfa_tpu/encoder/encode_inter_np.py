@@ -147,16 +147,8 @@ def diamond_search(orig16, ref_y, r, c, R_, C_, base_mv, origin, step, qi):
     return origin, first_step
 
 
-def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None):
-    from .encoder import _pad_raster, calc_prob
-
-    W, H = encoder.width, encoder.height
-    R_, C_ = encoder.mb_rows, encoder.mb_cols
-    orig = _pad_raster(*yuv, W, H)
-    refs = encoder.references
-    for ref in (refs.last, refs.golden, refs.alternative):
-        ref.to_host()
-
+def make_inter_header(quant_indices, rebase_kf_header=None):
+    """Interframe header skeleton shared by the host and device encoders."""
     header = InterFrameHeader()
     header.quant_indices = quant_indices
     header.refresh_entropy_probs = True
@@ -176,7 +168,20 @@ def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None
         header.sharpness_level = rebase_kf_header.sharpness_level
         header.intra_16x16_prob = [int(v) for v in T.DEFAULT_Y_MODE_PROBS]
         header.intra_chroma_prob = [int(v) for v in T.DEFAULT_UV_MODE_PROBS]
+    return header
 
+
+def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None):
+    from .encoder import _pad_raster
+
+    W, H = encoder.width, encoder.height
+    R_, C_ = encoder.mb_rows, encoder.mb_cols
+    orig = _pad_raster(*yuv, W, H)
+    refs = encoder.references
+    for ref in (refs.last, refs.golden, refs.alternative):
+        ref.to_host()
+
+    header = make_inter_header(quant_indices, rebase_kf_header)
     arrays = FrameArrays(R_, C_)
     recon = Raster(W, H)
     q = {k: int(v) for k, v in quant_indices.quantizer().items()}
@@ -315,7 +320,17 @@ def encode_interframe(encoder, yuv, quant_indices, update, rebase_kf_header=None
             R._reconstruct_inter_mb(arrays, recon, refs, r, c,
                                     {k: np.int32(v) for k, v in q.items()})
 
-    # ---- frame-level optimizations ----
+    return finish_interframe(encoder, header, arrays, recon, orig, update)
+
+
+def finish_interframe(encoder, header, arrays, recon, orig, update):
+    """Frame-level prob optimization, loop-filter search, serialization and
+    state update shared by the host and device interframe encoders
+    (encode_inter.cc:88-170)."""
+    from .encoder import calc_prob
+    W, H = encoder.width, encoder.height
+    refs = encoder.references
+
     no_skip = int(arrays.has_nonzero.sum())
     header.prob_skip_false = calc_prob(no_skip, arrays.has_nonzero.size)
     arrays.skip_coeff[:] = ~arrays.has_nonzero

@@ -378,16 +378,32 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
  * Layout: data = all partitions of all frames concatenated; frame g's
  * partition p spans [offsets[part_base[g]+p], offsets[part_base[g]+p+1]).
  * coeff_probs: (G, 4*8*3*11); skip/y2_coded/has_nonzero: (G, R*C).
- * Sparse output indices are GLOBAL: g*R*C*25*16 + mb*25*16 + block*16 + pos
- * (exactly what the batched decoder scatters).  Returns -2 on sparse
- * overflow (caller grows and retries). */
+ *
+ * Sparse output is a COMPACT STREAM: the host->device link costs ~10 ms
+ * of client CPU per MB transferred, so nonzero coefficients ship as
+ * 3 bytes each — a u16 index DELTA (global index g*R*C*400 + mb*400 +
+ * block*16 + pos, strictly ascending; coefficients are emitted in
+ * position order) and an i8 value — plus two small escape lists for
+ * deltas > 65535 and |value| > 127: (position-in-stream, extra) pairs
+ * the device scatters before its prefix-sum.  Output is written into
+ * per-frame segments [seg_base[g], seg_base[g+1]); the FIRST delta of
+ * each segment is relative to that frame's base element g*R*C*400 - 1
+ * (the host patches segment boundaries after compaction).
+ * seg_meta layout: [0..G] segment bases (in), [G+1..2G] counts (out),
+ * [2G+1..3G+1] escape-list bases (in), [3G+2..4G+1] delta-escape counts
+ * (out), [4G+2..5G+1] value-escape counts (out), [5G+2..6G+1] last
+ * emitted global index per segment (out; lets the host re-base segment
+ * boundaries when compacting).
+ * Returns -2 if any segment or escape list overflows (caller retries). */
 int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
                          const uint8_t *data, const int64_t *offsets,
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
                          const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-                         int32_t *sparse_idx, int16_t *sparse_val,
-                         int64_t *sparse_meta) {
+                         uint16_t *sp_delta, int8_t *sp_val,
+                         int32_t *desc_pos, int32_t *desc_extra,
+                         int32_t *vesc_pos, int16_t *vesc_val,
+                         int64_t *seg_meta) {
   if (G < 1 || G > 16) return -1;
   const int R = mb_rows, C = mb_cols;
   FastBool decs[16][8];
@@ -398,7 +414,54 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
       decs[g][p].init(data + b, offsets[part_base[g] + p + 1] - b);
     }
   }
-  SparseSink sink{sparse_idx, sparse_val, 0, sparse_meta[1], 0};
+  const int64_t *seg_base = seg_meta;
+  int64_t *seg_count = seg_meta + G + 1;
+  const int64_t *esc_base = seg_meta + 2 * G + 1;   /* G+1 entries */
+  int64_t *desc_count = seg_meta + 3 * G + 2;
+  int64_t *vesc_count = seg_meta + 4 * G + 2;
+  int64_t *last_out = seg_meta + 5 * G + 2;
+  int64_t seg_pos[16], desc_pos_g[16], vesc_pos_g[16], last_idx[16];
+  bool overflow = false;
+  const int64_t felems = (int64_t)mb_rows * mb_cols * 400;
+  for (int g = 0; g < G; g++) {
+    seg_pos[g] = seg_base[g];
+    desc_pos_g[g] = vesc_pos_g[g] = esc_base[g];
+    last_idx[g] = g * felems - 1;
+  }
+  /* emit the block's nonzero coefficients in ascending position order */
+  auto emit_block = [&](int g, int64_t base_elem, const int16_t *tmp) {
+    int64_t p = seg_pos[g];
+    const int64_t lim = seg_base[g + 1];
+    const int64_t esc_lim = esc_base[g + 1];
+    int64_t last = last_idx[g];
+    for (int i = 0; i < 16; i++) {
+      if (!tmp[i]) continue;
+      if (p >= lim) { overflow = true; return; }
+      const int64_t idx = base_elem + i;
+      int64_t d = idx - last;
+      if (d > 65535) {
+        if (desc_pos_g[g] >= esc_lim) { overflow = true; return; }
+        desc_pos[desc_pos_g[g]] = (int32_t)p;
+        desc_extra[desc_pos_g[g]] = (int32_t)(d - 65535);
+        desc_pos_g[g]++;
+        d = 65535;
+      }
+      int v = tmp[i];
+      if (v < -128 || v > 127) {
+        if (vesc_pos_g[g] >= esc_lim) { overflow = true; return; }
+        vesc_pos[vesc_pos_g[g]] = (int32_t)p;
+        vesc_val[vesc_pos_g[g]] = (int16_t)v;
+        vesc_pos_g[g]++;
+        v = 0;
+      }
+      sp_delta[p] = (uint16_t)d;
+      sp_val[p] = (int8_t)v;
+      last = idx;
+      p++;
+    }
+    last_idx[g] = last;
+    seg_pos[g] = p;
+  };
 
   /* per-frame context planes, packed [g][...] */
   uint8_t *y_nz = new uint8_t[(size_t)G * R * 4 * C * 4]();
@@ -410,8 +473,9 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   FastBool *bd_row[16];
   /* per-(g) per-MB scratch */
   uint8_t live[16];     /* not skipped */
+  uint8_t y2_pend[16];  /* buffered Y2 block awaiting ordered emission */
+  int16_t y2_tmp[16 * 16];
   int mb_nz[16];
-  const int64_t frame_elems = (int64_t)R * C * 25 * 16;
 
   for (int r = 0; r < R; r++) {
     for (int g = 0; g < G; g++) {
@@ -448,15 +512,22 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
         if (y2_coded[gmb]) {
           const int ctx = (y2_above_valid[g * C + c] ? y2_above[g * C + c] : 0)
                           + (y2_left_valid[g] ? y2_left[g] : 0);
-          sink.base = g * frame_elems + (int64_t)mb * 25 * 16 + 24 * 16;
+          /* Y2 is parsed FIRST but its dense index (block 24) sorts LAST
+           * in the macroblock: buffer it and emit after chroma so the
+           * compact stream's deltas stay strictly ascending */
+          memset(y2_tmp + g * 16, 0, 16 * sizeof(int16_t));
           const int nz = parse_block(*bd_row[g],
                                      coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                                     1 /*Y2*/, ctx, 0, nullptr, &sink);
+                                     1 /*Y2*/, ctx, 0, y2_tmp + g * 16,
+                                     nullptr);
+          y2_pend[g] = (uint8_t)nz;
           y2_above[g * C + c] = (uint8_t)nz;
           y2_above_valid[g * C + c] = 1;
           y2_left[g] = (uint8_t)nz;
           y2_left_valid[g] = 1;
           mb_nz[g] |= nz;
+        } else {
+          y2_pend[g] = 0;
         }
       }
       /* phase 1: 16 Y blocks, g-inner so chains interleave */
@@ -470,11 +541,12 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
             const int ctx = (gr > 0 ? yg[(gr - 1) * C * 4 + gc] : 0) +
                             (gc > 0 ? yg[gr * C * 4 + gc - 1] : 0);
             const int y2c = y2_coded[gmb];
-            sink.base = g * frame_elems + (int64_t)mb * 25 * 16
-                        + (sr * 4 + sc) * 16;
+            int16_t tmp[16] = {0};
             const int nz = parse_block(
                 *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                y2c ? 0 : 3, ctx, y2c ? 1 : 0, nullptr, &sink);
+                y2c ? 0 : 3, ctx, y2c ? 1 : 0, tmp, nullptr);
+            if (nz) emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25
+                                   + (sr * 4 + sc)) * 16, tmp);
             yg[gr * C * 4 + gc] = (uint8_t)nz;
             mb_nz[g] |= nz;
           }
@@ -492,19 +564,26 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
               uint8_t *nzp = nz_base + (size_t)g * R * 2 * C * 2;
               const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
                               (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
-              sink.base = g * frame_elems + (int64_t)mb * 25 * 16
-                          + (cbase + sr * 2 + sc) * 16;
+              int16_t tmp[16] = {0};
               const int nz = parse_block(
                   *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                  2 /*UV*/, ctx, 0, nullptr, &sink);
+                  2 /*UV*/, ctx, 0, tmp, nullptr);
+              if (nz) emit_block(g, ((int64_t)g * R * C * 25
+                                     + (int64_t)mb * 25
+                                     + (cbase + sr * 2 + sc)) * 16, tmp);
               nzp[gr * C * 2 + gc] = (uint8_t)nz;
               mb_nz[g] |= nz;
             }
           }
         }
       }
-      for (int g = 0; g < G; g++)
-        if (live[g]) has_nonzero_out[g * R * C + mb] = (uint8_t)(mb_nz[g] != 0);
+      for (int g = 0; g < G; g++) {
+        if (!live[g]) continue;
+        if (y2_pend[g])
+          emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25 + 24)
+                     * 16, y2_tmp + g * 16);
+        has_nonzero_out[g * R * C + mb] = (uint8_t)(mb_nz[g] != 0);
+      }
     }
   }
   delete[] y_nz;
@@ -512,8 +591,13 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   delete[] v_nz;
   delete[] y2_above;
   delete[] y2_above_valid;
-  sparse_meta[0] = sink.count;
-  return sink.count >= sink.cap ? -2 : 0;
+  for (int g = 0; g < G; g++) {
+    seg_count[g] = seg_pos[g] - seg_base[g];
+    desc_count[g] = desc_pos_g[g] - esc_base[g];
+    vesc_count[g] = vesc_pos_g[g] - esc_base[g];
+    last_out[g] = last_idx[g];
+  }
+  return overflow ? -2 : 0;
 }
 
 /* Header fast path: a run of N "Flagged<Unsigned<width>>" elements, the

@@ -26,7 +26,7 @@ def _load():
     lib.vp8_parse_tokens_gop.restype = ctypes.c_int
     lib.vp8_parse_tokens_gop.argtypes = (
         [ctypes.c_int] * 3 + [ctypes.c_void_p] * 4
-        + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 3)
+        + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 7)
     lib.vp8_parse_flagged_literals.restype = ctypes.c_int
     lib.vp8_parse_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
@@ -106,8 +106,16 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     """Token-parse G frames in one interleaved call (see bitwork.cc
     vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
     strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
-    has_nonzero_out: (G, R, C) u8, filled in place.  Returns global sparse
-    (idx i32, val i16) or None on parse failure."""
+    has_nonzero_out: (G, R, C) u8, filled in place.
+
+    Returns the COMPACT coefficient stream as a dict:
+      delta (n,) u16  — strictly positive global-index deltas; the first
+                        element is relative to index -1
+      val   (n,) i8   — clamped values
+      desc_pos/desc_extra (m,) i32 — delta escapes (delta = 65535+extra)
+      vesc_pos (k,) i32 / vesc_val (k,) i16 — value escapes (replace)
+    or None on parse failure.  Reconstruction: idx = cumsum(delta+esc)-1,
+    ascending and unique."""
     lib = _load()
     G = len(frame_parts)
     data = b"".join(p for parts in frame_parts for p in parts)
@@ -129,22 +137,83 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     skip_u8 = np.ascontiguousarray(skip_all, np.uint8)
     y2_u8 = np.ascontiguousarray(y2_all, np.uint8)
     assert has_nonzero_out.flags.c_contiguous
-    for cap in (max(4096, 4 * len(data) + 16),
-                G * mb_rows * mb_cols * 25 * 16):
-        sp_idx = np.empty(cap, np.int32)
-        sp_val = np.empty(cap, np.int16)
-        sp_meta = np.array([0, cap], np.int64)
+    frame_bytes = [sum(len(p) for p in parts) for parts in frame_parts]
+    dense_g = mb_rows * mb_cols * 25 * 16
+    felems = dense_g
+    for scale in (1, 4, 0):
+        caps = [min(dense_g, scale * b + 4096) if scale else dense_g
+                for b in frame_bytes]
+        ecaps = [c // 32 + 256 for c in caps]
+        seg_meta = np.zeros(6 * G + 2, np.int64)
+        np.cumsum(caps, out=seg_meta[1:G + 1])
+        np.cumsum(ecaps, out=seg_meta[2 * G + 2:3 * G + 2])
+        cap = int(seg_meta[G])
+        ecap = int(seg_meta[3 * G + 1])
+        sp_delta = np.empty(cap, np.uint16)
+        sp_val = np.empty(cap, np.int8)
+        desc_pos = np.empty(ecap, np.int32)
+        desc_extra = np.empty(ecap, np.int32)
+        vesc_pos = np.empty(ecap, np.int32)
+        vesc_val = np.empty(ecap, np.int16)
         rc = lib.vp8_parse_tokens_gop(
             G, mb_rows, mb_cols, data, offsets.ctypes.data,
             nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
             skip_u8.ctypes.data, y2_u8.ctypes.data,
             has_nonzero_out.ctypes.data,
-            sp_idx.ctypes.data, sp_val.ctypes.data, sp_meta.ctypes.data)
-        if rc == 0:
-            n = int(sp_meta[0])
-            return sp_idx[:n], sp_val[:n]
-        if rc != -2:
-            break
+            sp_delta.ctypes.data, sp_val.ctypes.data,
+            desc_pos.ctypes.data, desc_extra.ctypes.data,
+            vesc_pos.ctypes.data, vesc_val.ctypes.data,
+            seg_meta.ctypes.data)
+        if rc == -2:
+            continue
+        if rc != 0:
+            return None
+        counts = seg_meta[G + 1:2 * G + 1]
+        dcounts = seg_meta[3 * G + 2:4 * G + 2]
+        vcounts = seg_meta[4 * G + 2:5 * G + 2]
+        lasts = seg_meta[5 * G + 2:6 * G + 2]
+        n = int(counts.sum())
+        delta = np.empty(n, np.uint16)
+        val = np.empty(n, np.int8)
+        dlists, vlists = [], []
+        pos = 0
+        extra_pos, extra_val = [], []
+        prev_last = -1        # segment 0's first delta is relative to -1
+        for g in range(G):
+            b, c = int(seg_meta[g]), int(counts[g])
+            delta[pos:pos + c] = sp_delta[b:b + c]
+            val[pos:pos + c] = sp_val[b:b + c]
+            eb = int(seg_meta[2 * G + 1 + g])
+            dc, vc = int(dcounts[g]), int(vcounts[g])
+            dp = desc_pos[eb:eb + dc] - b + pos
+            de = desc_extra[eb:eb + dc].copy()
+            if c:
+                # re-base the segment's first delta onto the compacted
+                # stream: it was emitted relative to g*felems - 1
+                first = g * felems - 1 + int(delta[pos])
+                if dc and desc_pos[eb] == b:
+                    first += int(de[0])
+                want = first - prev_last
+                assert want >= 1
+                d16 = min(want, 65535)
+                delta[pos] = d16
+                if dc and desc_pos[eb] == b:
+                    de[0] = want - d16
+                elif want > 65535:
+                    dp = np.concatenate([[pos], dp]).astype(np.int32)
+                    de = np.concatenate([[want - 65535], de]) \
+                        .astype(np.int32)
+                prev_last = int(lasts[g])
+            dlists.append((dp.astype(np.int32), de.astype(np.int32)))
+            vlists.append((vesc_pos[eb:eb + vc] - b + pos,
+                           vesc_val[eb:eb + vc]))
+            pos += c
+        return dict(
+            delta=delta, val=val,
+            desc_pos=np.concatenate([d[0] for d in dlists]).astype(np.int32),
+            desc_extra=np.concatenate([d[1] for d in dlists]).astype(np.int32),
+            vesc_pos=np.concatenate([v[0] for v in vlists]).astype(np.int32),
+            vesc_val=np.concatenate([v[1] for v in vlists]).astype(np.int16))
     return None
 
 

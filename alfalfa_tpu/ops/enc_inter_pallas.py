@@ -1,0 +1,777 @@
+"""Pallas TPU kernel: INTER-frame encoding (motion search + mode decision
++ residue coding + reconstruction) as a serial raster walk.
+
+Mirrors encoder/encode_inter_np.py (reference encoder/encode_inter.cc)
+bit-exactly: per macroblock it runs the scalar MV census over already-
+encoded neighbors, screens the four whole-MB intra modes by variance
+rd-cost, evaluates ZEROMV / NEARESTMV / NEARMV (+ NEWMV via the exact
+iterated diamond search) against the LAST reference, and encodes the
+winner — inter residues through the Y2/WHT path, or the full intra
+macroblock encode (with the non-contextual interframe B_PRED costs) when
+intra wins — reconstructing in the loop so neighbors see decoder-exact
+pixels.
+
+Design notes (why serial): unlike the keyframe wavefront kernel
+(ops/enc_intra_pallas.py) which vectorizes across a diagonal, motion
+search needs per-macroblock dynamic window loads from the reference and
+scalar control flow (diamond descent), so one MB at a time with all
+tiles as (1, lanes) vectors is the shape that fits the hardware: scalar
+unit drives loads/decisions, VPU does the per-tile math, MXU does the
+exact layout permutations.  References are vertically byte-packed
+(ops/sixtap_pallas.pack_refs32) so a window load is (16, 256) int32.
+
+Costs: rd math is identical to encoder/costs.py (PROB_COST tables,
+rdcost with >>8), SAD mv-cost and component mv-cost tables are uploaded
+and indexed in SMEM.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alfalfa_tpu.ops.intra_pallas import _sb_predict_all, _lane, _bcast
+from alfalfa_tpu.ops import enc_transforms_pallas as ET
+from alfalfa_tpu.ops.sixtap_pallas import (PACKED_ROWS, LANES, PAD,
+                                           _load_window_packed, _tap)
+
+NUM_B_MODES = 10
+B_PRED = 4
+_IMPLIED = (0, 2, 3, 1)
+INF = jnp.int32(1 << 30)
+
+# mode ids (bitstream/tables.py)
+ZEROMV, NEARESTMV, NEARMV, NEWMV = 7, 5, 6, 8
+
+
+def _t2b_perm_np(S):
+    n = S * S
+    perm = np.zeros(n, np.int32)
+    nb = S // 4
+    for b in range(nb * nb):
+        br, bc = b // nb, b % nb
+        for y in range(4):
+            for x in range(4):
+                perm[16 * b + 4 * y + x] = (4 * br + y) * S + 4 * bc + x
+    P = np.zeros((n, n), np.float32)
+    P[perm, np.arange(n)] = 1
+    return P
+
+
+def _permute(x, P):
+    return jnp.dot(x.astype(jnp.bfloat16), P,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _ps2lane_mask(S):
+    """Constants converting a phase-split (S, S) tile (row c*(S//4)+t =
+    pixel row 4t+c) to a (1, S*S) row-major lane tile:
+    returns (B (S, S*S) bf16, M (S, S*S) f32 mask)."""
+    n4 = S // 4
+    B = np.zeros((S, S * S), np.float32)
+    M = np.zeros((S, S * S), np.float32)
+    for x in range(S):
+        for y in range(S):
+            B[x, S * y + x] = 1
+    for y in range(S):
+        i = (y & 3) * n4 + (y >> 2)
+        M[i, S * y:S * y + S] = 1
+    return B, M
+
+
+def _ps_to_lane(ps, B_ref, M_ref):
+    """Phase-split (S, S) int32 tile -> (1, S*S) int32 lane tile."""
+    t = jnp.dot(ps.astype(jnp.bfloat16), B_ref[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    return jnp.sum(t * M_ref[...], axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _filter_ps(w, S, mx, my):
+    """Separable 6-tap on a packed (8, 32) window -> phase-split (S, S)
+    int32 tile (row c*(S//4)+t = prediction row 4t+c)."""
+    A = [jax.lax.shift_right_logical(w, 8 * b) & 0xFF for b in range(4)]
+    Hh = []
+    for b in range(4):
+        acc = jnp.zeros((8, S), jnp.int32)
+        for k in range(6):
+            acc = acc + A[b][:, k:k + S] * _tap(mx, k)
+        Hh.append(jnp.clip((acc + 64) >> 7, 0, 255))
+    Hs = [[h,
+           jnp.concatenate([h[1:], h[:1]], axis=0),
+           jnp.concatenate([h[2:], h[:2]], axis=0)] for h in Hh]
+    n = S // 4
+    outs = []
+    for c in range(4):
+        acc = jnp.zeros((8, S), jnp.int32)
+        for k in range(6):
+            idx = c + k
+            acc = acc + Hs[idx & 3][idx >> 2] * _tap(my, k)
+        outs.append(jnp.clip((acc + 64) >> 7, 0, 255)[:n])
+    return jnp.concatenate(outs, axis=0)        # (S, S) phase-split
+
+
+def _predict_ps(ref_ref, r, c, mvx, mvy, S, W, H):
+    """Motion-compensated phase-split (S, S) prediction for MB (r, c) of
+    one plane from the packed reference, mv in 1/8-pel units."""
+    sy = r * S + (mvy >> 3) - 2 + PAD
+    sx = c * S + (mvx >> 3) - 2 + PAD
+    sy = jnp.clip(sy, 0, H + 2 * PAD - (S + 5))
+    sx = jnp.clip(sx, 0, W + 2 * PAD - (S + 5))
+    win = _load_window_packed_2d(ref_ref, sy, sx)
+    return _filter_ps(win, S, mvx & 7, mvy & 7)
+
+
+def _load_window_packed_2d(ref_ref, sy, sx):
+    """sixtap_pallas._load_window_packed for a single (Hp4, Wp) plane."""
+    s0 = sy >> 2
+    s_al = pl.multiple_of((s0 >> 3) << 3, 8)
+    sx_al = pl.multiple_of((sx >> 7) << 7, 128)
+    big = ref_ref[pl.ds(s_al, PACKED_ROWS), pl.ds(sx_al, LANES)]
+    big = pltpu.roll(big, -(sx - sx_al), 1)
+    big = pltpu.roll(big, -(s0 - s_al), 0)
+    w = big[:8, :32]
+    rr = sy & 3
+    wn = jnp.concatenate([w[1:], w[:1]], axis=0)
+    sh = 8 * rr
+    lo = jax.lax.shift_right_logical(w, sh)
+    hi = jax.lax.shift_left(wn, (32 - sh) & 31)
+    return jnp.where(rr == 0, w, lo | hi)
+
+
+def _ssum(x):
+    """Scalar sum of a small vector tile."""
+    return jnp.sum(x.astype(jnp.int32))
+
+
+def _var_scalar(diff):
+    """Reference variance (sse - s*s//n) as a scalar; diff (S, S) int32.
+    s*s would overflow int32, so use the exact hi/lo split."""
+    n = diff.shape[0] * diff.shape[1]
+    sse = _ssum(diff * diff)
+    s = _ssum(diff)
+    sa = jnp.abs(s)
+    hi, lo = sa >> 8, sa & 255
+    if n == 256:
+        sq = hi * hi * 256 + 2 * hi * lo + (lo * lo) // 256
+    else:
+        raise AssertionError("variance only used on 16x16")
+    return sse - sq
+
+
+def _rdc(rate, dist, rmult, dmult):
+    return ((128 + rate * rmult) >> 8) + dist * dmult
+
+
+def _clamp_mv(mvx, mvy, r, c, R, C):
+    """macroblock.cc:176-195."""
+    to_left = -(c * 16 << 3) - 128
+    to_right = ((C - 1 - c) * 16 << 3) + 128
+    to_top = -(r * 16 << 3) - 128
+    to_bottom = ((R - 1 - r) * 16 << 3) + 128
+    return (jnp.clip(mvx, to_left, to_right),
+            jnp.clip(mvy, to_top, to_bottom))
+
+
+def _chroma_mv(v):
+    """(4*v + 4) >> 3 with symmetric rounding (luma_to_chroma for a
+    uniform MV)."""
+    a = jnp.abs(v) * 4
+    return jnp.sign(v) * ((a + 4) >> 3)
+
+
+def _inter_kernel(R, C, W, H, realtime,
+                  # SMEM:
+                  sc_ref, mbc_ref, ibc_ref, mvc2p_ref, pcost_ref,
+                  sadc_ref, mvcost_ref,
+                  # VMEM consts:
+                  refy_ref, refu_ref, refv_ref,
+                  t2b_ref, b2t_ref, t2b8_ref, b2t8_ref,
+                  psB_ref, psM_ref, psB8_ref, psM8_ref,
+                  # streams (per MB row):
+                  oyt_ref, oyb_ref, oyps_ref, out_ref, ovt_ref,
+                  oub_ref, ovb_ref,
+                  # outputs (per MB row):
+                  co_ref, md_ref, ry_ref, ru_ref, rv_ref,
+                  # scratch:
+                  rec_y, rec_u, rec_v, ring):
+    r = pl.program_id(0)
+
+    q_ydc, q_yac = sc_ref[0], sc_ref[1]
+    q_y2dc, q_y2ac = sc_ref[2], sc_ref[3]
+    q_uvdc, q_uvac = sc_ref[4], sc_ref[5]
+    rmult, dmult = sc_ref[6], sc_ref[7]
+    sad_weight = sc_ref[8]
+
+    def mb_body(c, _):
+        # ---------------- census (scalar; parse.py mv_census) ----------
+        cr, ar = r & 1, (r + 1) & 1
+        s0 = jnp.int32(0)
+        s1 = jnp.int32(0)
+        s2 = jnp.int32(0)
+        s3 = jnp.int32(0)
+        m1x = m1y = m2x = m2y = m3x = m3y = jnp.int32(0)
+        idx = jnp.int32(0)
+
+        def census_add(state, score, valid, nx, ny, ninter):
+            (s0, s1, s2, s3, m1x, m1y, m2x, m2y, m3x, m3y, idx) = state
+            use = valid & (ninter != 0)
+            zero = (nx == 0) & (ny == 0)
+            s0 = s0 + jnp.where(use & zero, score, 0)
+            nz = use & ~zero
+            curx = jnp.where(idx == 1, m1x, jnp.where(idx == 2, m2x,
+                             jnp.where(idx == 3, m3x, 0)))
+            cury = jnp.where(idx == 1, m1y, jnp.where(idx == 2, m2y,
+                             jnp.where(idx == 3, m3y, 0)))
+            neq = (nx != curx) | (ny != cury)
+            bump = nz & neq
+            idx2 = idx + jnp.where(bump, 1, 0)
+            m1x = jnp.where(bump & (idx2 == 1), nx, m1x)
+            m1y = jnp.where(bump & (idx2 == 1), ny, m1y)
+            m2x = jnp.where(bump & (idx2 == 2), nx, m2x)
+            m2y = jnp.where(bump & (idx2 == 2), ny, m2y)
+            m3x = jnp.where(bump & (idx2 == 3), nx, m3x)
+            m3y = jnp.where(bump & (idx2 == 3), ny, m3y)
+            s1 = s1 + jnp.where(nz & (idx2 == 1), score, 0)
+            s2 = s2 + jnp.where(nz & (idx2 == 2), score, 0)
+            s3 = s3 + jnp.where(nz & (idx2 == 3), score, 0)
+            return (s0, s1, s2, s3, m1x, m1y, m2x, m2y, m3x, m3y, idx2)
+
+        state = (s0, s1, s2, s3, m1x, m1y, m2x, m2y, m3x, m3y, idx)
+        # above (r-1, c), left (r, c-1), above-left (r-1, c-1)
+        cc = jnp.maximum(c - 1, 0)
+        state = census_add(state, 2, r > 0,
+                           ring[ar, c, 0], ring[ar, c, 1], ring[ar, c, 2])
+        state = census_add(state, 2, c > 0,
+                           ring[cr, cc, 0], ring[cr, cc, 1],
+                           ring[cr, cc, 2])
+        state = census_add(state, 1, (r > 0) & (c > 0),
+                           ring[ar, cc, 0], ring[ar, cc, 1],
+                           ring[ar, cc, 2])
+        (s0, s1, s2, s3, m1x, m1y, m2x, m2y, m3x, m3y, idx) = state
+
+        # Scorer::calculate
+        lx = jnp.where(idx == 1, m1x, jnp.where(idx == 2, m2x, m3x))
+        ly = jnp.where(idx == 1, m1y, jnp.where(idx == 2, m2y, m3y))
+        merge = (s3 > 0) & (lx == m1x) & (ly == m1y)
+        s1 = s1 + jnp.where(merge, s3, 0)
+        swap = s2 > s1
+        t1, t2 = s1, s2
+        s1 = jnp.where(swap, t2, t1)
+        s2 = jnp.where(swap, t1, t2)
+        tx, ty = m1x, m1y
+        m1x = jnp.where(swap, m2x, m1x)
+        m1y = jnp.where(swap, m2y, m1y)
+        m2x = jnp.where(swap, tx, m2x)
+        m2y = jnp.where(swap, ty, m2y)
+        best_vx = jnp.where(s1 >= s0, m1x, 0)
+        best_vy = jnp.where(s1 >= s0, m1y, 0)
+
+        # mv_ref probs -> leaf costs (MV_REF_TREE, costs.py)
+        p0 = mvc2p_ref[s0, 0]
+        p1 = mvc2p_ref[s1, 1]
+        p2 = mvc2p_ref[s2, 2]
+        p3 = mvc2p_ref[jnp.int32(0), 3]     # splitmv never produced
+        c_zero = pcost_ref[p0]
+        c_nearest = pcost_ref[255 - p0] + pcost_ref[p1]
+        c_near = pcost_ref[255 - p0] + pcost_ref[255 - p1] + pcost_ref[p2]
+        c_new = (pcost_ref[255 - p0] + pcost_ref[255 - p1]
+                 + pcost_ref[255 - p2] + pcost_ref[p3])
+
+        brx, bry = _clamp_mv(best_vx, best_vy, r, c, R, C)
+
+        # ---------------- intra whole-mode screening -------------------
+        hrow = r > 0
+        hcol = c > 0
+        above_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
+            .astype(jnp.int32)
+        left_t = rec_y[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
+            .astype(jnp.int32)
+        al_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C
+                           + jnp.maximum(c - 1, 0), 1), :] \
+            .astype(jnp.int32)
+        a16 = jnp.where(hrow, above_t[:, 240:256], 127)
+        lcol16 = _tile_col16(left_t)
+        lcol = jnp.where(hcol, lcol16, 129)
+        e0 = jnp.where(hrow & hcol, al_t[:, 255:256],
+                       jnp.where(hrow, 129, 127))
+        oy_t = oyt_ref[0, c][None, :].astype(jnp.int32)     # (1, 256)
+        oy_b = oyb_ref[0, c][None, :].astype(jnp.int32)
+        oy_ps = oyps_ref[0, c].astype(jnp.int32)            # (16, 16)
+
+        wpreds = _whole16(a16, lcol, e0, hrow, hcol)
+        best_cost = INF
+        best_wmode = jnp.int32(0)
+        wpred_sel = wpreds[0]
+        for m in range(4):
+            var = _var_scalar_lane(oy_t - wpreds[m])
+            cost = _rdc(mbc_ref[m], var, rmult, dmult)
+            better = cost < best_cost
+            best_wmode = jnp.where(better, m, best_wmode)
+            wpred_sel = jnp.where(better, wpreds[m], wpred_sel)
+            best_cost = jnp.where(better, cost, best_cost)
+
+        # ---------------- inter candidates -----------------------------
+        # best = (cost, kind [0 intra/1 inter], mode, mvx, mvy, pred_ps)
+        best = (best_cost, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.zeros((16, 16), jnp.int32))
+
+        def consider(best, mode, cand_mvx, cand_mvy, rate, enabled):
+            (bc, bk, bm, bx, by, bps) = best
+            ps = _predict_ps(refy_ref, r, c, cand_mvx, cand_mvy, 16, W, H)
+            var = _var_scalar(oy_ps - ps)
+            cost = jnp.where(enabled, _rdc(rate, var, rmult, dmult), INF)
+            better = cost < bc
+            return (jnp.where(better, cost, bc),
+                    jnp.where(better, 1, bk),
+                    jnp.where(better, mode, bm),
+                    jnp.where(better, cand_mvx, bx),
+                    jnp.where(better, cand_mvy, by),
+                    jnp.where(better, ps, bps))
+
+        best = consider(best, jnp.int32(ZEROMV), jnp.int32(0),
+                        jnp.int32(0), c_zero, True)
+        nx, ny = _clamp_mv(m1x, m1y, r, c, R, C)
+        best = consider(best, jnp.int32(NEARESTMV), nx, ny, c_nearest,
+                        (nx != 0) | (ny != 0))
+        nx2, ny2 = _clamp_mv(m2x, m2y, r, c, R, C)
+        best = consider(best, jnp.int32(NEARMV), nx2, ny2, c_near,
+                        (nx2 != 0) | (ny2 != 0))
+
+        # NEWMV: iterated diamond search (encode_inter.cc:172-229)
+        if realtime:
+            do_search = (c % 4 == 0) & (r % 4 == 0)
+        else:
+            do_search = jnp.bool_(True)
+
+        def site_cost(ox, oy_, sx_, sy_, step):
+            mvx = ox + step * sx_
+            mvy = oy_ + step * sy_
+            oob = (jnp.abs(mvx) > 1023) | (jnp.abs(mvy) > 1023)
+            tx, ty = _clamp_mv(mvx + brx, mvy + bry, r, c, R, C)
+            ps = _predict_ps(refy_ref, r, c, tx, ty, 16, W, H)
+            dist = _ssum(jnp.abs(oy_ps - ps))
+            cx = jnp.clip(jax.lax.shift_right_arithmetic(mvx, 2),
+                          -255, 255)
+            cy = jnp.clip(jax.lax.shift_right_arithmetic(mvy, 2),
+                          -255, 255)
+            rate = (sadc_ref[jnp.abs(cy)] + sadc_ref[jnp.abs(cx)])
+            rate = (rate * sad_weight + 128) >> 8
+            cost = ((128 + rate) >> 8) + dist
+            return jnp.where(oob, INF, cost), mvx, mvy
+
+        def diamond(origin_x, origin_y, step0):
+            first_step = step0 >> 1
+
+            def cond(st):
+                return st[2] > 1
+
+            def body(st):
+                ox, oy_, step, fs = st
+                bcost = INF
+                bx, by = ox, oy_
+                for sx_, sy_ in ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0)):
+                    cost, mvx, mvy = site_cost(ox, oy_, sx_, sy_, step)
+                    bet = cost < bcost
+                    bx = jnp.where(bet, mvx, bx)
+                    by = jnp.where(bet, mvy, by)
+                    bcost = jnp.where(bet, cost, bcost)
+                stay = (bx == ox) & (by == oy_)
+                fs = jnp.where(stay, step >> 1, fs)
+                return (bx, by, step >> 1, fs)
+
+            ox, oy_, _, fs = jax.lax.while_loop(
+                cond, body, (origin_x, origin_y, step0, first_step))
+            return ox, oy_, fs
+
+        def full_search():
+            def cond(st):
+                return st[2] > 1
+
+            def body(st):
+                mx_, my_, step = st
+                nx_, ny_, fs = diamond(mx_, my_, step)
+                same = (nx_ == mx_) & (ny_ == my_)
+                # 'break' when the restart converges: force step to 1
+                return (nx_, ny_, jnp.where(same, 1, fs))
+
+            mx_, my_, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(512)))
+            return mx_ + brx, my_ + bry
+
+        fx, fy = jax.lax.cond(
+            do_search, full_search,
+            lambda: (jnp.int32(0), jnp.int32(0)))
+        new_en = do_search & ((fx != 0) | (fy != 0))
+        # component mv cost (MVComponentCostTable.mv_cost, weight 96)
+        dmx = fx - brx
+        dmy = fy - bry
+        mvrate = (mvcost_ref[jnp.where(dmy < 0, 1, 0), jnp.abs(dmy)]
+                  + mvcost_ref[2 + jnp.where(dmx < 0, 1, 0), jnp.abs(dmx)])
+        nrate = c_new + (mvrate * 96) // 128
+        best = consider(best, jnp.int32(NEWMV), fx, fy, nrate, new_en)
+
+        (bcost, bkind, bmode, bmvx, bmvy, bps) = best
+
+        # ---------------- encode the winner ----------------------------
+        def encode_inter():
+            pred_t = _ps_to_lane(bps, psB_ref, psM_ref)        # (1, 256)
+            pred_b = _permute(pred_t, t2b_ref[...])
+            diff_b = oy_b - pred_b
+            co_full = ET.fdct(diff_b)
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            is_dc = (li % 16) == 0
+            walsh = jnp.concatenate(
+                [_lane(co_full, 16 * b) for b in range(16)], axis=1)
+            co_ac = ET.quantize(jnp.where(is_dc, 0, co_full), q_ydc, q_yac)
+            y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
+            yd = ET.dequantize(co_ac, q_ydc, q_yac)
+            dc_rec = ET.iwht(ET.dequantize(y2q, q_y2dc, q_y2ac))
+            dc_expand = jnp.zeros((1, 256), jnp.int32)
+            for b in range(16):
+                dc_expand = dc_expand + jnp.where(
+                    li == 16 * b, _bcast(_lane(dc_rec, b), 256), 0)
+            yblk = jnp.where(is_dc, dc_expand, yd)
+            rec_b = jnp.clip(pred_b + ET.idct(yblk), 0, 255)
+            rec_t = _permute(rec_b, b2t_ref[...])
+
+            # chroma from the averaged MV
+            cmx = _chroma_mv(bmvx)
+            cmy = _chroma_mv(bmvy)
+            pu_ps = _predict_ps(refu_ref, r, c, cmx, cmy, 8,
+                                W // 2, H // 2)
+            pv_ps = _predict_ps(refv_ref, r, c, cmx, cmy, 8,
+                                W // 2, H // 2)
+            pu_t = _ps_to_lane8(pu_ps, psB8_ref, psM8_ref)
+            pv_t = _ps_to_lane8(pv_ps, psB8_ref, psM8_ref)
+
+            def chroma_code(ob, pt):
+                pb = _permute(pt, t2b8_ref[...])
+                qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
+                resd = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+                rec = _permute(jnp.clip(pb + resd, 0, 255), b2t8_ref[...])
+                return qc, rec
+
+            co_u, rec_u_t = chroma_code(oub_ref[0, c][None, :]
+                                        .astype(jnp.int32), pu_t)
+            co_v, rec_v_t = chroma_code(ovb_ref[0, c][None, :]
+                                        .astype(jnp.int32), pv_t)
+            return (co_ac, co_u, co_v, y2q[:, 0:16], jnp.int32(1),
+                    bmode, jnp.zeros((1, 16), jnp.int32),
+                    jnp.int32(0),          # uvmode unused for inter
+                    rec_t, rec_u_t, rec_v_t, cmx, cmy)
+
+        def encode_intra():
+            # full intra MB with interframe costs (encode_intra_np
+            # encode_intra_mb(interframe=True)); B_PRED costs are the
+            # non-contextual inter_bmode_costs
+            ar_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C
+                               + jnp.minimum(c + 1, C - 1), 1), :] \
+                .astype(jnp.int32)
+            has_ar = hrow & (c < C - 1)
+            ar4 = jnp.where(has_ar, ar_t[:, 240:244],
+                            jnp.where(hrow, _bcast(a16[:, 15:16], 4), 127))
+            ea = jnp.concatenate([a16, ar4], axis=1)
+
+            rows = [jnp.zeros((1, 16), jnp.int32)] * 16
+            bm_sel = [None] * 16
+            co_b = [None] * 16
+            bpred_rate = mbc_ref[B_PRED] * jnp.ones((), jnp.int32)
+            bpred_dist = jnp.int32(0)
+            for sr in range(4):
+                for sc in range(4):
+                    sb = sr * 4 + sc
+                    if sr == 0:
+                        above4 = ea[:, sc * 4:sc * 4 + 4]
+                        arr = ea[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
+                        al = e0 if sc == 0 else _lane(ea, sc * 4 - 1)
+                    else:
+                        prow = rows[sr * 4 - 1]
+                        above4 = prow[:, sc * 4:sc * 4 + 4]
+                        arr = (prow[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
+                               if sc < 3 else ea[:, 16:20])
+                        al = (_lane(prow, sc * 4 - 1) if sc > 0
+                              else _lane(lcol, sr * 4 - 1))
+                    left4 = (lcol[:, sr * 4:sr * 4 + 4] if sc == 0 else
+                             jnp.concatenate(
+                                 [_lane(rows[sr * 4 + i], sc * 4 - 1)
+                                  for i in range(4)], axis=1))
+                    preds = _sb_predict_all(
+                        jnp.concatenate([above4, arr], axis=1), left4, al)
+                    osb = oy_b[:, sb * 16:sb * 16 + 16]
+                    bcost_sb = INF
+                    bm = jnp.int32(0)
+                    brate = jnp.int32(0)
+                    bsse = jnp.int32(0)
+                    psel = preds[0]
+                    for m in range(NUM_B_MODES):
+                        sse = _ssum((osb - preds[m]) ** 2)
+                        rate = ibc_ref[m]
+                        cost = _rdc(rate, sse, rmult, dmult)
+                        bet = cost < bcost_sb
+                        bm = jnp.where(bet, m, bm)
+                        brate = jnp.where(bet, rate, brate)
+                        bsse = jnp.where(bet, sse, bsse)
+                        psel = jnp.where(bet, preds[m], psel)
+                        bcost_sb = jnp.where(bet, cost, bcost_sb)
+                    bm_sel[sb] = bm
+                    bpred_rate = bpred_rate + brate
+                    bpred_dist = bpred_dist + bsse
+                    qc = ET.quantize(ET.fdct(osb - psel), q_ydc, q_yac)
+                    co_b[sb] = qc
+                    resd = ET.idct(ET.dequantize(qc, q_ydc, q_yac))
+                    blk = jnp.clip(psel + resd, 0, 255)
+                    for i in range(4):
+                        r_ = rows[sr * 4 + i]
+                        parts = ([r_[:, :sc * 4]] if sc > 0 else []) + \
+                            [blk[:, i * 4:i * 4 + 4]] + \
+                            ([r_[:, sc * 4 + 4:]] if sc < 3 else [])
+                        rows[sr * 4 + i] = jnp.concatenate(parts, axis=1)
+            bpred_recon = jnp.concatenate(rows, axis=1)
+            bpred_co = jnp.concatenate(co_b, axis=1)
+            bpred_bm = jnp.concatenate(
+                [jnp.broadcast_to(b, (1, 1)) for b in bm_sel], axis=1)
+            bpred_cost = _rdc(bpred_rate, bpred_dist, rmult, dmult)
+
+            # whole-MB: reuse screening results (same math)
+            wpred_b = _permute(wpred_sel, t2b_ref[...])
+            diff_b = oy_b - wpred_b
+            co_full = ET.fdct(diff_b)
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            is_dc = (li % 16) == 0
+            walsh = jnp.concatenate(
+                [_lane(co_full, 16 * b) for b in range(16)], axis=1)
+            wco_ac = ET.quantize(jnp.where(is_dc, 0, co_full), q_ydc,
+                                 q_yac)
+            y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
+            yd = ET.dequantize(wco_ac, q_ydc, q_yac)
+            dc_rec = ET.iwht(ET.dequantize(y2q, q_y2dc, q_y2ac))
+            dc_expand = jnp.zeros((1, 256), jnp.int32)
+            for b in range(16):
+                dc_expand = dc_expand + jnp.where(
+                    li == 16 * b, _bcast(_lane(dc_rec, b), 256), 0)
+            yblk = jnp.where(is_dc, dc_expand, yd)
+            wrec_b = jnp.clip(wpred_b + ET.idct(yblk), 0, 255)
+            wrecon = _permute(wrec_b, b2t_ref[...])
+
+            use_b = bpred_cost < best_cost     # vs best WHOLE cost
+            ymode = jnp.where(use_b, B_PRED, best_wmode)
+            implied = jnp.int32(0)
+            for m in range(4):
+                implied = jnp.where(best_wmode == m, _IMPLIED[m], implied)
+            bm_out = jnp.where(use_b, bpred_bm,
+                               jnp.broadcast_to(implied, (1, 16)))
+            co_y = jnp.where(use_b, bpred_co, wco_ac)
+            co_y2 = jnp.where(use_b, jnp.zeros((1, 16), jnp.int32),
+                              y2q[:, 0:16])
+            rec_t = jnp.where(use_b, bpred_recon, wrecon)
+
+            # chroma intra by SSE
+            abv_u = rec_u[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
+                .astype(jnp.int32)
+            lft_u = rec_u[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
+                .astype(jnp.int32)
+            alu = rec_u[pl.ds(jnp.maximum(r - 1, 0) * C
+                              + jnp.maximum(c - 1, 0), 1), :] \
+                .astype(jnp.int32)
+            abv_v = rec_v[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
+                .astype(jnp.int32)
+            lft_v = rec_v[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
+                .astype(jnp.int32)
+            alv = rec_v[pl.ds(jnp.maximum(r - 1, 0) * C
+                              + jnp.maximum(c - 1, 0), 1), :] \
+                .astype(jnp.int32)
+            a8u = jnp.where(hrow, abv_u[:, 56:64], 127)
+            e0u = jnp.where(hrow & hcol, alu[:, 63:64],
+                            jnp.where(hrow, 129, 127))
+            clu = jnp.where(hcol, _tile_col8(lft_u), 129)
+            a8v = jnp.where(hrow, abv_v[:, 56:64], 127)
+            e0v = jnp.where(hrow & hcol, alv[:, 63:64],
+                            jnp.where(hrow, 129, 127))
+            clv = jnp.where(hcol, _tile_col8(lft_v), 129)
+            pu = _whole8(a8u, clu, e0u, hrow, hcol)
+            pv = _whole8(a8v, clv, e0v, hrow, hcol)
+            ou_t = out_ref[0, c][None, :].astype(jnp.int32)
+            ov_t = ovt_ref[0, c][None, :].astype(jnp.int32)
+            ucost = INF
+            uvmode = jnp.int32(0)
+            pu_sel, pv_sel = pu[0], pv[0]
+            for m in range(4):
+                dist = (_ssum((ou_t - pu[m]) ** 2)
+                        + _ssum((ov_t - pv[m]) ** 2))
+                bet = dist < ucost
+                uvmode = jnp.where(bet, m, uvmode)
+                pu_sel = jnp.where(bet, pu[m], pu_sel)
+                pv_sel = jnp.where(bet, pv[m], pv_sel)
+                ucost = jnp.where(bet, dist, ucost)
+
+            def chroma_code(ob, pt):
+                pb = _permute(pt, t2b8_ref[...])
+                qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
+                resd = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+                rec = _permute(jnp.clip(pb + resd, 0, 255), b2t8_ref[...])
+                return qc, rec
+
+            co_u, rec_u_t = chroma_code(oub_ref[0, c][None, :]
+                                        .astype(jnp.int32), pu_sel)
+            co_v, rec_v_t = chroma_code(ovb_ref[0, c][None, :]
+                                        .astype(jnp.int32), pv_sel)
+            return (co_y, co_u, co_v, co_y2, jnp.int32(0),
+                    ymode, bm_out, uvmode,
+                    rec_t, rec_u_t, rec_v_t, jnp.int32(0), jnp.int32(0))
+
+        inter_wins = bkind != 0
+        (co_y, co_u, co_v, co_y2, _is_inter, out_mode, bm_out, uvmode,
+         rec_t, rec_u_t, rec_v_t, cmx, cmy) = jax.lax.cond(
+            inter_wins, encode_inter, encode_intra)
+
+        coeffs = jnp.concatenate([co_y, co_u, co_v, co_y2], axis=1)
+        nz = jnp.any(coeffs != 0)
+
+        # ---------------- outputs + state ------------------------------
+        co_ref[0, c] = coeffs[0].astype(jnp.int16)
+        md_row = jnp.concatenate([
+            jnp.stack([out_mode, uvmode,
+                       jnp.where(inter_wins, 1, 0),
+                       nz.astype(jnp.int32), bmvx, bmvy, cmx, cmy])[None],
+            bm_out[0][None], jnp.zeros((1, 8), jnp.int32)], axis=1)
+        md_ref[0, c] = md_row[0].astype(jnp.int16)
+        ry_ref[0, c] = rec_t[0].astype(jnp.int16)
+        ru_ref[0, c] = rec_u_t[0].astype(jnp.int16)
+        rv_ref[0, c] = rec_v_t[0].astype(jnp.int16)
+        rec_y[pl.ds(r * C + c, 1), :] = rec_t.astype(jnp.int16)
+        rec_u[pl.ds(r * C + c, 1), :] = rec_u_t.astype(jnp.int16)
+        rec_v[pl.ds(r * C + c, 1), :] = rec_v_t.astype(jnp.int16)
+        ring[cr, c, 0] = jnp.where(inter_wins, bmvx, 0)
+        ring[cr, c, 1] = jnp.where(inter_wins, bmvy, 0)
+        ring[cr, c, 2] = jnp.where(inter_wins, 1, 0)
+        ring[cr, c, 3] = out_mode
+        return 0
+
+    jax.lax.fori_loop(0, C, mb_body, 0)
+
+
+def _tile_col16(t):
+    return jnp.concatenate([_lane(t, 15 + 16 * y) for y in range(16)],
+                           axis=1)
+
+
+def _tile_col8(t):
+    return jnp.concatenate([_lane(t, 7 + 8 * y) for y in range(8)], axis=1)
+
+
+def _whole16(a, lcol, e0, hrow, hcol):
+    return _whole_generic(a, lcol, e0, hrow, hcol, 16)
+
+
+def _whole8(a, lcol, e0, hrow, hcol):
+    return _whole_generic(a, lcol, e0, hrow, hcol, 8)
+
+
+def _whole_generic(a, lcol, e0, hrow, hcol, S):
+    log2 = {8: 3, 16: 4}[S]
+    sum_a = jnp.sum(a, axis=1, keepdims=True)
+    sum_l = jnp.sum(lcol, axis=1, keepdims=True)
+    dc = jnp.where(
+        hrow & hcol, (sum_a + sum_l + (1 << log2)) >> (log2 + 1),
+        jnp.where(hrow, (sum_a + (1 << (log2 - 1))) >> log2,
+                  jnp.where(hcol, (sum_l + (1 << (log2 - 1))) >> log2,
+                            128)))
+    P = S * S
+    dcp = _bcast(dc, P)
+    vp = jnp.tile(a, (1, S))
+    hp = jnp.concatenate([_bcast(_lane(lcol, y), S) for y in range(S)],
+                         axis=1)
+    tm = jnp.clip(hp + vp - _bcast(e0, P), 0, 255)
+    return [dcp, vp, hp, tm]
+
+
+def _var_scalar_lane(diff):
+    """variance of a (1, 256) int32 diff, scalar."""
+    sse = _ssum(diff * diff)
+    s = _ssum(diff)
+    sa = jnp.abs(s)
+    hi, lo = sa >> 8, sa & 255
+    return sse - (hi * hi * 256 + 2 * hi * lo + (lo * lo) // 256)
+
+
+def _ps_to_lane8(ps, B_ref, M_ref):
+    t = jnp.dot(ps.astype(jnp.bfloat16), B_ref[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    return jnp.sum(t * M_ref[...], axis=0, keepdims=True).astype(jnp.int32)
+
+
+def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
+                       refy_p, refu_p, refv_p,
+                       scalars, mb_costs, ib_costs, mvc2p, pcost, sadcost,
+                       mvcost, realtime, interpret=False):
+    """Run the inter-encode raster kernel.
+
+    oy_t/oy_b: (R, C, 256) i16 original luma tiles (row-major / block
+    layouts); oy_ps: (R, C, 16, 16) i16 phase-split tiles (row 4t+c at
+    [c*4+t]); ou_*/ov_*: (R, C, 64) i16; refy_p/refu_p/refv_p: packed
+    references (pack_refs32 of pad_refs); scalars: (16,) i32 [q_ydc, q_yac,
+    q_y2dc, q_y2ac, q_uvdc, q_uvac, rmult, dmult, sad_weight, ...];
+    mb_costs (8,) i32; ib_costs (16,) i32; mvc2p (6, 4) i32; pcost (256,)
+    i32; sadcost (256,) i32; mvcost (4, 1024) i32 [comp*2+sign].
+
+    Returns (coeffs (R, C, 400) i16, md (R, C, 32) i16,
+             rec_y (R, C, 256) i16, rec_u, rec_v (R, C, 64) i16).
+    md lanes: [ymode, uvmode, is_inter, nz, mvx, mvy, cmx, cmy,
+               bmode x16, pad x8].
+    """
+    R, C = oy_t.shape[:2]
+    H, W = R * 16, C * 16
+    t2b = jnp.asarray(_t2b_perm_np(16), jnp.bfloat16)
+    b2t = jnp.asarray(_t2b_perm_np(16).T, jnp.bfloat16)
+    t2b8 = jnp.asarray(_t2b_perm_np(8), jnp.bfloat16)
+    b2t8 = jnp.asarray(_t2b_perm_np(8).T, jnp.bfloat16)
+    psB, psM = _ps2lane_mask(16)
+    psB8, psM8 = _ps2lane_mask(8)
+
+    stream = lambda *shape: pl.BlockSpec((1,) + shape,
+                                         lambda r: (r,) + (0,) * len(shape),
+                                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape),
+                                      memory_space=pltpu.SMEM)
+
+    Hp4y, Wpy = refy_p.shape
+    Hp4c, Wpc = refu_p.shape
+
+    return pl.pallas_call(
+        functools.partial(_inter_kernel, R, C, W, H, bool(realtime)),
+        grid=(R,),
+        in_specs=[smem((16,)), smem((8,)), smem((16,)), smem((6, 4)),
+                  smem((256,)), smem((256,)), smem((4, 1024)),
+                  const((Hp4y, Wpy)), const((Hp4c, Wpc)),
+                  const((Hp4c, Wpc)),
+                  const((256, 256)), const((256, 256)),
+                  const((64, 64)), const((64, 64)),
+                  const((16, 256)), const((16, 256)),
+                  const((8, 64)), const((8, 64)),
+                  stream(C, 256), stream(C, 256), stream(C, 16, 16),
+                  stream(C, 64), stream(C, 64), stream(C, 64),
+                  stream(C, 64)],
+        out_specs=(stream(C, 400), stream(C, 32), stream(C, 256),
+                   stream(C, 64), stream(C, 64)),
+        out_shape=(jax.ShapeDtypeStruct((R, C, 400), jnp.int16),
+                   jax.ShapeDtypeStruct((R, C, 32), jnp.int16),
+                   jax.ShapeDtypeStruct((R, C, 256), jnp.int16),
+                   jax.ShapeDtypeStruct((R, C, 64), jnp.int16),
+                   jax.ShapeDtypeStruct((R, C, 64), jnp.int16)),
+        scratch_shapes=[pltpu.VMEM((R * C, 256), jnp.int16),
+                        pltpu.VMEM((R * C, 64), jnp.int16),
+                        pltpu.VMEM((R * C, 64), jnp.int16),
+                        pltpu.SMEM((2, C, 4), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(scalars, jnp.int32), jnp.asarray(mb_costs, jnp.int32),
+      jnp.asarray(ib_costs, jnp.int32), jnp.asarray(mvc2p, jnp.int32),
+      jnp.asarray(pcost, jnp.int32), jnp.asarray(sadcost, jnp.int32),
+      jnp.asarray(mvcost, jnp.int32),
+      refy_p, refu_p, refv_p, t2b, b2t, t2b8, b2t8,
+      jnp.asarray(psB, jnp.bfloat16), jnp.asarray(psM, jnp.float32),
+      jnp.asarray(psB8, jnp.bfloat16), jnp.asarray(psM8, jnp.float32),
+      oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b)

@@ -11,11 +11,16 @@ import jax
 import jax.numpy as jnp
 
 
-def predict_mb_tiles(ref_planes, ref_sel, sub_mv, S):
+def predict_mb_tiles(ref_planes, ref_sel, sub_mv, S, dims=None):
     """Motion-compensate all macroblock tiles of one plane.
 
     ref_planes: (4, H, W) uint8; ref_sel: (R, C); sub_mv: (R, C, n, n, 2)
     eighth-pel MVs (n = S // 4).  Returns (R, C, S, S) int32.
+
+    With dims=(H, W), ref_planes is already in MC layout (edge-padded via
+    sixtap_pallas.pad_refs) and H/W are the REAL plane dims — clamping
+    anywhere inside the edge-replicated band reads the same edge pixel, so
+    both paths stay bit-exact (prediction.cc:919-971).
 
     Dispatches to the Pallas kernel on TPU (ops/sixtap_pallas.py); the XLA
     gather formulation below is the fallback (and the CPU test oracle).
@@ -24,12 +29,21 @@ def predict_mb_tiles(ref_planes, ref_sel, sub_mv, S):
     n = S // 4
     if jax.default_backend() == "tpu":
         from . import sixtap_pallas
-        H, W = ref_planes.shape[-2:]
-        padded = sixtap_pallas.pad_refs(ref_planes)
+        if dims is None:
+            H, W = ref_planes.shape[-2:]
+            padded = sixtap_pallas.pad_refs(ref_planes)
+        else:
+            H, W = dims
+            padded = ref_planes
         return sixtap_pallas.mc_tiles(padded, H, W,
                                       ref_sel.astype(jnp.int32),
                                       sub_mv.astype(jnp.int32), S)
 
+    if dims is not None:
+        from . import sixtap_pallas
+        H, W = dims
+        return _predict_prepadded(ref_planes, ref_sel, sub_mv, S, H, W,
+                                  sixtap_pallas.PAD)
     rr, cc = jnp.mgrid[0:R, 0:C]
     si = jnp.arange(n)
     sby = rr[:, :, None, None] * S + si[None, None, :, None] * 4
@@ -42,6 +56,46 @@ def predict_mb_tiles(ref_planes, ref_sel, sub_mv, S):
         jnp.broadcast_to(sby, (R, C, n, n)).reshape(N),
         jnp.broadcast_to(sbx, (R, C, n, n)).reshape(N),
         sub_mv.reshape(N, 2).astype(jnp.int32))
+    return pred.reshape(R, C, n, n, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(R, C, S, S)
+
+
+def _predict_prepadded(padded, ref_sel, sub_mv, S, H, W, pad):
+    """XLA fallback over prepadded planes (CPU oracle for the padded-ref
+    step layout): identical to predict_4x4_blocks with coords offset into
+    the pad band and clamps widened to the padded bounds."""
+    R, C = ref_sel.shape
+    n = S // 4
+    rr, cc = jnp.mgrid[0:R, 0:C]
+    si = jnp.arange(n)
+    sby = rr[:, :, None, None] * S + si[None, None, :, None] * 4
+    sbx = cc[:, :, None, None] * S + si[None, None, None, :] * 4
+    N = R * C * n * n
+    mv = sub_mv.reshape(N, 2).astype(jnp.int32)
+    sel = jnp.broadcast_to(ref_sel[:, :, None, None].astype(jnp.int32),
+                           (R, C, n, n)).reshape(N)
+    by = jnp.broadcast_to(sby, (R, C, n, n)).reshape(N)
+    bx = jnp.broadcast_to(sbx, (R, C, n, n)).reshape(N)
+    mx = mv[:, 0] & 7
+    my = mv[:, 1] & 7
+    src_x = bx + (mv[:, 0] >> 3)
+    src_y = by + (mv[:, 1] >> 3)
+    oy = jnp.arange(-2, 7)
+    # clamp inside the edge-replicated band: same pixel as a real-edge clamp
+    yy = jnp.clip(src_y[:, None] + oy[None, :] + pad, 0, H + 2 * pad - 1)
+    xx = jnp.clip(src_x[:, None] + oy[None, :] + pad, 0, W + 2 * pad - 1)
+    patch = padded[sel[:, None, None], yy[:, :, None],
+                   xx[:, None, :]].astype(jnp.int32)
+    hf = SIXTAP[mx]
+    acc = jnp.zeros((N, 9, 4), jnp.int32)
+    for k in range(6):
+        acc = acc + patch[:, :, k:k + 4] * hf[:, k, None, None]
+    inter = jnp.clip((acc + 64) >> 7, 0, 255)
+    vf = SIXTAP[my]
+    acc = jnp.zeros((N, 4, 4), jnp.int32)
+    for k in range(6):
+        acc = acc + inter[:, k:k + 4, :] * vf[:, k, None, None]
+    pred = jnp.clip((acc + 64) >> 7, 0, 255)
     return pred.reshape(R, C, n, n, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
         .reshape(R, C, S, S)
 

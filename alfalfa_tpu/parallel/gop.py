@@ -185,11 +185,26 @@ class BatchedGopDecoder:
         self._sched = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                        for k, v in _RJ.skew_schedule(R, C).items()}
         H, W = R * 16, C * 16
-        z_y = jnp.zeros((n_gops, H, W), jnp.uint8)
-        z_uv = jnp.zeros((n_gops, H // 2, W // 2), jnp.uint8)
-        # (last, golden, alternative) per plane
-        self.refs = {"y": (z_y, z_y, z_y), "u": (z_uv, z_uv, z_uv),
-                     "v": (z_uv, z_uv, z_uv)}
+        self._on_tpu = jax.default_backend() == "tpu"
+        if self._on_tpu:
+            # references live permanently in MC layout: edge-padded,
+            # vertically byte-packed, ref-slot-stacked (G, 4, Hp//4, Wp)
+            # int32 = [x, last, golden, alt] (slot 0 = intra, never read)
+            # — kills the per-step stack+pad and the packed MC kernel's
+            # in-kernel u8->i32 conversion (sixtap_pallas.pack_refs32)
+            from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+            self.refs = {
+                p: pack_refs32(pad_refs(jnp.zeros((n_gops, 4, h, w),
+                                                  jnp.uint8)))
+                for p, h, w in (("y", H, W), ("u", H // 2, W // 2),
+                                ("v", H // 2, W // 2))}
+        else:
+            z_y = jnp.zeros((n_gops, H, W), jnp.uint8)
+            z_uv = jnp.zeros((n_gops, H // 2, W // 2), jnp.uint8)
+            # (last, golden, alternative) per plane
+            self.refs = {"y": (z_y, z_y, z_y), "u": (z_uv, z_uv, z_uv),
+                         "v": (z_uv, z_uv, z_uv)}
+        self._blk_buffers = None
         self._step_cache = {}
 
     # -- host side -----------------------------------------------------------
@@ -264,8 +279,10 @@ class BatchedGopDecoder:
                 bmode=np.stack([p[1].bmode for p in per]),
                 sub_mv=np.stack([p[1].sub_mv for p in per]))
 
-        # token decode: one native call interleaving all G streams
-        batch_sparse = None
+        # token decode: one native call interleaving all G streams;
+        # output is block-granular (one (idx, 16 coeffs) record per coded
+        # 4x4 block) so the device scatters 16-lane rows, not elements
+        batch_blocks = None
         if clean:
             try:
                 from alfalfa_tpu.native import bitwork
@@ -274,16 +291,16 @@ class BatchedGopDecoder:
                         1 << p[0].log2_number_of_dct_partitions)
                     for p in per]
                 hnz = np.zeros((G, R, C), np.uint8)
-                batch_sparse = bitwork.parse_tokens_gop(
+                batch_blocks = bitwork.parse_tokens_gop(
                     frame_parts, R, C, [p[3].coeff_probs for p in per],
                     S["skip"], S["y2_coded"], hnz)
-                if batch_sparse is not None:
+                if batch_blocks is not None:
                     S["has_nonzero"] = hnz
                     for g, p in enumerate(per):
                         p[1].has_nonzero[:] = hnz[g].view(bool)
             except (ImportError, AttributeError, OSError):
-                batch_sparse = None
-        if batch_sparse is None:
+                batch_blocks = None
+        if batch_blocks is None:
             for header, arrays, chunk, fp, parser in per:
                 parser._parse_tokens(chunk, header, arrays, fp)
             S["has_nonzero"] = np.stack(
@@ -298,33 +315,58 @@ class BatchedGopDecoder:
             return b
 
         # The host->device link is the scaling bottleneck, so uploads are
-        # minimal: sparse nonzero coefficients (emitted directly by the C
-        # token parser), one MV per macroblock with sparse SPLITMV escapes,
-        # and small per-MB maps.  Chroma MVs, loop filter limits, and
-        # dequant factors are re-derived on device.
+        # minimal: nonzero coefficients as block records (emitted directly
+        # by the C token parser), one MV per macroblock with sparse SPLITMV
+        # escapes, and small per-MB maps.  Chroma MVs, loop filter limits,
+        # and dequant factors are re-derived on device.
         frame_elems = self.mb_rows * self.mb_cols * 25 * 16
-        if batch_sparse is not None:
-            sp_idx, sp_val = batch_sparse     # already globally indexed
-            n_nz = len(sp_idx)
-            cap = bucket(n_nz, 1 << 16)
-            coeff_idx = np.empty(cap, np.int32)
-            coeff_val = np.zeros(cap, np.int16)
-            coeff_idx[:n_nz] = sp_idx
-            coeff_val[:n_nz] = sp_val
-            coeff_idx[n_nz:] = sp_idx[0] if n_nz else 0  # duplicates add 0
-        else:
+        n_elems = G * frame_elems
+        if batch_blocks is None:
+            # fallback: per-frame elementwise sparse (token order) -> the
+            # same compact delta stream the native parser emits
             sp = [p[1].coeff_sparse for p in per]
-            n_nz = sum(len(s[0]) for s in sp)
-            cap = bucket(n_nz, 1 << 16)
-            coeff_idx = np.zeros(cap, np.int32)
-            coeff_val = np.zeros(cap, np.int16)
-            pos = 0
-            for g, (idx, val) in enumerate(sp):
-                coeff_idx[pos:pos + len(idx)] = idx + g * frame_elems
-                coeff_val[pos:pos + len(idx)] = val
-                pos += len(idx)
-            if n_nz:
-                coeff_idx[n_nz:] = coeff_idx[0]  # duplicates add 0
+            eidx = np.concatenate(
+                [idx.astype(np.int64) + g * frame_elems
+                 for g, (idx, _v) in enumerate(sp)])
+            eval_ = np.concatenate([v for _i, v in sp]).astype(np.int64)
+            order = np.argsort(eidx, kind="stable")
+            eidx, eval_ = eidx[order], eval_[order]
+            d = np.diff(eidx, prepend=-1)
+            dpos = np.flatnonzero(d > 65535).astype(np.int32)
+            vpos = np.flatnonzero((eval_ < -128) | (eval_ > 127)) \
+                .astype(np.int32)
+            batch_blocks = dict(
+                delta=np.minimum(d, 65535).astype(np.uint16),
+                val=np.where((eval_ < -128) | (eval_ > 127), 0, eval_)
+                .astype(np.int8),
+                desc_pos=dpos,
+                desc_extra=(d[dpos] - 65535).astype(np.int32),
+                vesc_pos=vpos, vesc_val=eval_[vpos].astype(np.int16))
+        cs = batch_blocks
+        n_nz = len(cs["delta"])
+
+        def bucket2(n, floor):
+            b = floor
+            while b < n:
+                b <<= 1
+            return b
+
+        cap = bucket2(n_nz, 1 << 15)
+        # pad deltas of 1 keep the reconstructed indices ascending and
+        # unique, walking into the scratch slots past the dense layout
+        coeff_delta = np.ones(cap, np.uint16)
+        coeff_val8 = np.zeros(cap, np.int8)
+        coeff_delta[:n_nz] = cs["delta"]
+        coeff_val8[:n_nz] = cs["val"]
+        ecap = bucket2(max(len(cs["desc_pos"]), len(cs["vesc_pos"])), 512)
+        desc_pos = np.full(ecap, cap, np.int32)     # OOB -> dropped
+        desc_extra = np.zeros(ecap, np.int32)
+        vesc_pos = np.full(ecap, cap, np.int32)
+        vesc_val = np.zeros(ecap, np.int16)
+        desc_pos[:len(cs["desc_pos"])] = cs["desc_pos"]
+        desc_extra[:len(cs["desc_extra"])] = cs["desc_extra"]
+        vesc_pos[:len(cs["vesc_pos"])] = cs["vesc_pos"]
+        vesc_val[:len(cs["vesc_val"])] = cs["vesc_val"]
 
         smv = S["sub_mv"]
         mv0 = smv[:, :, :, 0, 0, :]
@@ -426,7 +468,9 @@ class BatchedGopDecoder:
 
         batch = dict(
             intra_active=intra_active,
-            coeff_idx=coeff_idx, coeff_val=coeff_val,
+            coeff_delta=coeff_delta, coeff_val8=coeff_val8,
+            desc_pos=desc_pos, desc_extra=desc_extra,
+            vesc_pos=vesc_pos, vesc_val=vesc_val,
             split_idx=split_idx, split_val=split_val,
             buf8=buf8, buf16=buf16,
         )
@@ -456,7 +500,7 @@ class BatchedGopDecoder:
                 return _RJ.reconstruct_core_batch(
                     R, C, G, key_frame, coeffs, qf, y2c, nz,
                     ymode, uvmode, bmode, refsel, smv, uvmv,
-                    ry, ru, rv, lfp)
+                    ry, ru, rv, lfp, refs_prepadded=True)
         else:
             def one(coeffs, qf, y2c, nz, ymode, uvmode, bmode, refsel, smv,
                     uvmv, ry, ru, rv, lfp, intra_active):
@@ -472,9 +516,13 @@ class BatchedGopDecoder:
             return jnp.where(cond[:, None, None], a, b)
 
         def step(batch, refs):
-            def refstack(plane):
-                last, gold, alt = refs[plane]
-                return jnp.stack([last, last, gold, alt], axis=1)
+            if on_tpu:
+                def refstack(plane):
+                    return refs[plane]      # persistent (G, 4, Hp, Wp)
+            else:
+                def refstack(plane):
+                    last, gold, alt = refs[plane]
+                    return jnp.stack([last, last, gold, alt], axis=1)
 
             i32 = lambda x: x.astype(jnp.int32)
             buf8 = batch["buf8"]
@@ -502,9 +550,19 @@ class BatchedGopDecoder:
             refsel = i32(buf8[:, :, :, 5])
             bmode = i32(buf8[:, :, :, 6:22]).reshape(G, R, C, 4, 4)
 
-            coeffs = jnp.zeros((n_mb * 25 * 16,), jnp.int32).at[
-                batch["coeff_idx"]].add(i32(batch["coeff_val"])) \
-                .reshape(G, R, C, 25, 16)
+            # compact coefficient stream -> indices by prefix sum, then a
+            # sorted-unique scatter (pad deltas of 1 walk into the scratch
+            # slots past the dense layout)
+            ne = n_mb * 25 * 16
+            pad_n = batch["coeff_delta"].shape[0]
+            delta = batch["coeff_delta"].astype(jnp.int32).at[
+                batch["desc_pos"]].add(batch["desc_extra"], mode="drop")
+            cidx = jnp.cumsum(delta) - 1
+            cval = batch["coeff_val8"].astype(jnp.int16).at[
+                batch["vesc_pos"]].set(batch["vesc_val"], mode="drop")
+            coeffs = jnp.zeros((ne + pad_n,), jnp.int16).at[cidx].set(
+                cval, unique_indices=True, indices_are_sorted=True)[:ne] \
+                .astype(jnp.int32).reshape(G, R, C, 25, 16)
 
             sub_mv = jnp.broadcast_to(
                 mv0[:, :, :, None, None, :],
@@ -543,6 +601,30 @@ class BatchedGopDecoder:
                            uv_mv, refstack("y"), refstack("u"),
                            refstack("v"), lfp, batch.get("intra_active"))
             new_refs = {}
+            if on_tpu:
+                from alfalfa_tpu.ops.sixtap_pallas import (pad_refs,
+                                                           pack_refs32)
+                for plane, raster in (("y", y), ("u", u), ("v", v)):
+                    pr = pack_refs32(pad_refs(raster))  # (G, Hp//4, Wp)
+                    if key_frame:
+                        new_refs[plane] = jnp.broadcast_to(
+                            pr[:, None], (G, 4) + pr.shape[1:])
+                        continue
+                    stack = refs[plane]
+                    last, gold, alt = stack[:, 1], stack[:, 2], stack[:, 3]
+                    # copy/refresh semantics (frame.cc:271-307);
+                    # golden<-alternate reads the *updated* alternate
+                    copy_alt, copy_gold = fls[0], fls[1]
+                    alt = sel3(copy_alt == 1, last,
+                               sel3(copy_alt == 2, gold, alt))
+                    gold = sel3(copy_gold == 1, last,
+                                sel3(copy_gold == 2, alt, gold))
+                    gold = sel3(fls[2] != 0, pr, gold)
+                    alt = sel3(fls[3] != 0, pr, alt)
+                    last = sel3(fls[4] != 0, pr, last)
+                    new_refs[plane] = jnp.stack([last, last, gold, alt],
+                                                axis=1)
+                return (y, u, v), new_refs
             for plane, raster in (("y", y), ("u", u), ("v", v)):
                 last, gold, alt = refs[plane]
                 if key_frame:
