@@ -1,0 +1,146 @@
+"""Device (TPU) inter-frame encoding: host driver for the Pallas raster
+kernel (ops/enc_inter_pallas.py).
+
+Prepares the original planes in the kernel's three layouts (row-major
+tile, subblock-major, phase-split), packs the LAST reference into the
+vertically byte-packed MC layout, uploads the rd/mv cost tables, runs the
+kernel, and converts the outputs back into FrameArrays + the
+reconstructed Raster — a drop-in replacement for the per-MB host loop in
+encode_inter_np.encode_interframe (reference encoder/encode_inter.cc:
+231-369), bit-identical by tests/test_device_inter.py.  The frame-level
+tail (prob/skip optimization, loop-filter search, serialization) is
+shared with the host path via encode_inter_np.finish_interframe.
+"""
+import numpy as np
+
+from alfalfa_tpu.bitstream import tables as T
+from alfalfa_tpu.decoder.parse import FrameArrays
+from alfalfa_tpu.state.decoder_state import Raster
+from .costs import rd_multipliers, PROB_COST
+from .encode_intra_device import _tables, _tile_perm, _plane_tiles, _untile
+from .encode_inter_np import (MVComponentCostTable, SAD_PER_BIT16,
+                              _MV_SAD_COST, make_inter_header,
+                              finish_interframe)
+
+_FN_CACHE = {}
+
+
+def _ps_rowperm(S):
+    """Row permutation turning an (S, S) tile into the phase-split layout
+    (pixel row 4t+ph stored at row ph*(S//4)+t)."""
+    n4 = S // 4
+    perm = np.zeros(S, np.int32)
+    for ph in range(4):
+        for t in range(n4):
+            perm[ph * n4 + t] = 4 * t + ph
+    return perm
+
+
+def _inter_fn(R, C, realtime, interpret):
+    key = (R, C, realtime, interpret)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    from alfalfa_tpu.ops import enc_inter_pallas as EK
+
+    def f(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
+          refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
+          sadcost, mvcost):
+        co, md, ry, ru, rv = EK.encode_inter_frame(
+            oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
+            refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
+            sadcost, mvcost, realtime, interpret=interpret)
+        import jax.numpy as jnp
+        return (co, md, ry.astype(jnp.uint8).reshape(R, C, 256),
+                ru.astype(jnp.uint8).reshape(R, C, 64),
+                rv.astype(jnp.uint8).reshape(R, C, 64))
+
+    fn = jax.jit(f) if not interpret else f
+    _FN_CACHE[key] = fn
+    return fn
+
+
+def encode_interframe_device(encoder, yuv, quant_indices, update,
+                             rebase_kf_header=None, interpret=False):
+    """Encode one interframe with the macroblock loop on device."""
+    import jax
+    import jax.numpy as jnp
+    from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+    from .encoder import _pad_raster
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    W, H = encoder.width, encoder.height
+    R, C = encoder.mb_rows, encoder.mb_cols
+    orig = _pad_raster(*yuv, W, H)
+    refs = encoder.references
+    refs.last.to_host()
+
+    header = make_inter_header(quant_indices, rebase_kf_header)
+    q = {k: int(v) for k, v in quant_indices.quantizer().items()}
+    rate_mult, dist_mult = rd_multipliers(q["y_ac"])
+    qi = int(quant_indices.y_ac_qi)
+    realtime = encoder.quality == "rt"
+
+    perm16 = _tile_perm(16)
+    perm8 = _tile_perm(8)
+    oy_t = _plane_tiles(orig.y.astype(np.int16), R, C, 16)
+    oy_b = oy_t[:, :, perm16]
+    oy_ps = oy_t.reshape(R, C, 16, 16)[:, :, _ps_rowperm(16), :]
+    ou_t = _plane_tiles(orig.u.astype(np.int16), R, C, 8)
+    ov_t = _plane_tiles(orig.v.astype(np.int16), R, C, 8)
+    ou_b = ou_t[:, :, perm8]
+    ov_b = ov_t[:, :, perm8]
+
+    refy_p = pack_refs32(pad_refs(jnp.asarray(refs.last.y)))
+    refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
+    refv_p = pack_refs32(pad_refs(jnp.asarray(refs.last.v)))
+
+    scalars = np.zeros(16, np.int32)
+    scalars[:9] = [q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
+                   q["uv_dc"], q["uv_ac"], rate_mult, dist_mult,
+                   int(SAD_PER_BIT16[qi])]
+    costs = _tables()
+    mbc = np.zeros(8, np.int32)
+    mbc[:5] = np.asarray(costs.mbmode_costs[1][:5], np.int64)
+    ibc = np.zeros(16, np.int32)
+    ibc[:10] = np.asarray(costs.inter_bmode_costs, np.int64)
+    mvc2p = np.asarray(T.MV_COUNTS_TO_PROBS, np.int32)
+    pcost = np.asarray(PROB_COST, np.int32)
+    sadcost = np.asarray(_MV_SAD_COST, np.int32)
+    mv_table = MVComponentCostTable(
+        encoder.state.probability_tables.mv_probs)
+    mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
+
+    co, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
+        jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(oy_ps),
+        jnp.asarray(ou_t), jnp.asarray(ov_t), jnp.asarray(ou_b),
+        jnp.asarray(ov_b), refy_p, refu_p, refv_p,
+        jnp.asarray(scalars), jnp.asarray(mbc), jnp.asarray(ibc),
+        jnp.asarray(mvc2p), jnp.asarray(pcost), jnp.asarray(sadcost),
+        jnp.asarray(mvcost))
+
+    co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+    md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
+
+    arrays = FrameArrays(R, C)
+    arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)
+    ymode = md_h[:, :, 0]
+    is_inter = md_h[:, :, 2] != 0
+    arrays.ymode[:] = ymode.astype(np.int8)
+    arrays.uvmode[:] = md_h[:, :, 1].astype(np.int8)
+    arrays.y2_coded[:] = is_inter | (ymode != T.B_PRED)
+    arrays.has_nonzero[:] = md_h[:, :, 3] != 0
+    arrays.bmode[:] = md_h[:, :, 8:24].reshape(R, C, 4, 4).astype(np.int8)
+    arrays.ref[:] = np.where(is_inter, T.LAST_FRAME, T.CURRENT_FRAME)
+    arrays.sub_mv[:, :, :, :, 0] = md_h[:, :, 4, None, None]
+    arrays.sub_mv[:, :, :, :, 1] = md_h[:, :, 5, None, None]
+    arrays.uv_mv[..., 0] = md_h[:, :, 6].reshape(R, C, *([1] * (arrays.uv_mv.ndim - 3)))
+    arrays.uv_mv[..., 1] = md_h[:, :, 7].reshape(R, C, *([1] * (arrays.uv_mv.ndim - 3)))
+
+    recon = Raster(W, H,
+                   _untile(np.asarray(ry), R, C, 16).astype(np.uint8),
+                   _untile(np.asarray(ru), R, C, 8).astype(np.uint8),
+                   _untile(np.asarray(rv), R, C, 8).astype(np.uint8))
+    return finish_interframe(encoder, header, arrays, recon, orig, update)

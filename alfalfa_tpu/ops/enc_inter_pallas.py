@@ -40,7 +40,8 @@ from alfalfa_tpu.ops.sixtap_pallas import (PACKED_ROWS, LANES, PAD,
 NUM_B_MODES = 10
 B_PRED = 4
 _IMPLIED = (0, 2, 3, 1)
-INF = jnp.int32(1 << 30)
+INF = 1 << 30      # python int: jnp.int32(...) would be captured as a
+                   # device constant by the pallas_call closure
 
 # mode ids (bitstream/tables.py)
 ZEROMV, NEARESTMV, NEARMV, NEWMV = 7, 5, 6, 8
