@@ -299,6 +299,10 @@ class Encoder:
         from alfalfa_tpu.state.decoder_state import FilterAdjustments
         state.filter_adjustments = FilterAdjustments.create(header)
 
+        # +-1 window around the previous level in realtime mode only: the
+        # reference persists loop_filter_level_ solely under
+        # REALTIME_QUALITY (encoder.cc:164-166, 477-487); best quality
+        # re-climbs from 0 with break-on-first-drop every frame
         min_lf, max_lf = 0, 63
         if self.quality == "rt" and self.last_loop_filter_level is not None:
             min_lf = max(0, self.last_loop_filter_level - 1)

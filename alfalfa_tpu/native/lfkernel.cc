@@ -166,3 +166,57 @@ extern "C" void vp8_loopfilter_frame(
     }
   }
 }
+
+// x264-window integer SSIM (util/ssim.py twin; reference util/ssim.cc
+// wraps libx264's formulation).  Per-4x4-block integer sums, 8x8
+// overlapping windows on the 4-pixel grid, double combine.  Summation
+// runs row-major over windows (not numpy pairwise), so the last few ulps
+// can differ from the numpy fallback; both encoder paths share this
+// function, so mode/level decisions stay consistent.
+extern "C" double vp8_ssim(const unsigned char* a, const unsigned char* b,
+                           int stride_a, int stride_b, int w, int h) {
+  const long long C1 = 416, C2 = 235963;
+  int bh = h / 4, bw = w / 4;
+  if (bh < 2 || bw < 2) return 1.0;
+  // per-4x4-block sums
+  static thread_local long long *s1 = nullptr, *s2 = nullptr, *ss = nullptr,
+                                *s12 = nullptr;
+  static thread_local int cap = 0;
+  if (bh * bw > cap) {
+    delete[] s1; delete[] s2; delete[] ss; delete[] s12;
+    cap = bh * bw;
+    s1 = new long long[cap]; s2 = new long long[cap];
+    ss = new long long[cap]; s12 = new long long[cap];
+  }
+  for (int by = 0; by < bh; by++) {
+    for (int bx = 0; bx < bw; bx++) {
+      long long t1 = 0, t2 = 0, tss = 0, t12 = 0;
+      for (int y = 0; y < 4; y++) {
+        const unsigned char* pa = a + (by * 4 + y) * stride_a + bx * 4;
+        const unsigned char* pb = b + (by * 4 + y) * stride_b + bx * 4;
+        for (int x = 0; x < 4; x++) {
+          int va = pa[x], vb = pb[x];
+          t1 += va; t2 += vb; tss += va * va + vb * vb; t12 += va * vb;
+        }
+      }
+      int i = by * bw + bx;
+      s1[i] = t1; s2[i] = t2; ss[i] = tss; s12[i] = t12;
+    }
+  }
+  double acc = 0.0;
+  for (int by = 0; by + 1 < bh; by++) {
+    for (int bx = 0; bx + 1 < bw; bx++) {
+      int i = by * bw + bx;
+      long long t1 = s1[i] + s1[i + 1] + s1[i + bw] + s1[i + bw + 1];
+      long long t2 = s2[i] + s2[i + 1] + s2[i + bw] + s2[i + bw + 1];
+      long long tss = ss[i] + ss[i + 1] + ss[i + bw] + ss[i + bw + 1];
+      long long t12 = s12[i] + s12[i + 1] + s12[i + bw] + s12[i + bw + 1];
+      long long vars = tss * 64 - t1 * t1 - t2 * t2;
+      long long covar = t12 * 64 - t1 * t2;
+      acc += (2.0 * (double)t1 * (double)t2 + (double)C1) *
+             (2.0 * (double)covar + (double)C2) /
+             ((double)(t1 * t1 + t2 * t2 + C1) * (double)(vars + C2));
+    }
+  }
+  return acc / ((double)(bh - 1) * (double)(bw - 1));
+}

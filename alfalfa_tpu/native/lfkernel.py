@@ -25,6 +25,8 @@ def available():
         lib.vp8_loopfilter_frame.restype = None
         lib.vp8_loopfilter_frame.argtypes = [ctypes.c_void_p] * 3 + \
             [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6
+        lib.vp8_ssim.restype = ctypes.c_double
+        lib.vp8_ssim.argtypes = [ctypes.c_void_p] * 2 + [ctypes.c_int] * 4
         _lib = lib
         return True
     except Exception:
@@ -55,3 +57,12 @@ def loopfilter_frame(y, u, v, level, interior, mb_limit, sb_limit, hev,
         u[:] = uc
     if vc is not v:
         v[:] = vc
+
+
+def ssim(a, b):
+    """Native x264-window SSIM; a/b (H, W) uint8, C-contiguous or not."""
+    ac = np.ascontiguousarray(a, np.uint8)
+    bc = np.ascontiguousarray(b, np.uint8)
+    h, w = ac.shape
+    return float(_lib.vp8_ssim(ac.ctypes.data, bc.ctypes.data,
+                               ac.strides[0], bc.strides[0], w, h))

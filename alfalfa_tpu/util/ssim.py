@@ -14,6 +14,12 @@ C2 = 235963   # .03^2 * 255^2 * 64 * 63
 
 def ssim(img1, img2):
     """SSIM over the overlap of 8x8 windows; img1/img2: (H, W) uint8."""
+    try:
+        from alfalfa_tpu.native import lfkernel
+        if lfkernel.available():
+            return lfkernel.ssim(img1, img2)
+    except Exception:
+        pass
     a = img1.astype(np.int64)
     b = img2.astype(np.int64)
     h, w = a.shape

@@ -1,17 +1,19 @@
 #!/usr/bin/env python3
-"""Per-stage device timing for the batched 720p decode step.
+"""Per-stage device timing for the batched 720p decode step (current API:
+compact coefficient stream + resident packed refs + merged wavefront).
 
-Times each device sub-stage with chained dependent iterations + one scalar
-fetch (block_until_ready lies over the axon tunnel; NEXT.md methodology).
-"""
+Times each jitted sub-stage with chained dependent iterations + one
+scalar fetch (block_until_ready lies over the axon tunnel)."""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+from functools import partial
 
 from alfalfa_tpu.util.ivf import IVFReader
-from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+from alfalfa_tpu.parallel.gop import BatchedGopDecoder, _QF_KEYS
+from alfalfa_tpu.decoder import reconstruct_jax as RJ
 
 CLIP = "tests/fixtures/inter_1280x720_q48.ivf"
 G = 8
@@ -22,117 +24,198 @@ payloads = [ivf.frame(i) for i in range(len(ivf))]
 dec = BatchedGopDecoder(ivf.width, ivf.height, G)
 R, C = dec.mb_rows, dec.mb_cols
 
-# capture a realistic interframe batch (frame 1)
 key0, b0, _, _ = dec.parse_frame_batch([payloads[0]] * G)
 (y, u, v), dec.refs = dec._step(key0)(
-    {k: (v if v is None else jax.device_put(v)) for k, v in b0.items()}, dec.refs)
+    {k: (v if v is None else jax.device_put(v)) for k, v in b0.items()},
+    dec.refs)
 key1, b1, _, _ = dec.parse_frame_batch([payloads[1]] * G)
 dev = {k: (v if v is None else jax.device_put(v)) for k, v in b1.items()}
 refs = dec.refs
-
 step = dec._step(key1)
-kf_step = dec._step(True)
 
 
 def timeit(name, fn, *args):
-    out = fn(*args)           # compile
-    jax.block_until_ready(out)
+    out = fn(*args)              # compile
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.ravel(leaf)[0].astype(jnp.float32))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
-    # chase one scalar through the tunnel to force completion
     leaf = jax.tree_util.tree_leaves(out)[0]
     _ = float(jnp.ravel(leaf)[0].astype(jnp.float32))
     dt = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:34s} {dt:8.2f} ms")
+    print(f"{name:40s} {dt:8.2f} ms", flush=True)
     return out
 
 
-print(f"geometry {R}x{C}, G={G}")
+print(f"geometry {R}x{C}, G={G}", flush=True)
 timeit("full interframe step", lambda: step(dev, refs)[0][0])
-timeit("full keyframe step", lambda: kf_step(dev, refs)[0][0])
 
-# ---- stage ablation: pieces of reconstruct_core ----
-from alfalfa_tpu.decoder import reconstruct_jax as RJ
-from alfalfa_tpu.ops import transforms, sixtap
+# ---- pieces, mirroring gop._step ----
+n_mb = G * R * C
+ne = n_mb * 25 * 16
 
-sched = dec._sched
-coeffs = jnp.zeros((G, R, C, 25, 16), jnp.int32)
-qf = {k: jnp.full((G, R, C), 8, jnp.int32) for k in
-      ("y_dc", "y_ac", "y2_dc", "y2_ac", "uv_dc", "uv_ac")}
+
+@jax.jit
+def coeffs_stage(batch):
+    pad_n = batch["coeff_delta"].shape[0]
+    delta = batch["coeff_delta"].astype(jnp.int32).at[
+        batch["desc_pos"]].add(batch["desc_extra"], mode="drop")
+    cidx = jnp.cumsum(delta) - 1
+    cval = batch["coeff_val8"].astype(jnp.int16).at[
+        batch["vesc_pos"]].set(batch["vesc_val"], mode="drop")
+    return jnp.zeros((ne + pad_n,), jnp.int16).at[cidx].set(
+        cval, unique_indices=True, indices_are_sorted=True)[:ne] \
+        .astype(jnp.int32).reshape(G, R, C, 25, 16)
+
+
+coeffs = timeit("coeff scatter", coeffs_stage, dev)
+
+from alfalfa_tpu.ops import transforms
+
+qf = {k: jnp.full((G, R, C), 8, jnp.int32) for k in _QF_KEYS}
 y2c = jnp.ones((G, R, C), bool)
-refstack = jnp.stack([refs["y"][0]] * 4, axis=1)
-refstack_uv = jnp.stack([refs["u"][0]] * 4, axis=1)
+nzb = jnp.ones((G, R, C), bool)
+
+
+@jax.jit
+def resid_stage(coeffs, qf, y2c):
+    f = lambda co, q, y2: transforms.residuals_from_coeffs(co, q, y2)
+    return jax.vmap(f)(coeffs, qf, y2c)
+
+
+timeit("residuals (vmap G)", resid_stage, coeffs, qf, y2c)
+
+# MC from resident packed refs
+from alfalfa_tpu.ops import sixtap_pallas as SP
+
 smv = jnp.zeros((G, R, C, 4, 4, 2), jnp.int32)
 uvmv = jnp.zeros((G, R, C, 2, 2, 2), jnp.int32)
 refsel = jnp.ones((G, R, C), jnp.int32)
 
-@jax.jit
-def stage_resid(coeffs, qf, y2c):
-    f = lambda co, q, y2: transforms.residuals_from_coeffs(co, q, y2)
-    return jax.vmap(f)(coeffs, qf, y2c)
 
 @jax.jit
-def stage_mc(refstack, refsel, smv, refstack_uv, uvmv):
-    fy = jax.vmap(lambda r, s, m: sixtap.predict_mb_tiles(r, s, m, 16))
-    fu = jax.vmap(lambda r, s, m: sixtap.predict_mb_tiles(r, s, m, 8))
-    return fy(refstack, refsel, smv), fu(refstack_uv, refsel, uvmv), \
-        fu(refstack_uv, refsel, uvmv)
+def mc_stage(refs, refsel, smv, uvmv):
+    fy = jax.vmap(lambda r, s, m: SP.mc_tiles_packed(r, 720, 1280, s, m, 16))
+    fu = jax.vmap(lambda r, s, m: SP.mc_tiles_packed(r, 360, 640, s, m, 8))
+    return (fy(refs["y"], refsel, smv),
+            fu(refs["u"], refsel, uvmv), fu(refs["v"], refsel, uvmv))
+
+
+try:
+    timeit("sixtap MC y+u+v (packed)", mc_stage, refs, refsel, smv, uvmv)
+except Exception as e:
+    print(f"  mc_stage skipped: {type(e).__name__}: {e}", flush=True)
+
+# stage A+B together (residuals + MC + merge)
+@jax.jit
+def ab_stage(coeffs, qf, y2c, nz, refsel, smv, uvmv, refs):
+    return jax.vmap(partial(RJ._stage_ab, R, C, False,
+                            refs_prepadded=True))(
+        coeffs, qf, y2c, nz, refsel, smv, uvmv,
+        refs["y"], refs["u"], refs["v"])
+
+
+ab = timeit("stage A+B (resid+MC+merge)", ab_stage, coeffs, qf, y2c, nzb,
+            refsel, smv, uvmv, refs)
+(y_tiles, u_tiles, v_tiles, res_y, res_u, res_v, res, intra_mask) = ab
+
+# skew packing of all wavefront inputs
+sched_b = RJ.skew_schedule_batch(R, C, G)
+nd = int(sched_b["scat_idx"].shape[0])
+L = int(sched_b["scat_idx"].shape[1])
+Rp = L // G
+
+
+def mk_skew():
+    def skew(x):
+        P = x.shape[3:]
+        pP = ((0, 0),) * len(P)
+        yy = jnp.pad(x, ((0, 0), (0, 0), (0, nd + 2 - C)) + pP)
+        yy = yy.reshape((G, R * (nd + 2)) + P)[:, :R * nd]
+        yy = yy.reshape((G, R, nd) + P)
+        yy = jnp.pad(yy, ((0, 0), (0, Rp - R), (0, 0)) + pP)
+        return yy.transpose((2, 0, 1) + tuple(range(3, 3 + len(P)))) \
+            .reshape((nd, L) + P)
+    return skew
+
+
+skew = mk_skew()
+
 
 @jax.jit
-def stage_skew_unskew(ytiles):
-    n_diags = int(sched["scat_idx"].shape[0]); L = int(sched["scat_idx"].shape[1])
-    f = lambda t: RJ._unskew(
-        RJ._skew(t.astype(jnp.int16), sched["scat_idx"], n_diags, L),
-        sched["unskew_idx"], R, C, (16, 16))
-    t = jax.vmap(f)(ytiles)
-    return t.transpose(0, 1, 3, 2, 4).reshape(G, R * 16, C * 16).astype(jnp.uint8)
+def skew_stage(y_tiles, u_tiles, v_tiles, res_y, res, res_u, res_v):
+    i16s = lambda x: skew(x).astype(jnp.int16)
+    return (i16s(y_tiles.reshape(G, R, C, 256)),
+            i16s(u_tiles.reshape(G, R, C, 64)),
+            i16s(v_tiles.reshape(G, R, C, 64)),
+            i16s(res_y.reshape(G, R, C, 256)),
+            i16s(res[:, :, :, 0:16].reshape(G, R, C, 256)),
+            i16s(res_u.reshape(G, R, C, 64)),
+            i16s(res_v.reshape(G, R, C, 64)))
 
-res = timeit("residuals (vmap G)", stage_resid, coeffs, qf, y2c)
-timeit("sixtap MC y+u+v (vmap G)", stage_mc, refstack, refsel, smv,
-       refstack_uv, uvmv)
-ytiles = jnp.zeros((G, R, C, 16, 16), jnp.int32)
-timeit("skew+unskew+untile (vmap G)", stage_skew_unskew, ytiles)
 
-# ---- the two Pallas wavefronts as used today (vmapped per frame) ----
-from alfalfa_tpu.ops import intra_pallas, lf_pallas
+sk = timeit("skew 7 arrays", skew_stage, y_tiles, u_tiles, v_tiles,
+            res_y, res, res_u, res_v)
 
-n_diags = int(sched["scat_idx"].shape[0]); L = int(sched["scat_idx"].shape[1])
-dy = jnp.zeros((G, n_diags, L, 256), jnp.int16)
-du = jnp.zeros((G, n_diags, L, 64), jnp.int16)
-prm = jnp.zeros((G, n_diags, L, 32), jnp.int16)
-prm = prm.at[:, :, :, 3].set(1)  # intra everywhere
-prm = prm.at[:, :, :, 4].set(jnp.asarray(sched["valid"], jnp.int16)[None])
-r16 = jnp.zeros((G, n_diags, L, 256), jnp.int16)
-ru = jnp.zeros((G, n_diags, L, 64), jnp.int16)
+# the merged wavefront kernel
+from alfalfa_tpu.ops import wavefront_pallas
 
-@jax.jit
-def stage_intra(dy, du, dv, prm, r16, rb, ru, rv):
-    f = lambda *a: intra_pallas.intra_frame(*a)
-    return jax.vmap(f)(dy, du, dv, prm, r16, rb, ru, rv)
+masks = {k: jnp.asarray(sched_b[k]) for k in
+         ("valid", "has_row", "has_col", "last_col")}
+zi = jnp.zeros((G, R, C), jnp.int32)
+prm_head = jnp.stack(
+    [skew(zi).astype(jnp.int16)] * 4 +
+    [masks["valid"].astype(jnp.int16), masks["has_row"].astype(jnp.int16),
+     masks["has_col"].astype(jnp.int16),
+     masks["last_col"].astype(jnp.int16)], axis=-1)
+prm = jnp.concatenate([prm_head,
+                       jnp.zeros((nd, L, 16), jnp.int16),
+                       jnp.zeros((nd, L, 8), jnp.int16)], axis=-1)
+lfprm = jnp.zeros((nd, L, 8), jnp.int16)
 
-@jax.jit
-def stage_intra_nb(dy, du, dv, prm, r16, rb, ru, rv):
-    return jax.vmap(lambda *a: intra_pallas.intra_frame(*a))(
-        dy, du, dv, prm, r16, rb, ru, rv)
-
-dpad_dy = jnp.zeros((G, n_diags + 3, L, 256), jnp.int16)
-dpad_du = jnp.zeros((G, n_diags + 3, L, 64), jnp.int16)
-lfprm = jnp.zeros((G, n_diags, L, 8), jnp.int16)
-lfprm = lfprm.at[:, :, :, 0].set(1).at[:, :, :, 5].set(1) \
-    .at[:, :, :, 6].set(1).at[:, :, :, 7].set(1) \
-    .at[:, :, :, 1].set(9).at[:, :, :, 2].set(53).at[:, :, :, 3].set(49)
 
 @jax.jit
-def stage_lf(dy, du, dv, prm):
-    fy = jax.vmap(lambda d, p: lf_pallas.lf_pallas(d, p, 16))
-    fu = jax.vmap(lambda d, p: lf_pallas.lf_pallas(d, p, 8))
-    return fy(dy, prm), fu(du, prm), fu(dv, prm)
+def wf_stage(sk, prm, lfprm):
+    Dy, Du, Dv, ry, rb, ru, rv = sk
+    return wavefront_pallas.wavefront_frame_batch(
+        Dy, Du, Dv, prm, ry, rb, ru, rv, lfprm)
 
-# ymode=0 (DC): no B_PRED work
-timeit("intra kernel 8x (no B_PRED)", stage_intra, dy, du, du, prm,
-       r16, r16, ru, ru)
-prm_b = prm.at[:, :, :, 0].set(4)  # every MB B_PRED
-timeit("intra kernel 8x (all B_PRED)", stage_intra_nb, dy, du, du, prm_b,
-       r16, r16, ru, ru)
-timeit("lf kernel 8x (3 planes)", stage_lf, dpad_dy, dpad_du, dpad_du, lfprm)
+
+wf = timeit("merged wavefront kernel", wf_stage, sk, prm, lfprm)
+
+
+@jax.jit
+def unskew_stage(wf):
+    B_y, B_u, B_v = wf
+
+    def unskew(B, S):
+        P = B.shape[2:]
+        yy = B.reshape((nd, G, Rp) + P).transpose(
+            (1, 2, 0) + tuple(range(3, 3 + len(P))))[:, :R]
+        yy = yy.reshape((G, R * nd) + P)
+        yy = jnp.pad(yy, ((0, 0), (0, 2 * R)) + ((0, 0),) * len(P))
+        yy = yy.reshape((G, R, nd + 2) + P)[:, :, :C]
+        t = yy.reshape(G, R, C, S, S)
+        return t.transpose(0, 1, 3, 2, 4).reshape(G, R * S, C * S) \
+            .astype(jnp.uint8)
+
+    return unskew(B_y, 16), unskew(B_u, 8), unskew(B_v, 8)
+
+
+planes = timeit("unskew+untile 3 planes", unskew_stage, wf)
+
+
+@jax.jit
+def refs_stage(planes, refs):
+    yy, uu, vv = planes
+    new_refs = {}
+    for plane, raster in (("y", yy), ("u", uu), ("v", vv)):
+        pr = SP.pack_refs32(SP.pad_refs(raster))
+        stack = refs[plane]
+        last, gold, alt = stack[:, 1], stack[:, 2], stack[:, 3]
+        new_refs[plane] = jnp.stack([last, last, gold, alt], axis=1)
+    return new_refs
+
+
+timeit("ref pack + restack", refs_stage, planes, refs)
