@@ -302,6 +302,12 @@ def reencode_as_interframe(encoder, orig_yuv, kf_header, quant_indices):
     """Re-encode a keyframe as an interframe against the encoder's current
     (inherited) references (reencode.cc:37-129): a full inter encode with
     the keyframe's filter settings and refresh-all semantics."""
+    if encoder.device_encode and not encoder.two_pass:
+        from .encode_inter_device import encode_interframe_device
+        payload, _ = encode_interframe_device(
+            encoder, orig_yuv, quant_indices, update=True,
+            rebase_kf_header=kf_header)
+        return payload
     from . import encode_inter_np
 
     payload, _ = encode_inter_np.encode_interframe(

@@ -25,6 +25,62 @@ def test_device_interframe_bit_identical(quality, qi):
     assert host.minihash() == dev.minihash()
 
 
+def test_device_rebase_bit_identical(tmp_path):
+    """reencode_as_interframe (rebase chunk-leading frame + residue
+    updates) through the device kernel equals the host rebase byte for
+    byte (reference reencode.cc:37-129)."""
+    import io
+    from alfalfa_tpu.encoder import reencode as RB
+    from alfalfa_tpu.decoder.decoder import Decoder
+    from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.decoder import reconstruct_np
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.util.ivf import IVFWriter, IVFReader
+
+    w, h, qp = 80, 48, 44
+    clip = gen_clip(w, h, 6, seed=33)
+
+    # chunk 0 encoded independently; its exit state seeds the rebase
+    enc0 = Encoder(w, h)
+    chunk0 = [enc0.encode_with_quantizer(f, qp) for f in clip[:3]]
+    encp = Encoder(w, h)
+    chunk1 = [encp.encode_with_quantizer(f, qp) for f in clip[3:]]
+
+    dec = Decoder(w, h)
+    for payload in chunk0:
+        chunk = UncompressedChunk(payload, w, h)
+        header, arrays, _ = FrameParser(dec.state).parse(chunk)
+        raster = reconstruct_np.reconstruct(header, arrays, dec.state,
+                                            dec.references, chunk.key_frame)
+        dec._update_references(chunk.key_frame, header, raster)
+    from alfalfa_tpu.state import serdes
+    state_bytes = serdes.save_decoder(dec.state, dec.references)
+
+    def parse_pred(payloads):
+        d = Decoder(w, h)
+        out = []
+        for payload in payloads:
+            chunk = UncompressedChunk(payload, w, h)
+            header, arrays, _ = FrameParser(d.state).parse(chunk)
+            raster = reconstruct_np.reconstruct(header, arrays, d.state,
+                                                d.references,
+                                                chunk.key_frame)
+            d._update_references(chunk.key_frame, header, raster)
+            out.append((chunk.key_frame, header, arrays))
+        return out
+
+    outs = {}
+    for dev in (False, True):
+        enc1 = Encoder(w, h, device_encode=dev)
+        enc1.state, enc1.references = serdes.load_decoder(state_bytes)
+        path = tmp_path / f"rebased_{dev}.ivf"
+        with IVFWriter(path, "VP80", w, h) as writer:
+            RB.reencode(enc1, clip[3:], parse_pred(chunk1), 0.5, False,
+                        writer)
+        outs[dev] = path.read_bytes()
+    assert outs[False] == outs[True], "device rebase differs from host"
+
+
 def test_device_interframe_decodes():
     from alfalfa_tpu.decoder.decoder import FramePlayer
     w, h = 64, 48
