@@ -335,6 +335,18 @@ def cmd_terminate_chunk(args):
                                           chunk.show_frame)
             w.append_frame(payload)
 
+    out_state = (getattr(args, "output_state", None)
+                 or getattr(args, "output_state_opt", None))
+    if out_state:
+        # decode the terminated stream and dump its exit state
+        # (xc-terminate-chunk.cc optional <output-state> operand)
+        from alfalfa_tpu.decoder.decoder import Decoder
+        from alfalfa_tpu.state import serdes
+        dec = Decoder(src.width, src.height)
+        for payload in IVFReader(args.output):
+            dec.decode_frame(payload)
+        serdes.save_decoder(dec.state, dec.references, out_state)
+
 
 def cmd_zero_out_residues(args):
     """Zero all residues, keeping modes/MVs (xc-zero-out-residues.cc)."""
@@ -723,6 +735,10 @@ def main(argv=None):
                        help="rewrite last interframe to refresh all references")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("output_state", nargs="?", default=None,
+                   help="write the terminated stream's exit decoder state")
+    p.add_argument("-O", "--output-state", dest="output_state_opt",
+                   default=None, help="same as the positional operand")
     p.set_defaults(func=cmd_terminate_chunk)
 
     p = sub.add_parser("zero-out-residues", help="zero residues, keep modes/MVs")

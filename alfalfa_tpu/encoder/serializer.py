@@ -447,6 +447,12 @@ def count_token_branches(arrays, counts=None):
     band = T.COEFF_TO_BAND
 
     for _, coeffs16, bt, ctx, first in iter_frame_blocks(arrays):
+        if bt == T.BLOCK_Y2:
+            # the reference accumulates Y/U/V blocks only -- never Y2
+            # (serializer.cc:583-587) -- so Y2 probs stay at the baseline;
+            # counting them emits ~9-bit updates that cost more than they
+            # save (measured +8% on rebased interframes)
+            continue
         coded_length = 0
         for index in range(first, 16):
             if coeffs16[zz[index]]:

@@ -1041,6 +1041,10 @@ int vp8_count_token_branches(const int16_t *coeffs, const uint8_t *skip,
                     [&](int r, const int16_t *co, int bt, int ctx,
                         int first) {
                       (void)r;
+                      /* the reference accumulates Y/U/V only -- never Y2
+                         (serializer.cc:583-587), so Y2 probs are never
+                         updated; match it for size parity */
+                      if (bt == 1) return;
                       count_block(counts, co, bt, ctx, first);
                     });
   return 0;
