@@ -36,9 +36,9 @@ def _blocks_to_tiles(b, R, C, S):
             .transpose(0, 1, 2, 4, 3, 5).reshape(R, C, S, S))
 
 
-def _fn(R, C):
-    if (R, C) in _FN_CACHE:
-        return _FN_CACHE[(R, C)]
+def _fn_core(R, C):
+    """The per-frame residue-update function, un-jitted (reused by the
+    mesh rebase chain in parallel/gop.py)."""
     n = R * C
 
     def luma(orig_b, pred_b, splitmv, qs):
@@ -89,7 +89,13 @@ def _fn(R, C):
                 _blocks_to_tiles(rec_u, R, C, 8).astype(jnp.uint8),
                 _blocks_to_tiles(rec_v, R, C, 8).astype(jnp.uint8))
 
-    fn = jax.jit(f)
+    return f
+
+
+def _fn(R, C):
+    if (R, C) in _FN_CACHE:
+        return _FN_CACHE[(R, C)]
+    fn = jax.jit(_fn_core(R, C))
     _FN_CACHE[(R, C)] = fn
     return fn
 

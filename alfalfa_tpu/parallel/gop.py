@@ -143,6 +143,104 @@ def gop_encode_step(mesh, mb_rows, mb_cols, n_chunks, axis="gop", seed=0):
     return exit_y, co
 
 
+def gop_rebase_chain(mesh, mb_rows, mb_cols, n_frames, axis="gop"):
+    """Pipelined chunk rebase over the mesh (reference reencode.cc:305-381
+    + the ExCamera mu pipeline): every device holds one chunk's frames
+    (original rasters + fixed prediction modes/MVs); the exit references
+    chain device-to-device around the ring with ``ppermute`` over ICI.
+
+    Serial dependency, SPMD schedule: at ring step t only device t's
+    compute is kept (masked select); its exit references then hop to
+    device t+1.  In production multiple GOP batches stream through so
+    every step does useful work on every device; the data flow and the
+    collective are identical.
+
+    Per-frame compute is the rebase residue update
+    (encoder/reencode_device.py: sixtap MC at fixed MVs -> subtract ->
+    fDCT -> quantize -> decoder-identical reconstruction); each frame
+    refreshes ``last``, and a chunk's final reconstruction exits as all
+    three references (terminate-chunk semantics, xc-terminate-chunk.cc).
+
+    Returns a jitted fn(oy, ou, ov, refsel, smv, uvmv, splitmv, qs,
+    ry0, ru0, rv0) -> (coeffs (N, F, n_mb, 400), nz (N, F, n_mb),
+    exit_y (4, Hp, Wp)) with the chunk axis sharded over the mesh.
+    """
+    from alfalfa_tpu.encoder.reencode_device import _fn_core
+
+    R, C = mb_rows, mb_cols
+    n_dev = mesh.devices.size
+    frame_fn = _fn_core(R, C)
+
+    def tiles(plane, S):
+        # (H, W) -> (R, C, S, S) int32 spatial tiles
+        return plane.reshape(R, S, C, S).transpose(0, 2, 1, 3) \
+            .astype(jnp.int32)
+
+    def chunk_body(refs, oy, ou, ov, refsel, smv, uvmv, splitmv, qs):
+        """Rebase this device's F frames against inherited refs."""
+        def frame_body(refs, xs):
+            oy1, ou1, ov1, rs, mv, uvm, sp = xs
+            ry, ru, rv = refs
+            co, nz, rec_y, rec_u, rec_v = frame_fn(
+                tiles(oy1, 16), tiles(ou1, 8), tiles(ov1, 8),
+                ry, ru, rv, rs, mv, uvm, sp, qs)
+            rec = {}
+            for plane, rec_t, S in (("y", rec_y, 16), ("u", rec_u, 8),
+                                    ("v", rec_v, 8)):
+                rec[plane] = rec_t.transpose(0, 2, 1, 3) \
+                    .reshape(R * S, C * S)
+            # refresh_last each frame; golden/alt inherited
+            new_refs = (ry.at[1].set(rec["y"]), ru.at[1].set(rec["u"]),
+                        rv.at[1].set(rec["v"]))
+            return new_refs, (co, nz, rec["y"], rec["u"], rec["v"])
+
+        refs, (co, nz, ry_f, ru_f, rv_f) = jax.lax.scan(
+            frame_body, refs, (oy, ou, ov, refsel, smv, uvmv, splitmv))
+        # chunk exit: final reconstruction becomes all three references
+        def exit_stack(fin):
+            return jnp.broadcast_to(fin[-1][None], (4,) + fin.shape[1:])
+        exit_refs = (exit_stack(ry_f), exit_stack(ru_f), exit_stack(rv_f))
+        return exit_refs, co, nz
+
+    def shard_fn(oy, ou, ov, refsel, smv, uvmv, splitmv, qs,
+                 ry0, ru0, rv0):
+        # local shapes: (1, F, ...) chunk data; (4, Hp, Wp) initial refs
+        rank = jax.lax.axis_index(axis)
+        F = oy.shape[1]
+        co0 = jnp.zeros((F, R * C, 400), jnp.int16)
+        nz0 = jnp.zeros((F, R * C), bool)
+        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def ring_step(t, carry):
+            (ry, ru, rv), co_acc, nz_acc = carry
+            new_refs, co, nz = chunk_body(
+                (ry, ru, rv), oy[0], ou[0], ov[0],
+                refsel[0], smv[0], uvmv[0], splitmv[0], qs[0])
+            active = rank == t
+            keep = lambda new, old: jnp.where(active, new, old)
+            co_acc = keep(co, co_acc)
+            nz_acc = keep(nz, nz_acc)
+            refs = tuple(keep(n_, o_) for n_, o_ in
+                         zip(new_refs, (ry, ru, rv)))
+            # exit references hop one device to the right over ICI
+            refs = tuple(jax.lax.ppermute(p, axis, right) for p in refs)
+            return refs, co_acc, nz_acc
+
+        refs, co, nz = jax.lax.fori_loop(
+            0, n_dev, ring_step, ((ry0, ru0, rv0), co0, nz0))
+        # after N hops the exit refs of device N-1 are back on device 0;
+        # gather them so every shard returns the same final state
+        exit_y = jax.lax.all_gather(refs[0], axis)[0]
+        return co[None], nz[None], exit_y
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, check_vma=False,
+        in_specs=(spec,) * 8 + (P(), P(), P()),
+        out_specs=(spec, spec, P(None)))
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Batched GOP decoding: ExCamera's chunk parallelism on ONE chip
 # ---------------------------------------------------------------------------
