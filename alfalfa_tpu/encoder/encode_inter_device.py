@@ -36,11 +36,8 @@ def _ps_rowperm(S):
     return perm
 
 
-def _inter_fn(R, C, realtime, interpret):
-    key = (R, C, realtime, interpret)
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
-    import jax
+def _inter_raw(R, C, realtime, interpret):
+    """The un-jitted kernel wrapper (vmap-able over the scalars arg)."""
     from alfalfa_tpu.ops import enc_inter_pallas as EK
 
     def f(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
@@ -55,33 +52,31 @@ def _inter_fn(R, C, realtime, interpret):
                 ru.astype(jnp.uint8).reshape(R, C, 64),
                 rv.astype(jnp.uint8).reshape(R, C, 64))
 
+    return f
+
+
+def _inter_fn(R, C, realtime, interpret):
+    key = (R, C, realtime, interpret)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    f = _inter_raw(R, C, realtime, interpret)
     fn = jax.jit(f) if not interpret else f
     _FN_CACHE[key] = fn
     return fn
 
 
-def encode_interframe_device(encoder, yuv, quant_indices, update,
-                             rebase_kf_header=None, interpret=False):
-    """Encode one interframe with the macroblock loop on device."""
-    import jax
+def _kernel_inputs(encoder, yuv, interpret):
+    """Shared (QP-independent) kernel inputs for one source raster."""
     import jax.numpy as jnp
     from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
     from .encoder import _pad_raster
-
-    if not interpret and jax.default_backend() != "tpu":
-        interpret = True
 
     W, H = encoder.width, encoder.height
     R, C = encoder.mb_rows, encoder.mb_cols
     orig = _pad_raster(*yuv, W, H)
     refs = encoder.references
     refs.last.to_host()
-
-    header = make_inter_header(quant_indices, rebase_kf_header)
-    q = {k: int(v) for k, v in quant_indices.quantizer().items()}
-    rate_mult, dist_mult = rd_multipliers(q["y_ac"])
-    qi = int(quant_indices.y_ac_qi)
-    realtime = encoder.quality == "rt"
 
     perm16 = _tile_perm(16)
     perm8 = _tile_perm(8)
@@ -97,10 +92,6 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
     refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
     refv_p = pack_refs32(pad_refs(jnp.asarray(refs.last.v)))
 
-    scalars = np.zeros(16, np.int32)
-    scalars[:9] = [q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
-                   q["uv_dc"], q["uv_ac"], rate_mult, dist_mult,
-                   int(SAD_PER_BIT16[qi])]
     costs = _tables()
     mbc = np.zeros(8, np.int32)
     mbc[:5] = np.asarray(costs.mbmode_costs[1][:5], np.int64)
@@ -113,17 +104,55 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
         encoder.state.probability_tables.mv_probs)
     mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
 
+    return orig, (jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(oy_ps),
+                  jnp.asarray(ou_t), jnp.asarray(ov_t), jnp.asarray(ou_b),
+                  jnp.asarray(ov_b), refy_p, refu_p, refv_p), \
+        (jnp.asarray(mbc), jnp.asarray(ibc), jnp.asarray(mvc2p),
+         jnp.asarray(pcost), jnp.asarray(sadcost), jnp.asarray(mvcost))
+
+
+def _scalars_for(quant_indices):
+    q = {k: int(v) for k, v in quant_indices.quantizer().items()}
+    rate_mult, dist_mult = rd_multipliers(q["y_ac"])
+    qi = int(quant_indices.y_ac_qi)
+    scalars = np.zeros(16, np.int32)
+    scalars[:9] = [q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
+                   q["uv_dc"], q["uv_ac"], rate_mult, dist_mult,
+                   int(SAD_PER_BIT16[qi])]
+    return scalars
+
+
+def encode_interframe_device(encoder, yuv, quant_indices, update,
+                             rebase_kf_header=None, interpret=False):
+    """Encode one interframe with the macroblock loop on device."""
+    import jax
+    import jax.numpy as jnp
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    W, H = encoder.width, encoder.height
+    R, C = encoder.mb_rows, encoder.mb_cols
+    realtime = encoder.quality == "rt"
+
+    header = make_inter_header(quant_indices, rebase_kf_header)
+    orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
+    mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
+
     co, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
-        jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(oy_ps),
-        jnp.asarray(ou_t), jnp.asarray(ov_t), jnp.asarray(ou_b),
-        jnp.asarray(ov_b), refy_p, refu_p, refv_p,
-        jnp.asarray(scalars), jnp.asarray(mbc), jnp.asarray(ibc),
-        jnp.asarray(mvc2p), jnp.asarray(pcost), jnp.asarray(sadcost),
-        jnp.asarray(mvcost))
+        *planes, jnp.asarray(_scalars_for(quant_indices)),
+        mbc, ibc, mvc2p, pcost, sadcost, mvcost)
 
     co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
     md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
+    arrays, recon = _outputs_to_frame(co_h, md_h, np.asarray(ry),
+                                      np.asarray(ru), np.asarray(rv),
+                                      R, C, W, H)
+    return finish_interframe(encoder, header, arrays, recon, orig, update)
 
+
+def _outputs_to_frame(co_h, md_h, ry, ru, rv, R, C, W, H):
+    """Kernel outputs -> (FrameArrays, reconstructed Raster)."""
     arrays = FrameArrays(R, C)
     arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)
     ymode = md_h[:, :, 0]
@@ -140,7 +169,59 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
     arrays.uv_mv[..., 1] = md_h[:, :, 7].reshape(R, C, *([1] * (arrays.uv_mv.ndim - 3)))
 
     recon = Raster(W, H,
-                   _untile(np.asarray(ry), R, C, 16).astype(np.uint8),
-                   _untile(np.asarray(ru), R, C, 8).astype(np.uint8),
-                   _untile(np.asarray(rv), R, C, 8).astype(np.uint8))
-    return finish_interframe(encoder, header, arrays, recon, orig, update)
+                   _untile(ry, R, C, 16).astype(np.uint8),
+                   _untile(ru, R, C, 8).astype(np.uint8),
+                   _untile(rv, R, C, 8).astype(np.uint8))
+    return arrays, recon
+
+
+def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
+                                     interpret=False):
+    """Encode the SAME raster at several quantizers in ONE device dispatch
+    (the Salsify speculative pair, salsify-sender.cc:490-518): the QP axis
+    rides a vmap over the scalar table, so motion search + mode decision
+    for both candidates share one kernel launch and all plane uploads.
+
+    encoders: one Encoder fork per quantizer, all in the identical state.
+    Returns a list of (payload, quality) in quant_list order; each fork's
+    state advances by its own result when ``update``."""
+    import jax
+    import jax.numpy as jnp
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    enc0 = encoders[0]
+    W, H = enc0.width, enc0.height
+    R, C = enc0.mb_rows, enc0.mb_cols
+    realtime = enc0.quality == "rt"
+    n = len(quant_list)
+
+    orig, planes, tables = _kernel_inputs(enc0, yuv, interpret)
+    mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
+    scalars = jnp.asarray(np.stack([_scalars_for(qi) for qi in quant_list]))
+
+    key = (R, C, realtime, interpret, n)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        vf = jax.vmap(_inter_raw(R, C, realtime, interpret),
+                      in_axes=(None,) * 10 + (0,) + (None,) * 6)
+        fn = vf if interpret else jax.jit(vf)
+        _FN_CACHE[key] = fn
+
+    co, md, ry, ru, rv = fn(*planes, scalars, mbc, ibc, mvc2p, pcost,
+                            sadcost, mvcost)
+    co_h = np.asarray(co)
+    md_h = np.asarray(md)
+    ry_h, ru_h, rv_h = np.asarray(ry), np.asarray(ru), np.asarray(rv)
+
+    results = []
+    for i, (enc, qi) in enumerate(zip(encoders, quant_list)):
+        header = make_inter_header(qi, None)
+        arrays, recon = _outputs_to_frame(
+            co_h[i].reshape(R, C, 400).astype(np.int16),
+            md_h[i].reshape(R, C, 32).astype(np.int32),
+            ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
+        results.append(finish_interframe(enc, header, arrays, recon, orig,
+                                         update))
+    return results

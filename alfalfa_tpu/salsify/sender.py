@@ -86,6 +86,45 @@ def do_encode_job(name, raster, encoder, y_ac_qi, target_size_bytes=None):
     return EncodeOutput(encoder, output, source_minihash, ms, name, q_used)
 
 
+def can_fuse_jobs(jobs):
+    """True when both speculative encodes can share one device dispatch:
+    interframes at plain quantizers from identically-forked encoders with
+    the device path enabled (SURVEY section 7.1: the speculative pair is a
+    QP axis, not two processes)."""
+    return (len(jobs) == 2
+            and all(len(j) == 4 for j in jobs)
+            and all(getattr(j[2], "device_encode", False) for j in jobs)
+            and all(j[2].frame_no > 0 for j in jobs)
+            and all(not j[2].two_pass for j in jobs))
+
+
+def do_encode_jobs_fused(jobs):
+    """Both speculative encodes in ONE device dispatch: the kernel is
+    vmapped over the quantizer scalars, so motion search + mode decision
+    + reconstruction for 'improve' and 'fail-small' share a launch and
+    every plane upload (salsify-sender.cc:490-518 runs them as two
+    threads; on TPU the QP axis is data parallelism)."""
+    from alfalfa_tpu.bitstream.header import QuantIndices
+    from alfalfa_tpu.encoder.encode_inter_device import (
+        encode_interframe_device_multiqp)
+
+    raster = jobs[0][1]
+    encoders = [j[2] for j in jobs]
+    qis = [j[3] for j in jobs]
+    source_minihash = encoders[0].minihash()
+    t0 = time.monotonic()
+    results = encode_interframe_device_multiqp(
+        encoders, raster, [QuantIndices(y_ac_qi=int(q)) for q in qis])
+    ms = int((time.monotonic() - t0) * 1000)
+    outs = []
+    for (name, _r, enc, qq), (payload, _ssim) in zip(jobs, results):
+        enc.frame_no += 1
+        enc.last_y_ac_qi = int(qq)
+        outs.append(EncodeOutput(enc, payload, source_minihash, ms, name,
+                                 int(qq)))
+    return outs
+
+
 class SalsifySender:
     def __init__(self, host, port, connection_id, frame_input,
                  mode="s2", update_rate=1, verbose=False,
@@ -203,7 +242,9 @@ class SalsifySender:
                      clamp_quantizer(self.last_quantizer, +23))]
 
         def run_jobs(jobs=jobs):
-            if self.mode == "s2":
+            if self.mode == "s2" and can_fuse_jobs(jobs):
+                outputs = do_encode_jobs_fused(jobs)
+            elif self.mode == "s2":
                 futures = [self._executor.submit(do_encode_job, *j) for j in jobs]
                 outputs = [f.result() for f in futures]
             else:  # s1 / conventional: sequential ("deferred") encode

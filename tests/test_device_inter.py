@@ -91,3 +91,35 @@ def test_device_interframe_decodes():
         payload = enc.encode_with_quantizer(f, 48, key_frame=(i == 0))
         shown, raster = player.decoder.decode_frame(payload)
         assert shown and raster is not None
+
+
+def test_fused_qp_pair_matches_sequential():
+    """The Salsify speculative pair as ONE vmapped device dispatch must be
+    byte-identical to two independent device encodes
+    (encode_interframe_device_multiqp; salsify-sender.cc:490-518)."""
+    from alfalfa_tpu.bitstream.header import QuantIndices
+    from alfalfa_tpu.encoder.encode_inter_device import (
+        encode_interframe_device_multiqp)
+
+    w, h = 80, 48
+    clip = gen_clip(w, h, 3, seed=35)
+    qis = (40, 72)
+
+    # sequential: two forks, one device encode each
+    base = Encoder(w, h, device_encode=True, quality="rt")
+    base.encode_with_quantizer(clip[0], 56, key_frame=True)
+    seq = [base.fork() for _ in qis]
+    seq_payloads = [e.encode_with_quantizer(clip[1], q)
+                    for e, q in zip(seq, qis)]
+
+    # fused: same forks through the one-dispatch QP axis
+    base2 = Encoder(w, h, device_encode=True, quality="rt")
+    base2.encode_with_quantizer(clip[0], 56, key_frame=True)
+    fused = [base2.fork() for _ in qis]
+    results = encode_interframe_device_multiqp(
+        fused, clip[1], [QuantIndices(y_ac_qi=q) for q in qis])
+
+    for (payload, _s), want, e_seq, e_fused in zip(results, seq_payloads,
+                                                   seq, fused):
+        assert payload == want, "fused QP-pair encode differs"
+        assert e_seq.minihash() == e_fused.minihash()
