@@ -169,6 +169,74 @@ struct SparseSink {
   int64_t base; /* dense offset of the current block's 16 coeffs */
 };
 
+/* parse_block variant for the GOP hot loop: writes values into out16 at
+ * dense positions WITHOUT zero-initialization and returns a bitmask of
+ * set dense positions (0 == all-zero block); the caller walks set bits
+ * only.  Keeps the coefficient semantics of parse_block below. */
+inline uint32_t parse_block_mask(FastBool &bd, const uint8_t *probs_bt,
+                                 int ctx, int first, int16_t *out16) {
+  uint32_t mask = 0;
+  bool last_was_zero = false;
+  int token_context = ctx;
+
+  for (int index = first; index < 16; index++) {
+    const uint8_t *prob = probs_bt + (kBand[index] * 3 + token_context) * 11;
+    if (!last_was_zero) {
+      if (!bd.get(prob[0])) break; /* EOB */
+    }
+    if (!bd.get(prob[1])) {
+      last_was_zero = true;
+      token_context = 0;
+      continue;
+    }
+    last_was_zero = false;
+    int value;
+    if (!bd.get(prob[2])) {
+      value = 1;
+      token_context = 1;
+    } else {
+      token_context = 2;
+      if (!bd.get(prob[3])) {
+        if (!bd.get(prob[4])) {
+          value = 2;
+        } else {
+          value = bd.get(prob[5]) ? 4 : 3;
+        }
+      } else {
+        int cat;
+        if (!bd.get(prob[6])) {
+          if (!bd.get(prob[7])) {
+            value = 5 + bd.get(159);
+            cat = -1;
+          } else {
+            cat = 0;
+          }
+        } else {
+          if (!bd.get(prob[8])) {
+            cat = bd.get(prob[9]) ? 2 : 1;
+          } else {
+            cat = bd.get(prob[10]) ? 4 : 3;
+          }
+        }
+        if (cat >= 0) {
+          const TokenExtra &te = kExtra[cat];
+          int extra = 0;
+          for (int i = 0; i < te.nbits; i++) {
+            extra = (extra << 1) + bd.get(te.probs[i]);
+          }
+          value = te.base + extra;
+        }
+      }
+    }
+    const int sign = bd.get(128);
+    value = (value ^ -sign) + sign; /* branchless negate */
+    const int dpos = kZigzag[index];
+    out16[dpos] = (int16_t)value;
+    mask |= 1u << dpos;
+  }
+  return mask;
+}
+
 /* Returns 1 if the block has any nonzero coefficient. coeff_probs indexed
  * [block_type][band][ctx][node] = ((bt*8 + band)*3 + ctx)*11 + node. */
 inline int parse_block(FastBool &bd, const uint8_t *coeff_probs,
@@ -428,14 +496,17 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
     desc_pos_g[g] = vesc_pos_g[g] = esc_base[g];
     last_idx[g] = g * felems - 1;
   }
-  /* emit the block's nonzero coefficients in ascending position order */
-  auto emit_block = [&](int g, int64_t base_elem, const int16_t *tmp) {
+  /* emit the block's nonzero coefficients (set bits of mask) in ascending
+   * position order; tmp is only valid at set positions */
+  auto emit_block = [&](int g, int64_t base_elem, const int16_t *tmp,
+                        uint32_t mask) {
     int64_t p = seg_pos[g];
     const int64_t lim = seg_base[g + 1];
     const int64_t esc_lim = esc_base[g + 1];
     int64_t last = last_idx[g];
-    for (int i = 0; i < 16; i++) {
-      if (!tmp[i]) continue;
+    while (mask) {
+      const int i = __builtin_ctz(mask);
+      mask &= mask - 1;
       if (p >= lim) { overflow = true; return; }
       const int64_t idx = base_elem + i;
       int64_t d = idx - last;
@@ -473,7 +544,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   FastBool *bd_row[16];
   /* per-(g) per-MB scratch */
   uint8_t live[16];     /* not skipped */
-  uint8_t y2_pend[16];  /* buffered Y2 block awaiting ordered emission */
+  uint32_t y2_pend[16]; /* buffered Y2 mask awaiting ordered emission */
   int16_t y2_tmp[16 * 16];
   int mb_nz[16];
 
@@ -515,12 +586,12 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
           /* Y2 is parsed FIRST but its dense index (block 24) sorts LAST
            * in the macroblock: buffer it and emit after chroma so the
            * compact stream's deltas stay strictly ascending */
-          memset(y2_tmp + g * 16, 0, 16 * sizeof(int16_t));
-          const int nz = parse_block(*bd_row[g],
-                                     coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                                     1 /*Y2*/, ctx, 0, y2_tmp + g * 16,
-                                     nullptr);
-          y2_pend[g] = (uint8_t)nz;
+          const uint32_t m = parse_block_mask(
+              *bd_row[g],
+              coeff_probs + ((size_t)g * 4 + 1) * 8 * 3 * 11,
+              ctx, 0, y2_tmp + g * 16);
+          const int nz = m != 0;
+          y2_pend[g] = m;
           y2_above[g * C + c] = (uint8_t)nz;
           y2_above_valid[g * C + c] = 1;
           y2_left[g] = (uint8_t)nz;
@@ -541,12 +612,14 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
             const int ctx = (gr > 0 ? yg[(gr - 1) * C * 4 + gc] : 0) +
                             (gc > 0 ? yg[gr * C * 4 + gc - 1] : 0);
             const int y2c = y2_coded[gmb];
-            int16_t tmp[16] = {0};
-            const int nz = parse_block(
-                *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                y2c ? 0 : 3, ctx, y2c ? 1 : 0, tmp, nullptr);
-            if (nz) emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25
-                                   + (sr * 4 + sc)) * 16, tmp);
+            int16_t tmp[16];
+            const uint32_t m = parse_block_mask(
+                *bd_row[g],
+                coeff_probs + ((size_t)g * 4 + (y2c ? 0 : 3)) * 8 * 3 * 11,
+                ctx, y2c ? 1 : 0, tmp);
+            const int nz = m != 0;
+            if (m) emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25
+                                  + (sr * 4 + sc)) * 16, tmp, m);
             yg[gr * C * 4 + gc] = (uint8_t)nz;
             mb_nz[g] |= nz;
           }
@@ -564,13 +637,15 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
               uint8_t *nzp = nz_base + (size_t)g * R * 2 * C * 2;
               const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
                               (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
-              int16_t tmp[16] = {0};
-              const int nz = parse_block(
-                  *bd_row[g], coeff_probs + (size_t)g * 4 * 8 * 3 * 11,
-                  2 /*UV*/, ctx, 0, tmp, nullptr);
-              if (nz) emit_block(g, ((int64_t)g * R * C * 25
-                                     + (int64_t)mb * 25
-                                     + (cbase + sr * 2 + sc)) * 16, tmp);
+              int16_t tmp[16];
+              const uint32_t m = parse_block_mask(
+                  *bd_row[g],
+                  coeff_probs + ((size_t)g * 4 + 2) * 8 * 3 * 11,
+                  ctx, 0, tmp);
+              const int nz = m != 0;
+              if (m) emit_block(g, ((int64_t)g * R * C * 25
+                                    + (int64_t)mb * 25
+                                    + (cbase + sr * 2 + sc)) * 16, tmp, m);
               nzp[gr * C * 2 + gc] = (uint8_t)nz;
               mb_nz[g] |= nz;
             }
@@ -581,7 +656,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
         if (!live[g]) continue;
         if (y2_pend[g])
           emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25 + 24)
-                     * 16, y2_tmp + g * 16);
+                     * 16, y2_tmp + g * 16, y2_pend[g]);
         has_nonzero_out[g * R * C + mb] = (uint8_t)(mb_nz[g] != 0);
       }
     }
