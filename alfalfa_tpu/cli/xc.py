@@ -78,6 +78,41 @@ def cmd_play(args):
     display.close()
 
 
+def cmd_display_jpeg(args):
+    """Decode one JPEG file and show it (salsify/display-jpeg.cc:45-76)."""
+    from alfalfa_tpu.display import VideoDisplay
+    from alfalfa_tpu.input.jpeg import JPEGDecompresser
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    y, u, v = JPEGDecompresser().decompress(data)
+    display = VideoDisplay(y.shape[1], y.shape[0],
+                           fullscreen=args.fullscreen)
+    display.draw((y, u, v))
+    import time
+    time.sleep(args.seconds)
+    display.close()
+
+
+def cmd_webcam(args):
+    """Show live camera frames (salsify/real-webcam.cc:46-120)."""
+    from alfalfa_tpu.display import VideoDisplay
+    from alfalfa_tpu.input.camera import Camera
+
+    cam = Camera(args.device, pixel_format=args.pixfmt)
+    display = VideoDisplay(cam.display_width, cam.display_height,
+                           fullscreen=args.fullscreen)
+    try:
+        while True:
+            frame = cam.get_next_frame()
+            if frame is None:
+                break
+            display.draw(frame)
+    except KeyboardInterrupt:
+        pass
+    display.close()
+
+
 def cmd_decode_raw(args):
     player = _player_with_state(args)
     out = sys.stdout.buffer
@@ -649,6 +684,21 @@ def main(argv=None):
     p.add_argument("-s", "--state", default=None, help="input decoder state")
     p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     p.set_defaults(func=cmd_play)
+
+    p = sub.add_parser("display-jpeg",
+                       help="decode one JPEG and show it (display-jpeg)")
+    p.add_argument("input")
+    p.add_argument("-f", "--fullscreen", action="store_true")
+    p.add_argument("-s", "--seconds", type=float, default=5.0,
+                   help="how long to keep the window up")
+    p.set_defaults(func=cmd_display_jpeg)
+
+    p = sub.add_parser("webcam",
+                       help="show live camera frames (real-webcam)")
+    p.add_argument("-d", "--device", default="/dev/video0")
+    p.add_argument("-p", "--pixfmt", default="NV12")
+    p.add_argument("-f", "--fullscreen", action="store_true")
+    p.set_defaults(func=cmd_webcam)
 
     p = sub.add_parser("decode-raw", help="decode IVF to raw YUV on stdout")
     p.add_argument("input")

@@ -56,3 +56,47 @@ def test_salsify_frame_latency():
     # sanity bound only (real budget: 33 ms at 720p once inter encode is
     # on-device); keeps regressions visible without blocking the suite
     assert p95 < 2000, f"encode p95 {p95:.0f} ms"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="the 33 ms design point is a TPU budget (device inter encode)")
+def test_salsify_720p_design_point():
+    """The reference's design point: 1280x720, 33 ms per-frame encode
+    budget (salsify-sender.cc:160-170).  With the device inter encoder
+    and the fused speculative pair, the steady-state p95 encode must fit
+    the frame interval."""
+    import os
+    os.environ["ALFALFA_DEVICE_ENCODE"] = "1"
+    try:
+        w, h, n = 1280, 720, 40
+        clip = list(gen_clip(w, h, 8, seed=11)) * 5
+        received = []
+        receiver = SalsifyReceiver(PORT + 1, w, h,
+                                   on_raster=received.append)
+        rt = threading.Thread(
+            target=lambda: receiver.run(max_frames=n, timeout_ms=120000),
+            daemon=True)
+        rt.start()
+        sender = SalsifySender("127.0.0.1", PORT + 1, 1338,
+                               ClipInput(clip, w, h), mode="s2",
+                               drop_frames_while_busy=False)
+        try:
+            sender.run(max_frames=n)
+            deadline = time.monotonic() + 30
+            while rt.is_alive() and time.monotonic() < deadline and \
+                    len(received) < n:
+                rt.join(0.1)
+        finally:
+            sender.close()
+            receiver.close()
+
+        # steady state: skip the keyframe + first interframe (compiles)
+        enc_ms = np.array([e for *_, e in sender.sent_log[2:]], float)
+        assert len(enc_ms) >= n - 6
+        p50, p95 = np.percentile(enc_ms, [50, 95])
+        print(f"\nsalsify 720p: encode ms p50={p50:.1f} p95={p95:.1f}")
+        assert p95 <= 33, f"encode p95 {p95:.1f} ms > 33 ms budget"
+    finally:
+        os.environ.pop("ALFALFA_DEVICE_ENCODE", None)
