@@ -601,27 +601,40 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
           y2_pend[g] = 0;
         }
       }
-      /* phase 1: 16 Y blocks, g-inner so chains interleave */
-      for (int sr = 0; sr < 4; sr++) {
-        for (int sc = 0; sc < 4; sc++) {
-          const int gr = r * 4 + sr, gc = c * 4 + sc;
+      /* phase 1: 16 Y blocks, g-inner so chains interleave.
+       * Per-(g, MB) constants (probs base, first index, dense element
+       * base, nz-plane corner) hoist out of the 16-subblock loop. */
+      {
+        const uint8_t *probs_y[16];
+        int first_y[16];
+        int64_t ybase[16];      /* dense element index of Y block 0 */
+        uint8_t *nzc[16];       /* nz-plane corner (gr0, gc0) */
+        for (int g = 0; g < G; g++) {
+          if (!live[g]) continue;
+          const int y2c = y2_coded[g * R * C + mb];
+          probs_y[g] = coeff_probs + ((size_t)g * 4 + (y2c ? 0 : 3))
+                       * 8 * 3 * 11;
+          first_y[g] = y2c ? 1 : 0;
+          ybase[g] = ((int64_t)g * R * C * 25 + (int64_t)mb * 25) * 16;
+          nzc[g] = y_nz + (size_t)g * R * 4 * C * 4 + (size_t)(r * 4)
+                   * C * 4 + c * 4;
+        }
+        const int stride = C * 4;
+        for (int b = 0; b < 16; b++) {
+          const int sr = b >> 2, sc = b & 3;
+          const bool has_up = r > 0 || sr > 0;
+          const bool has_left = c > 0 || sc > 0;
           for (int g = 0; g < G; g++) {
             if (!live[g]) continue;
-            const int gmb = g * R * C + mb;
-            uint8_t *yg = y_nz + (size_t)g * R * 4 * C * 4;
-            const int ctx = (gr > 0 ? yg[(gr - 1) * C * 4 + gc] : 0) +
-                            (gc > 0 ? yg[gr * C * 4 + gc - 1] : 0);
-            const int y2c = y2_coded[gmb];
+            uint8_t *cell = nzc[g] + sr * stride + sc;
+            const int ctx = (has_up ? cell[-stride] : 0) +
+                            (has_left ? cell[-1] : 0);
             int16_t tmp[16];
             const uint32_t m = parse_block_mask(
-                *bd_row[g],
-                coeff_probs + ((size_t)g * 4 + (y2c ? 0 : 3)) * 8 * 3 * 11,
-                ctx, y2c ? 1 : 0, tmp);
-            const int nz = m != 0;
-            if (m) emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25
-                                  + (sr * 4 + sc)) * 16, tmp, m);
-            yg[gr * C * 4 + gc] = (uint8_t)nz;
-            mb_nz[g] |= nz;
+                *bd_row[g], probs_y[g], ctx, first_y[g], tmp);
+            if (m) emit_block(g, ybase[g] + b * 16, tmp, m);
+            *cell = (uint8_t)(m != 0);
+            mb_nz[g] |= (int)m;
           }
         }
       }
@@ -629,26 +642,27 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
       for (int plane = 0; plane < 2; plane++) {
         uint8_t *nz_base = plane ? v_nz : u_nz;
         const int cbase = 16 + plane * 4;
-        for (int sr = 0; sr < 2; sr++) {
-          for (int sc = 0; sc < 2; sc++) {
-            const int gr = r * 2 + sr, gc = c * 2 + sc;
-            for (int g = 0; g < G; g++) {
-              if (!live[g]) continue;
-              uint8_t *nzp = nz_base + (size_t)g * R * 2 * C * 2;
-              const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
-                              (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
-              int16_t tmp[16];
-              const uint32_t m = parse_block_mask(
-                  *bd_row[g],
-                  coeff_probs + ((size_t)g * 4 + 2) * 8 * 3 * 11,
-                  ctx, 0, tmp);
-              const int nz = m != 0;
-              if (m) emit_block(g, ((int64_t)g * R * C * 25
-                                    + (int64_t)mb * 25
-                                    + (cbase + sr * 2 + sc)) * 16, tmp, m);
-              nzp[gr * C * 2 + gc] = (uint8_t)nz;
-              mb_nz[g] |= nz;
-            }
+        const int stride = C * 2;
+        for (int b = 0; b < 4; b++) {
+          const int sr = b >> 1, sc = b & 1;
+          const bool has_up = r > 0 || sr > 0;
+          const bool has_left = c > 0 || sc > 0;
+          for (int g = 0; g < G; g++) {
+            if (!live[g]) continue;
+            uint8_t *cell = nz_base + (size_t)g * R * 2 * C * 2
+                            + (size_t)(r * 2 + sr) * stride + c * 2 + sc;
+            const int ctx = (has_up ? cell[-stride] : 0) +
+                            (has_left ? cell[-1] : 0);
+            int16_t tmp[16];
+            const uint32_t m = parse_block_mask(
+                *bd_row[g],
+                coeff_probs + ((size_t)g * 4 + 2) * 8 * 3 * 11,
+                ctx, 0, tmp);
+            if (m) emit_block(g, ((int64_t)g * R * C * 25
+                                  + (int64_t)mb * 25
+                                  + (cbase + b)) * 16, tmp, m);
+            *cell = (uint8_t)(m != 0);
+            mb_nz[g] |= (int)m;
           }
         }
       }
