@@ -136,10 +136,66 @@ def _sb_predict_all(a, left, al):
 
 def _bpred_tile(a16, ar4, e0, lcol, bm, rb, nz):
     """One B_PRED macroblock row-of-diagonal: sequential 4x4 subblocks with
-    inline residual add (macroblock.cc:539-544).  All args lane-wise over
-    storage rows; rb (Rp, 256) is the subblock-layout residual.  The tile
-    under construction is a list of 16 row vectors (Rp, 16) — Mosaic has no
-    value-level dynamic_update_slice, so rows are rebuilt by lane concat."""
+    inline residual add (macroblock.cc:539-544), as a lax.scan over the
+    four subblock BANDS (rows of 4 blocks).
+
+    The band body is position-uniform: with prev_bottom initialized to the
+    above row a16, every band's 20-lane above vector is
+    concat(prev_bottom, ar4), the above-left for sc=0 arrives as per-band
+    xs (e0 for band 0, lcol lanes after), and everything else is static
+    lane arithmetic — so the subblock chain traces ONCE per band instead
+    of 16 times, cutting the kernel's traced-op count ~4x (the B_PRED
+    unroll dominated JAX trace + Mosaic lowering time).  The decoded tile
+    accumulates in a lane-shifting carry (concat, no dynamic indexing).
+    All args lane-wise over storage rows; rb (Rp, 256) is the
+    subblock-layout residual."""
+    Rp = a16.shape[0]
+    lcol_band = jnp.stack([lcol[:, 4 * b:4 * b + 4] for b in range(4)])
+    al0 = jnp.stack([e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 3 + 1)])
+    bm_band = jnp.stack([bm[:, 4 * b:4 * b + 4] for b in range(4)])
+    rb_band = jnp.stack([rb[:, 64 * b:64 * b + 64] for b in range(4)])
+
+    def band(carry, xs):
+        prev_bottom, out_acc = carry
+        lcb, al_first, bmb, rbb = xs
+        above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
+        rows = [jnp.zeros((Rp, 16), jnp.int32)] * 4
+        block_prev = None
+        for sc in range(4):
+            above4 = above20[:, sc * 4:sc * 4 + 4]
+            ar = above20[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
+            al = al_first if sc == 0 else _lane(above20, sc * 4 - 1)
+            left4 = (lcb if sc == 0 else
+                     jnp.concatenate([_lane(block_prev, i * 4 + 3)
+                                      for i in range(4)], axis=1))
+            preds = _sb_predict_all(jnp.concatenate([above4, ar], axis=1),
+                                    left4, al)
+            m = _lane(bmb, sc)
+            sel = preds[0]
+            for k in range(1, 10):
+                sel = jnp.where(m == k, preds[k], sel)
+            res = jnp.where(nz, rbb[:, sc * 16:sc * 16 + 16], 0)
+            block = jnp.clip(sel + res, 0, 255)   # (Rp, 16) row-major 4x4
+            for i in range(4):
+                r = rows[i]
+                parts = ([r[:, :sc * 4]] if sc > 0 else []) \
+                    + [block[:, i * 4:i * 4 + 4]] \
+                    + ([r[:, sc * 4 + 4:]] if sc < 3 else [])
+                rows[i] = jnp.concatenate(parts, axis=1)
+            block_prev = block
+        band_out = jnp.concatenate(rows, axis=1)             # (Rp, 64)
+        out_acc = jnp.concatenate([out_acc[:, 64:], band_out], axis=1)
+        return (rows[3], out_acc), None
+
+    (_, out), _ = jax.lax.scan(
+        band, (a16, jnp.zeros((Rp, 256), jnp.int32)),
+        (lcol_band, al0, bm_band, rb_band))
+    return out
+
+
+def _bpred_tile_unrolled(a16, ar4, e0, lcol, bm, rb, nz):
+    """The fully-unrolled B_PRED chain (fallback if the in-kernel scan
+    ever hits a Mosaic lowering limit; ALFALFA_BPRED_UNROLL=1)."""
     Rp = a16.shape[0]
     zrow = jnp.zeros((Rp, 16), jnp.int32)
     rows = [zrow] * 16
@@ -181,6 +237,11 @@ def _bpred_tile(a16, ar4, e0, lcol, bm, rb, nz):
                     parts.append(r[:, sc * 4 + 4:])
                 rows[sr * 4 + i] = jnp.concatenate(parts, axis=1)
     return jnp.concatenate(rows, axis=1)
+
+
+import os as _os
+if _os.environ.get("ALFALFA_BPRED_UNROLL") == "1":
+    _bpred_tile = _bpred_tile_unrolled
 
 
 def _intra_kernel(nd, prm_ref, dy_ref, du_ref, dv_ref,

@@ -201,7 +201,8 @@ def _wave_kernel(nd, prm_ref, lfprm_ref, tpy_ref, tpu_ref,
     ov_ref[0] = ring_v[(d - 5) % RING]
 
 
-def wavefront_frame_batch(dy, du, dv, prm, r16, rb, ru, rv, lfprm):
+def wavefront_frame_batch(dy, du, dv, prm, r16, rb, ru, rv, lfprm,
+                          interpret=None):
     """Run the merged intra + loop-filter wavefront for a GOP batch.
 
     dy/du/dv: (n_diags, GRp, P) int16 stage-B tiles, skewed with the GOP
@@ -210,7 +211,12 @@ def wavefront_frame_batch(dy, du, dv, prm, r16, rb, ru, rv, lfprm):
     int16 Y residuals (assembled / subblock layouts); ru/rv chroma;
     lfprm: (n_diags, GRp, 8) int16 (lf_pallas layout).  Returns the
     decoded + filtered (n_diags, GRp, P) planes.
+
+    interpret=None autodetects: off-TPU the kernel runs in Pallas
+    interpret mode so the TPU decode path is testable anywhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     nd, GRp, _ = dy.shape
     n_steps = nd + 5
     at_d = lambda P: pl.BlockSpec(
@@ -240,5 +246,6 @@ def wavefront_frame_batch(dy, du, dv, prm, r16, rb, ru, rv, lfprm):
         # budget at 720p; v5e VMEM is far larger, so raise the soft limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(prm.astype(jnp.int16), lfprm.astype(jnp.int16),
       _t_perm(16), _t_perm(8), dy, du, dv, r16, rb, ru, rv)
