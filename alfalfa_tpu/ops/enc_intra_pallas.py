@@ -155,42 +155,42 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
     abm = jnp.where(hrow, abv_bm, 0)
     lbm = jnp.where(hcol, left_bm, 0)
 
-    # ---- B_PRED candidate: 16 subblocks, reconstruction in the loop ----
-    zrow16 = jnp.zeros((Rp, 16), jnp.int32)
-    rows = [zrow16] * 16            # recon tile under construction
-    bm_sel = [None] * 16            # chosen modes per subblock
-    co_b = [None] * 16              # quantized coeffs per subblock
-    ea = jnp.concatenate([a16, ar4], axis=1)
-    bpred_rate = jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED]
-    bpred_dist = jnp.zeros((Rp, 1), jnp.int32)
+    # ---- B_PRED candidate: 16 subblocks, reconstruction in the loop,
+    # as a lax.scan over the four subblock BANDS (same position-uniform
+    # trick as the decode wavefront's _bpred_tile: with prev_bottom
+    # initialized to the above row, every band sees above20 =
+    # concat(prev_bottom, ar4); the band-0 mode context arrives as the
+    # prev_bm carry initialized to the above MB's bottom-row modes).
+    # This traces the search chain once per band instead of 16 times —
+    # the unroll dominated this kernel's trace/Mosaic-lowering time. ----
+    bhi_v, blo_v = bhi_ref[...], blo_ref[...]
+    lcol_band = jnp.stack([lcol[:, 4 * b:4 * b + 4] for b in range(4)])
+    al0 = jnp.stack([e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)])
+    lbm0 = jnp.stack([_lane(lbm, 4 * b + 3) for b in range(4)])
+    oyb_band = jnp.stack([oy_b[:, 64 * b:64 * b + 64] for b in range(4)])
 
-    for sr in range(4):
+    def bpred_band(carry, xs):
+        prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a, dist_a = \
+            carry
+        lcb, al_first, lbm_first, osb_band = xs
+        above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
+        rows = [jnp.zeros((Rp, 16), jnp.int32)] * 4
+        bm_list, co_list = [], []
+        block_prev = None
+        left_m = lbm_first
         for sc in range(4):
-            sb = sr * 4 + sc
-            if sr == 0:
-                above4 = ea[:, sc * 4:sc * 4 + 4]
-                ar = ea[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
-                al = e0 if sc == 0 else _lane(ea, sc * 4 - 1)
-            else:
-                prow = rows[sr * 4 - 1]
-                above4 = prow[:, sc * 4:sc * 4 + 4]
-                ar = (prow[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
-                      if sc < 3 else ea[:, 16:20])
-                al = (_lane(prow, sc * 4 - 1) if sc > 0
-                      else _lane(lcol, sr * 4 - 1))
-            left4 = (lcol[:, sr * 4:sr * 4 + 4] if sc == 0 else
-                     jnp.concatenate(
-                         [_lane(rows[sr * 4 + i], sc * 4 - 1)
-                          for i in range(4)], axis=1))
-
+            above4 = above20[:, sc * 4:sc * 4 + 4]
+            ar = above20[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
+            al = al_first if sc == 0 else _lane(above20, sc * 4 - 1)
+            left4 = (lcb if sc == 0 else
+                     jnp.concatenate([_lane(block_prev, i * 4 + 3)
+                                      for i in range(4)], axis=1))
             preds = _sb_predict_all(jnp.concatenate([above4, ar], axis=1),
                                     left4, al)
-            # contextual mode costs (kf_b_mode semantics)
-            above_m = (_lane(abm, 12 + sc) if sr == 0 else bm_sel[sb - 4])
-            left_m = (_lane(lbm, sr * 4 + 3) if sc == 0 else bm_sel[sb - 1])
-            costs10 = _onehot_cost(above_m, left_m, bhi_ref, blo_ref)
+            above_m = _lane(prev_bm, sc)
+            costs10 = _onehot_cost(above_m, left_m, bhi_v, blo_v)
 
-            osb = oy_b[:, sb * 16:sb * 16 + 16]
+            osb = osb_band[:, sc * 16:sc * 16 + 16]
             best_cost = None
             best_m = None
             best_rate = None
@@ -208,28 +208,45 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
                     best_m = jnp.where(better, m, best_m)
                     best_rate = jnp.where(better, rate, best_rate)
                     best_sse = jnp.where(better, sse, best_sse)
-            bm_sel[sb] = best_m
-            bpred_rate = bpred_rate + best_rate
-            bpred_dist = bpred_dist + best_sse
+            bm_list.append(best_m)
+            rate_a = rate_a + best_rate
+            dist_a = dist_a + best_sse
+            left_m = best_m
 
             pred_sel = preds[0]
             for m in range(1, NUM_B_MODES):
                 pred_sel = jnp.where(best_m == m, preds[m], pred_sel)
 
             qc = ET.quantize(ET.fdct(osb - pred_sel), q_ydc, q_yac)
-            co_b[sb] = qc
+            co_list.append(qc)
             res = ET.idct(ET.dequantize(qc, q_ydc, q_yac))
             blk = jnp.clip(pred_sel + res, 0, 255)
             for i in range(4):
-                r_ = rows[sr * 4 + i]
+                r_ = rows[i]
                 parts = ([r_[:, :sc * 4]] if sc > 0 else []) + \
                     [blk[:, i * 4:i * 4 + 4]] + \
                     ([r_[:, sc * 4 + 4:]] if sc < 3 else [])
-                rows[sr * 4 + i] = jnp.concatenate(parts, axis=1)
+                rows[i] = jnp.concatenate(parts, axis=1)
+            block_prev = blk
 
-    bpred_recon = jnp.concatenate(rows, axis=1)           # tile layout
-    bpred_co = jnp.concatenate(co_b, axis=1)              # block layout
-    bpred_bm = jnp.concatenate(bm_sel, axis=1)
+        band_bm = jnp.concatenate(bm_list, axis=1)           # (Rp, 4)
+        out_recon = jnp.concatenate(
+            [out_recon[:, 64:], jnp.concatenate(rows, axis=1)], axis=1)
+        out_co = jnp.concatenate(
+            [out_co[:, 64:], jnp.concatenate(co_list, axis=1)], axis=1)
+        out_bm = jnp.concatenate([out_bm[:, 4:], band_bm], axis=1)
+        return (rows[3], band_bm, out_recon, out_co, out_bm,
+                rate_a, dist_a), None
+
+    z256 = jnp.zeros((Rp, 256), jnp.int32)
+    (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate, bpred_dist), _ = \
+        jax.lax.scan(
+            bpred_band,
+            (a16, abm[:, 12:16], z256, z256,
+             jnp.zeros((Rp, 16), jnp.int32),
+             jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED],
+             jnp.zeros((Rp, 1), jnp.int32)),
+            (lcol_band, al0, lbm0, oyb_band))
     bpred_cost = _rdcost(bpred_rate, bpred_dist, rmult, dmult)
 
     # ---- whole-MB modes ----
