@@ -475,32 +475,35 @@ def _inter_kernel(R, C, W, H, realtime,
                             jnp.where(hrow, _bcast(a16[:, 15:16], 4), 127))
             ea = jnp.concatenate([a16, ar4], axis=1)
 
-            rows = [jnp.zeros((1, 16), jnp.int32)] * 16
-            bm_sel = [None] * 16
-            co_b = [None] * 16
-            bpred_rate = mbc_ref[B_PRED] * jnp.ones((), jnp.int32)
-            bpred_dist = jnp.int32(0)
-            for sr in range(4):
+            # band scan over the four subblock rows (same position-uniform
+            # trick as enc_intra_pallas: above20 = concat(prev_bottom, ar4)
+            # with prev_bottom initialized to a16); B_PRED costs here are
+            # the non-contextual inter_bmode_costs, so no mode carry
+            lcol_band = jnp.stack(
+                [lcol[:, 4 * b:4 * b + 4] for b in range(4)])
+            al0 = jnp.stack(
+                [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)])
+            oyb_band = jnp.stack(
+                [oy_b[:, 64 * b:64 * b + 64] for b in range(4)])
+
+            def bpred_band(carry, xs):
+                prev_bottom, out_recon, out_co, out_bm, rate_a, dist_a = \
+                    carry
+                lcb, al_first, osb_band = xs
+                above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
+                rows = [jnp.zeros((1, 16), jnp.int32)] * 4
+                bm_list, co_list = [], []
+                block_prev = None
                 for sc in range(4):
-                    sb = sr * 4 + sc
-                    if sr == 0:
-                        above4 = ea[:, sc * 4:sc * 4 + 4]
-                        arr = ea[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
-                        al = e0 if sc == 0 else _lane(ea, sc * 4 - 1)
-                    else:
-                        prow = rows[sr * 4 - 1]
-                        above4 = prow[:, sc * 4:sc * 4 + 4]
-                        arr = (prow[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
-                               if sc < 3 else ea[:, 16:20])
-                        al = (_lane(prow, sc * 4 - 1) if sc > 0
-                              else _lane(lcol, sr * 4 - 1))
-                    left4 = (lcol[:, sr * 4:sr * 4 + 4] if sc == 0 else
-                             jnp.concatenate(
-                                 [_lane(rows[sr * 4 + i], sc * 4 - 1)
-                                  for i in range(4)], axis=1))
+                    above4 = above20[:, sc * 4:sc * 4 + 4]
+                    arr = above20[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
+                    al = al_first if sc == 0 else _lane(above20, sc * 4 - 1)
+                    left4 = (lcb if sc == 0 else
+                             jnp.concatenate([_lane(block_prev, i * 4 + 3)
+                                              for i in range(4)], axis=1))
                     preds = _sb_predict_all(
                         jnp.concatenate([above4, arr], axis=1), left4, al)
-                    osb = oy_b[:, sb * 16:sb * 16 + 16]
+                    osb = osb_band[:, sc * 16:sc * 16 + 16]
                     bcost_sb = INF
                     bm = jnp.int32(0)
                     brate = jnp.int32(0)
@@ -516,23 +519,39 @@ def _inter_kernel(R, C, W, H, realtime,
                         bsse = jnp.where(bet, sse, bsse)
                         psel = jnp.where(bet, preds[m], psel)
                         bcost_sb = jnp.where(bet, cost, bcost_sb)
-                    bm_sel[sb] = bm
-                    bpred_rate = bpred_rate + brate
-                    bpred_dist = bpred_dist + bsse
+                    bm_list.append(jnp.broadcast_to(bm, (1, 1)))
+                    rate_a = rate_a + brate
+                    dist_a = dist_a + bsse
                     qc = ET.quantize(ET.fdct(osb - psel), q_ydc, q_yac)
-                    co_b[sb] = qc
+                    co_list.append(qc)
                     resd = ET.idct(ET.dequantize(qc, q_ydc, q_yac))
                     blk = jnp.clip(psel + resd, 0, 255)
                     for i in range(4):
-                        r_ = rows[sr * 4 + i]
+                        r_ = rows[i]
                         parts = ([r_[:, :sc * 4]] if sc > 0 else []) + \
                             [blk[:, i * 4:i * 4 + 4]] + \
                             ([r_[:, sc * 4 + 4:]] if sc < 3 else [])
-                        rows[sr * 4 + i] = jnp.concatenate(parts, axis=1)
-            bpred_recon = jnp.concatenate(rows, axis=1)
-            bpred_co = jnp.concatenate(co_b, axis=1)
-            bpred_bm = jnp.concatenate(
-                [jnp.broadcast_to(b, (1, 1)) for b in bm_sel], axis=1)
+                        rows[i] = jnp.concatenate(parts, axis=1)
+                    block_prev = blk
+                out_recon = jnp.concatenate(
+                    [out_recon[:, 64:], jnp.concatenate(rows, axis=1)],
+                    axis=1)
+                out_co = jnp.concatenate(
+                    [out_co[:, 64:], jnp.concatenate(co_list, axis=1)],
+                    axis=1)
+                out_bm = jnp.concatenate(
+                    [out_bm[:, 4:], jnp.concatenate(bm_list, axis=1)],
+                    axis=1)
+                return (rows[3], out_recon, out_co, out_bm,
+                        rate_a, dist_a), None
+
+            z256 = jnp.zeros((1, 256), jnp.int32)
+            (_, bpred_recon, bpred_co, bpred_bm, bpred_rate,
+             bpred_dist), _ = jax.lax.scan(
+                bpred_band,
+                (a16, z256, z256, jnp.zeros((1, 16), jnp.int32),
+                 mbc_ref[B_PRED] * jnp.ones((), jnp.int32), jnp.int32(0)),
+                (lcol_band, al0, oyb_band))
             bpred_cost = _rdc(bpred_rate, bpred_dist, rmult, dmult)
 
             # whole-MB: reuse screening results (same math)
