@@ -479,17 +479,19 @@ def _inter_kernel(R, C, W, H, realtime,
             # trick as enc_intra_pallas: above20 = concat(prev_bottom, ar4)
             # with prev_bottom initialized to a16); B_PRED costs here are
             # the non-contextual inter_bmode_costs, so no mode carry
-            lcol_band = jnp.stack(
-                [lcol[:, 4 * b:4 * b + 4] for b in range(4)])
-            al0 = jnp.stack(
-                [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)])
-            oyb_band = jnp.stack(
-                [oy_b[:, 64 * b:64 * b + 64] for b in range(4)])
+            # (Mosaic in-kernel loops: fori_loop-shaped only, no
+            # extensive inputs — band data rides the carry and rotates
+            # into a static lane window)
+            al_roll0 = jnp.concatenate(
+                [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)],
+                axis=1)
 
-            def bpred_band(carry, xs):
-                prev_bottom, out_recon, out_co, out_bm, rate_a, dist_a = \
-                    carry
-                lcb, al_first, osb_band = xs
+            def bpred_band(_i, carry):
+                (prev_bottom, out_recon, out_co, out_bm, rate_a, dist_a,
+                 lc_roll, al_roll, oyb_roll) = carry
+                lcb = lc_roll[:, 0:4]
+                al_first = al_roll[:, 0:1]
+                osb_band = oyb_roll[:, 0:64]
                 above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
                 rows = [jnp.zeros((1, 16), jnp.int32)] * 4
                 bm_list, co_list = [], []
@@ -542,16 +544,19 @@ def _inter_kernel(R, C, W, H, realtime,
                 out_bm = jnp.concatenate(
                     [out_bm[:, 4:], jnp.concatenate(bm_list, axis=1)],
                     axis=1)
+                roll = lambda x, n: jnp.concatenate(
+                    [x[:, n:], x[:, :n]], axis=1)
                 return (rows[3], out_recon, out_co, out_bm,
-                        rate_a, dist_a), None
+                        rate_a, dist_a, roll(lc_roll, 4),
+                        roll(al_roll, 1), roll(oyb_roll, 64))
 
             z256 = jnp.zeros((1, 256), jnp.int32)
             (_, bpred_recon, bpred_co, bpred_bm, bpred_rate,
-             bpred_dist), _ = jax.lax.scan(
-                bpred_band,
+             bpred_dist, _, _, _) = jax.lax.fori_loop(
+                0, 4, bpred_band,
                 (a16, z256, z256, jnp.zeros((1, 16), jnp.int32),
-                 mbc_ref[B_PRED] * jnp.ones((), jnp.int32), jnp.int32(0)),
-                (lcol_band, al0, oyb_band))
+                 mbc_ref[B_PRED] * jnp.ones((), jnp.int32), jnp.int32(0),
+                 lcol, al_roll0, oy_b))
             bpred_cost = _rdc(bpred_rate, bpred_dist, rmult, dmult)
 
             # whole-MB: reuse screening results (same math)

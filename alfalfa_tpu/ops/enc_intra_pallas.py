@@ -163,16 +163,22 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
     # prev_bm carry initialized to the above MB's bottom-row modes).
     # This traces the search chain once per band instead of 16 times —
     # the unroll dominated this kernel's trace/Mosaic-lowering time. ----
+    # (Mosaic in-kernel loops: fori_loop-shaped only, no extensive
+    # inputs — per-band data rides the carry and rotates into a static
+    # lane window; see intra_pallas._bpred_tile)
     bhi_v, blo_v = bhi_ref[...], blo_ref[...]
-    lcol_band = jnp.stack([lcol[:, 4 * b:4 * b + 4] for b in range(4)])
-    al0 = jnp.stack([e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)])
-    lbm0 = jnp.stack([_lane(lbm, 4 * b + 3) for b in range(4)])
-    oyb_band = jnp.stack([oy_b[:, 64 * b:64 * b + 64] for b in range(4)])
+    al_roll0 = jnp.concatenate(
+        [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)], axis=1)
+    lbm_roll0 = jnp.concatenate(
+        [_lane(lbm, 4 * b + 3) for b in range(4)], axis=1)
 
-    def bpred_band(carry, xs):
-        prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a, dist_a = \
-            carry
-        lcb, al_first, lbm_first, osb_band = xs
+    def bpred_band(_i, carry):
+        (prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a, dist_a,
+         lc_roll, al_roll, lbm_roll, oyb_roll) = carry
+        lcb = lc_roll[:, 0:4]
+        al_first = al_roll[:, 0:1]
+        lbm_first = lbm_roll[:, 0:1]
+        osb_band = oyb_roll[:, 0:64]
         above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
         rows = [jnp.zeros((Rp, 16), jnp.int32)] * 4
         bm_list, co_list = [], []
@@ -235,18 +241,20 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
         out_co = jnp.concatenate(
             [out_co[:, 64:], jnp.concatenate(co_list, axis=1)], axis=1)
         out_bm = jnp.concatenate([out_bm[:, 4:], band_bm], axis=1)
+        roll = lambda x, n: jnp.concatenate([x[:, n:], x[:, :n]], axis=1)
         return (rows[3], band_bm, out_recon, out_co, out_bm,
-                rate_a, dist_a), None
+                rate_a, dist_a, roll(lc_roll, 4), roll(al_roll, 1),
+                roll(lbm_roll, 1), roll(oyb_roll, 64))
 
     z256 = jnp.zeros((Rp, 256), jnp.int32)
-    (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate, bpred_dist), _ = \
-        jax.lax.scan(
-            bpred_band,
-            (a16, abm[:, 12:16], z256, z256,
-             jnp.zeros((Rp, 16), jnp.int32),
-             jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED],
-             jnp.zeros((Rp, 1), jnp.int32)),
-            (lcol_band, al0, lbm0, oyb_band))
+    (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate, bpred_dist,
+     _, _, _, _) = jax.lax.fori_loop(
+        0, 4, bpred_band,
+        (a16, abm[:, 12:16], z256, z256,
+         jnp.zeros((Rp, 16), jnp.int32),
+         jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED],
+         jnp.zeros((Rp, 1), jnp.int32),
+         lcol, al_roll0, lbm_roll0, oy_b))
     bpred_cost = _rdcost(bpred_rate, bpred_dist, rmult, dmult)
 
     # ---- whole-MB modes ----

@@ -150,14 +150,24 @@ def _bpred_tile(a16, ar4, e0, lcol, bm, rb, nz):
     All args lane-wise over storage rows; rb (Rp, 256) is the
     subblock-layout residual."""
     Rp = a16.shape[0]
-    lcol_band = jnp.stack([lcol[:, 4 * b:4 * b + 4] for b in range(4)])
-    al0 = jnp.stack([e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 3 + 1)])
-    bm_band = jnp.stack([bm[:, 4 * b:4 * b + 4] for b in range(4)])
-    rb_band = jnp.stack([rb[:, 64 * b:64 * b + 64] for b in range(4)])
+    # Mosaic's in-kernel loop lowering supports only fori_loop-shaped
+    # scans with NO extensive inputs (pallas/mosaic/lowering.py
+    # _scan_lowering_rule), so per-band data rides the CARRY and rotates
+    # into a static lane window each iteration (roll = static concat,
+    # Mosaic-safe):
+    #   lc_roll  (Rp, 16): band lcol at lanes 0:4, rolls by 4
+    #   al_roll  (Rp, 4):  band above-left at lane 0, rolls by 1
+    #   bm_roll  (Rp, 16): band modes at lanes 0:4, rolls by 4
+    #   rb_roll  (Rp, 256): band residuals at lanes 0:64, rolls by 64
+    al_roll0 = jnp.concatenate(
+        [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)], axis=1)
 
-    def band(carry, xs):
-        prev_bottom, out_acc = carry
-        lcb, al_first, bmb, rbb = xs
+    def band(_i, carry):
+        (prev_bottom, out_acc, lc_roll, al_roll, bm_roll, rb_roll) = carry
+        lcb = lc_roll[:, 0:4]
+        al_first = al_roll[:, 0:1]
+        bmb = bm_roll[:, 0:4]
+        rbb = rb_roll[:, 0:64]
         above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
         rows = [jnp.zeros((Rp, 16), jnp.int32)] * 4
         block_prev = None
@@ -185,11 +195,13 @@ def _bpred_tile(a16, ar4, e0, lcol, bm, rb, nz):
             block_prev = block
         band_out = jnp.concatenate(rows, axis=1)             # (Rp, 64)
         out_acc = jnp.concatenate([out_acc[:, 64:], band_out], axis=1)
-        return (rows[3], out_acc), None
+        roll = lambda x, n: jnp.concatenate([x[:, n:], x[:, :n]], axis=1)
+        return (rows[3], out_acc, roll(lc_roll, 4), roll(al_roll, 1),
+                roll(bm_roll, 4), roll(rb_roll, 64))
 
-    (_, out), _ = jax.lax.scan(
-        band, (a16, jnp.zeros((Rp, 256), jnp.int32)),
-        (lcol_band, al0, bm_band, rb_band))
+    _, out, _, _, _, _ = jax.lax.fori_loop(
+        0, 4, band, (a16, jnp.zeros((Rp, 256), jnp.int32),
+                     lcol, al_roll0, bm, rb))
     return out
 
 

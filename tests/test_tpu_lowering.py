@@ -1,0 +1,60 @@
+"""Cross-platform TPU lowering gate: every Pallas kernel must lower to
+Mosaic without a TPU attached (jax.export with platforms=["tpu"]).
+
+This catches Mosaic-only restrictions that interpret mode hides — e.g.
+in-kernel lax.scan is only supported in fori_loop shape with no
+extensive inputs (jax/_src/pallas/mosaic/lowering.py
+_scan_lowering_rule) — and keeps the per-geometry lowering cost visible
+(it was minutes with the unrolled B_PRED chains; the band fori_loops
+brought it to seconds)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+R, C = 9, 11     # QCIF geometry keeps the gate fast
+
+
+def _export(fn, *avals):
+    return jax.export.export(jax.jit(fn), platforms=["tpu"])(*avals)
+
+
+def test_wavefront_kernel_lowers():
+    from alfalfa_tpu.ops import wavefront_pallas as WP
+    GRp = 2 * 16
+    nd = 2 * (R - 1) + C
+    z = lambda p: jax.ShapeDtypeStruct((nd, GRp, p), jnp.int16)
+    _export(lambda *a: WP.wavefront_frame_batch(*a, interpret=False),
+            z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
+            z(8))
+
+
+def test_kf_encode_kernel_lowers():
+    from alfalfa_tpu.encoder import encode_intra_device as EID
+    kf = EID._kf_fn(R, C, False)
+    z = jax.ShapeDtypeStruct
+    _export(kf,
+            z((R, C, 256), jnp.int32), z((R, C, 256), jnp.int32),
+            z((R, C, 64), jnp.int32), z((R, C, 64), jnp.int32),
+            z((1, 8), jnp.int32), z((1, 8), jnp.int32),
+            z((100, 10), jnp.bfloat16), z((100, 10), jnp.bfloat16))
+
+
+@pytest.mark.parametrize("realtime", [True, False])
+def test_inter_encode_kernel_lowers(realtime):
+    from alfalfa_tpu.encoder.encode_inter_device import _inter_raw
+    from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+    H, W = R * 16, C * 16
+    ry = pack_refs32(pad_refs(jnp.zeros((H, W), jnp.uint8)))
+    ru = pack_refs32(pad_refs(jnp.zeros((H // 2, W // 2), jnp.uint8)))
+    f = _inter_raw(R, C, realtime, False)
+    z = jax.ShapeDtypeStruct
+    _export(f,
+            z((R, C, 256), jnp.int16), z((R, C, 256), jnp.int16),
+            z((R, C, 16, 16), jnp.int16),
+            z((R, C, 64), jnp.int16), z((R, C, 64), jnp.int16),
+            z((R, C, 64), jnp.int16), z((R, C, 64), jnp.int16),
+            z(ry.shape, jnp.int32), z(ru.shape, jnp.int32),
+            z(ru.shape, jnp.int32),
+            z((16,), jnp.int32), z((8,), jnp.int32), z((16,), jnp.int32),
+            z((6, 4), jnp.int32), z((256,), jnp.int32),
+            z((256,), jnp.int32), z((4, 1024), jnp.int32))
