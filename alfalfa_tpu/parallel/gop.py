@@ -577,16 +577,16 @@ class BatchedGopDecoder:
 
     # -- device side -----------------------------------------------------------
 
-    def _step(self, key_frame):
+    def _step(self, key_frame, on_tpu=None):
         # module-level cache: new decoder instances at the same geometry
         # must reuse the compiled step
-        key = (self.mb_rows, self.mb_cols, self.G, key_frame)
+        if on_tpu is None:
+            on_tpu = jax.default_backend() == "tpu"
+        key = (self.mb_rows, self.mb_cols, self.G, key_frame, on_tpu)
         if key in _STEP_CACHE:
             return _STEP_CACHE[key]
         R, C = self.mb_rows, self.mb_cols
         sched = self._sched
-
-        on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
             # one merged wavefront kernel over the whole batch (sublane-
             # folded); intra_active is unused — the kernel cond-skips

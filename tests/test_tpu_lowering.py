@@ -58,3 +58,32 @@ def test_inter_encode_kernel_lowers(realtime):
             z((16,), jnp.int32), z((8,), jnp.int32), z((16,), jnp.int32),
             z((6, 4), jnp.int32), z((256,), jnp.int32),
             z((256,), jnp.int32), z((4, 1024), jnp.int32))
+
+
+def test_full_decode_step_lowers(monkeypatch):
+    """The complete BatchedGopDecoder TPU step — compact-stream scatter,
+    packed-reference Pallas MC, merged wavefront, reference
+    copy/refresh — must cross-lower for TPU end to end.  The backend is
+    faked as 'tpu' so every on_tpu branch (including the Pallas MC and
+    non-interpret wavefront) is the one exported."""
+    import numpy as np
+    from alfalfa_tpu.util.ivf import IVFReader
+    from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+
+    ivf = IVFReader("tests/fixtures/inter_176x144_q96.ivf")
+    payloads = [ivf.frame(0), ivf.frame(1)]
+    G = 2
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dec_tpu = BatchedGopDecoder(ivf.width, ivf.height, G)
+
+    for key_frame_payload in (False, True):
+        kf, batch, _flags, _show = dec_tpu.parse_frame_batch(
+            [payloads[0 if key_frame_payload else 1]] * G)
+        step = dec_tpu._step(kf, on_tpu=True)
+        aval = lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                              np.asarray(x).dtype)
+        batch_avals = {k: (None if v is None else aval(v))
+                       for k, v in batch.items()}
+        refs_avals = jax.tree.map(aval, dec_tpu.refs)
+        jax.export.export(step, platforms=["tpu"])(batch_avals, refs_avals)
