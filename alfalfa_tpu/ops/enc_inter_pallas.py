@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from alfalfa_tpu.ops.intra_pallas import _sb_predict_all, _lane, _bcast
 from alfalfa_tpu.ops import enc_transforms_pallas as ET
 from alfalfa_tpu.ops.sixtap_pallas import (PACKED_ROWS, LANES, PAD,
-                                           _load_window_packed, _tap)
+                                           SIXTAP_TABLE)
 
 NUM_B_MODES = 10
 B_PRED = 4
@@ -89,15 +89,20 @@ def _ps_to_lane(ps, B_ref, M_ref):
     return jnp.sum(t * M_ref[...], axis=0, keepdims=True).astype(jnp.int32)
 
 
-def _filter_ps(w, S, mx, my):
+def _filter_ps(w, S, mx, my, taps_ref):
     """Separable 6-tap on a packed (8, 32) window -> phase-split (S, S)
-    int32 tile (row c*(S//4)+t = prediction row 4t+c)."""
+    int32 tile (row c*(S//4)+t = prediction row 4t+c).  Tap values come
+    from one dynamic SMEM row read per direction (taps_ref (8, 6) i32)
+    instead of the 8-way select chain — the filters run per candidate MV
+    in the serial per-MB loop, so scalar op count is latency."""
+    tx = [taps_ref[mx, k] for k in range(6)]
+    ty = [taps_ref[my, k] for k in range(6)]
     A = [jax.lax.shift_right_logical(w, 8 * b) & 0xFF for b in range(4)]
     Hh = []
     for b in range(4):
         acc = jnp.zeros((8, S), jnp.int32)
         for k in range(6):
-            acc = acc + A[b][:, k:k + S] * _tap(mx, k)
+            acc = acc + A[b][:, k:k + S] * tx[k]
         Hh.append(jnp.clip((acc + 64) >> 7, 0, 255))
     Hs = [[h,
            jnp.concatenate([h[1:], h[:1]], axis=0),
@@ -108,12 +113,12 @@ def _filter_ps(w, S, mx, my):
         acc = jnp.zeros((8, S), jnp.int32)
         for k in range(6):
             idx = c + k
-            acc = acc + Hs[idx & 3][idx >> 2] * _tap(my, k)
+            acc = acc + Hs[idx & 3][idx >> 2] * ty[k]
         outs.append(jnp.clip((acc + 64) >> 7, 0, 255)[:n])
     return jnp.concatenate(outs, axis=0)        # (S, S) phase-split
 
 
-def _predict_ps(ref_ref, r, c, mvx, mvy, S, W, H):
+def _predict_ps(ref_ref, r, c, mvx, mvy, S, W, H, taps_ref):
     """Motion-compensated phase-split (S, S) prediction for MB (r, c) of
     one plane from the packed reference, mv in 1/8-pel units."""
     sy = r * S + (mvy >> 3) - 2 + PAD
@@ -121,7 +126,7 @@ def _predict_ps(ref_ref, r, c, mvx, mvy, S, W, H):
     sy = jnp.clip(sy, 0, H + 2 * PAD - (S + 5))
     sx = jnp.clip(sx, 0, W + 2 * PAD - (S + 5))
     win = _load_window_packed_2d(ref_ref, sy, sx)
-    return _filter_ps(win, S, mvx & 7, mvy & 7)
+    return _filter_ps(win, S, mvx & 7, mvy & 7, taps_ref)
 
 
 def _load_window_packed_2d(ref_ref, sy, sx):
@@ -185,7 +190,7 @@ def _chroma_mv(v):
 def _inter_kernel(R, C, W, H, realtime,
                   # SMEM:
                   sc_ref, mbc_ref, ibc_ref, mvc2p_ref, pcost_ref,
-                  sadc_ref, mvcost_ref,
+                  sadc_ref, mvcost_ref, taps_ref,
                   # VMEM consts:
                   refy_ref, refu_ref, refv_ref,
                   t2b_ref, b2t_ref, t2b8_ref, b2t8_ref,
@@ -320,7 +325,8 @@ def _inter_kernel(R, C, W, H, realtime,
 
         def consider(best, mode, cand_mvx, cand_mvy, rate, enabled):
             (bc, bk, bm, bx, by, bps) = best
-            ps = _predict_ps(refy_ref, r, c, cand_mvx, cand_mvy, 16, W, H)
+            ps = _predict_ps(refy_ref, r, c, cand_mvx, cand_mvy, 16, W, H,
+                              taps_ref)
             var = _var_scalar(oy_ps - ps)
             cost = jnp.where(enabled, _rdc(rate, var, rmult, dmult), INF)
             better = cost < bc
@@ -351,7 +357,7 @@ def _inter_kernel(R, C, W, H, realtime,
             mvy = oy_ + step * sy_
             oob = (jnp.abs(mvx) > 1023) | (jnp.abs(mvy) > 1023)
             tx, ty = _clamp_mv(mvx + brx, mvy + bry, r, c, R, C)
-            ps = _predict_ps(refy_ref, r, c, tx, ty, 16, W, H)
+            ps = _predict_ps(refy_ref, r, c, tx, ty, 16, W, H, taps_ref)
             dist = _ssum(jnp.abs(oy_ps - ps))
             cx = jnp.clip(jax.lax.shift_right_arithmetic(mvx, 2),
                           -255, 255)
@@ -441,9 +447,9 @@ def _inter_kernel(R, C, W, H, realtime,
             cmx = _chroma_mv(bmvx)
             cmy = _chroma_mv(bmvy)
             pu_ps = _predict_ps(refu_ref, r, c, cmx, cmy, 8,
-                                W // 2, H // 2)
+                                W // 2, H // 2, taps_ref)
             pv_ps = _predict_ps(refv_ref, r, c, cmx, cmy, 8,
-                                W // 2, H // 2)
+                                W // 2, H // 2, taps_ref)
             pu_t = _ps_to_lane8(pu_ps, psB8_ref, psM8_ref)
             pv_t = _ps_to_lane8(pv_ps, psB8_ref, psM8_ref)
 
@@ -770,7 +776,7 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
         functools.partial(_inter_kernel, R, C, W, H, bool(realtime)),
         grid=(R,),
         in_specs=[smem((16,)), smem((8,)), smem((16,)), smem((6, 4)),
-                  smem((256,)), smem((256,)), smem((4, 1024)),
+                  smem((256,)), smem((256,)), smem((4, 1024)), smem((8, 6)),
                   const((Hp4y, Wpy)), const((Hp4c, Wpc)),
                   const((Hp4c, Wpc)),
                   const((256, 256)), const((256, 256)),
@@ -796,6 +802,7 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
       jnp.asarray(ib_costs, jnp.int32), jnp.asarray(mvc2p, jnp.int32),
       jnp.asarray(pcost, jnp.int32), jnp.asarray(sadcost, jnp.int32),
       jnp.asarray(mvcost, jnp.int32),
+      jnp.asarray(np.asarray(SIXTAP_TABLE, np.int32)),
       refy_p, refu_p, refv_p, t2b, b2t, t2b8, b2t8,
       jnp.asarray(psB, jnp.bfloat16), jnp.asarray(psM, jnp.float32),
       jnp.asarray(psB8, jnp.bfloat16), jnp.asarray(psM8, jnp.float32),
