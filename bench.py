@@ -107,6 +107,46 @@ def encode_metric(clip):
           f"reference_ms={ref_ms and round(ref_ms)}", file=sys.stderr)
 
 
+def inter_encode_metric(clip):
+    """Secondary metric (stderr): 720p INTER encode on the device raster
+    kernel (realtime quality, the Salsify design point) vs the reference
+    xc-enc per-frame ms."""
+    from alfalfa_tpu.decoder import FilePlayer
+    from alfalfa_tpu.encoder import Encoder
+
+    frames = [r.display() for r in FilePlayer(clip)][:5]
+    W, H = 1280, 720
+    enc = Encoder(W, H, device_encode=True, quality="rt")
+    enc.encode_with_quantizer(frames[0], 48, key_frame=True)
+    enc.encode_with_quantizer(frames[1], 48)         # compile inter step
+    best = float("inf")
+    for f in frames[2:]:
+        t0 = time.perf_counter()
+        enc.encode_with_quantizer(f, 48)
+        best = min(best, time.perf_counter() - t0)
+
+    ref_ms = None
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tests", "fixtures"))
+        from gen_inputs import write_y4m
+        y4m = "/tmp/bench_inter720.y4m"
+        write_y4m(y4m, frames, W, H)
+        out = subprocess.run(
+            [os.path.join(REPO, "oracle", "build", "bin", "xc-enc"),
+             "-i", "y4m", "-o", "/tmp/bench_inter720.ivf",
+             "--y-ac-qi", "48", y4m],
+            check=True, capture_output=True, timeout=600)
+        import re
+        ms = [float(m) for m in re.findall(r"done \((\d+(?:\.\d+)?) ms\)",
+                                           out.stderr.decode())]
+        if len(ms) > 1:
+            ref_ms = min(ms[1:])        # per-frame inter encode
+    except Exception:
+        pass
+    print(f"secondary: inter_encode_720p_device_ms={best * 1000:.0f} "
+          f"reference_ms={ref_ms and round(ref_ms)}", file=sys.stderr)
+
+
 def main():
     sys.path.insert(0, REPO)
     from alfalfa_tpu.util.ivf import IVFReader
@@ -135,6 +175,13 @@ def main():
         encode_metric(CLIP)
     except Exception as e:
         print(f"secondary metric skipped: {e!r}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+    signal.alarm(420)
+    try:
+        inter_encode_metric(CLIP)
+    except Exception as e:
+        print(f"inter secondary skipped: {e!r}", file=sys.stderr)
     finally:
         signal.alarm(0)
 
