@@ -507,9 +507,19 @@ def count_token_branches(arrays, counts=None):
 
 
 def optimize_token_probs(counts, baseline_probs):
-    """Per-frame coefficient-probability updates that beat the baseline
-    (optimize_probability_tables, encoder.cc:418-439)."""
+    """Per-frame coefficient-probability updates that beat the baseline.
+
+    The reference updates whenever the measured probability differs
+    (optimize_probability_tables, encoder.cc:418-439); but an update
+    costs ~9 bits (the flag's true/false cost delta at
+    coeff_update_probs + an 8-bit literal), which LOSES bytes on
+    rarely-visited contexts.  Following libvpx's update decision
+    (onyx_int.h / tokenize), emit an update only when the counts-weighted
+    entropy saving exceeds that cost — strictly smaller output than the
+    reference rule under the same cost model."""
+    from .costs import PROB_COST
     updates = {}
+    up = T.COEFF_UPDATE_PROBS
     for i in range(4):
         for j in range(8):
             for k in range(3):
@@ -519,6 +529,16 @@ def optimize_token_probs(counts, baseline_probs):
                     if fc == 0:
                         continue
                     prob = max(1, min(255, 256 * fc // (fc + tc)))
-                    if prob != int(baseline_probs[i, j, k, l]):
+                    old = int(baseline_probs[i, j, k, l])
+                    if prob == old:
+                        continue
+                    savings = (fc * (int(PROB_COST[old])
+                                     - int(PROB_COST[prob]))
+                               + tc * (int(PROB_COST[255 - old])
+                                       - int(PROB_COST[255 - prob])))
+                    u = int(up[i, j, k, l])
+                    update_cost = (int(PROB_COST[255 - u])
+                                   - int(PROB_COST[u]) + 8 * 256)
+                    if savings > update_cost:
                         updates[(i, j, k, l)] = prob
     return updates
