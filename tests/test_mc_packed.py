@@ -31,6 +31,9 @@ def _inputs(seed):
     sub_mv[1, 1, :, :] = [900, -900]
     sub_mv[2, 2, :, :] = [-2000, 2000]
     sub_mv[4, 4, :, :] = 0                    # zero-MV case
+    sub_mv[4, 5, :, :] = [40, -16]            # full-pel nonzero (fast path)
+    sub_mv[4, 6, :, :] = [-896, 896]          # full-pel AND clamped
+    sub_mv[4, 7, :, :] = [8, 3]               # x full-pel, y subpel
     sel = rng.randint(1, 4, (R, C))
     refs = rng.randint(0, 256, (4, H, W)).astype(np.uint8)
     refs_uv = rng.randint(0, 256, (4, H // 2, W // 2)).astype(np.uint8)
@@ -68,9 +71,6 @@ def test_packed_matches_gather_oracle():
                 R, C, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
             .reshape(R, C, 16, 16)
         np.testing.assert_array_equal(want_y, plain_y)
-
-    if jax.default_backend() != "tpu":
-        pytest.skip("packed Pallas kernel needs the TPU backend")
 
     got_y = np.asarray(SP.mc_tiles_packed(
         jax.device_put(np.asarray(pk_y)), H, W,
