@@ -120,13 +120,30 @@ def _filter_ps(w, S, mx, my, taps_ref):
 
 def _predict_ps(ref_ref, r, c, mvx, mvy, S, W, H, taps_ref):
     """Motion-compensated phase-split (S, S) prediction for MB (r, c) of
-    one plane from the packed reference, mv in 1/8-pel units."""
+    one plane from the packed reference, mv in 1/8-pel units.
+
+    Whole-pel MVs (ZEROMV always; most NEAREST/NEAR on typical content)
+    skip the 6-tap entirely — the filter is the identity there
+    (prediction.cc unfiltered path), so the window bytes unpack straight
+    into the phase-split layout."""
     sy = r * S + (mvy >> 3) - 2 + PAD
     sx = c * S + (mvx >> 3) - 2 + PAD
     sy = jnp.clip(sy, 0, H + 2 * PAD - (S + 5))
     sx = jnp.clip(sx, 0, W + 2 * PAD - (S + 5))
-    win = _load_window_packed_2d(ref_ref, sy, sx)
-    return _filter_ps(win, S, mvx & 7, mvy & 7, taps_ref)
+    n = S // 4
+
+    def fullpel():
+        w = _load_window_packed_2d(ref_ref, sy + 2, sx + 2)
+        return jnp.concatenate(
+            [(jax.lax.shift_right_logical(w, 8 * ph) & 0xFF)[:n, :S]
+             for ph in range(4)], axis=0)
+
+    def subpel():
+        win = _load_window_packed_2d(ref_ref, sy, sx)
+        return _filter_ps(win, S, mvx & 7, mvy & 7, taps_ref)
+
+    return jax.lax.cond(((mvx & 7) == 0) & ((mvy & 7) == 0),
+                        fullpel, subpel)
 
 
 def _load_window_packed_2d(ref_ref, sy, sx):
