@@ -12,7 +12,7 @@ import hashlib
 import os
 import subprocess
 
-FLAGS = ("-O3", "-march=native", "-shared", "-fPIC")
+FLAGS = ("-O3", "-march=native", "-shared", "-fPIC", "-pthread")
 
 
 @functools.lru_cache()

@@ -11,6 +11,8 @@
  */
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -462,8 +464,15 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
  * (out), [4G+2..5G+1] value-escape counts (out), [5G+2..6G+1] last
  * emitted global index per segment (out; lets the host re-base segment
  * boundaries when compacting).
- * Returns -2 if any segment or escape list overflows (caller retries). */
-int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
+ *
+ * parse_tokens_range is the worker: it parses the stream range [g0, g1)
+ * of the batch.  Every output and every piece of mutable state (segments,
+ * escape lists, nz-context planes, decoders) is per-frame disjoint, so
+ * disjoint ranges can run on separate threads (vp8_parse_tokens_gop_mt)
+ * and produce bit-identical results to the serial call.
+ * Returns true if any segment or escape list overflowed. */
+static bool parse_tokens_range(
+                         int g0, int g1, int G, int mb_rows, int mb_cols,
                          const uint8_t *data, const int64_t *offsets,
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
@@ -472,11 +481,9 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
-  if (G < 1 || G > 16) return -1;
   const int R = mb_rows, C = mb_cols;
   FastBool decs[16][8];
-  for (int g = 0; g < G; g++) {
-    if (nparts[g] < 1 || nparts[g] > 8) return -1;
+  for (int g = g0; g < g1; g++) {
     for (int p = 0; p < nparts[g]; p++) {
       const int64_t b = offsets[part_base[g] + p];
       decs[g][p].init(data + b, offsets[part_base[g] + p + 1] - b);
@@ -491,7 +498,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   int64_t seg_pos[16], desc_pos_g[16], vesc_pos_g[16], last_idx[16];
   bool overflow = false;
   const int64_t felems = (int64_t)mb_rows * mb_cols * 400;
-  for (int g = 0; g < G; g++) {
+  for (int g = g0; g < g1; g++) {
     seg_pos[g] = seg_base[g];
     desc_pos_g[g] = vesc_pos_g[g] = esc_base[g];
     last_idx[g] = g * felems - 1;
@@ -549,7 +556,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   int mb_nz[16];
 
   for (int r = 0; r < R; r++) {
-    for (int g = 0; g < G; g++) {
+    for (int g = g0; g < g1; g++) {
       bd_row[g] = &decs[g][r % nparts[g]];
       y2_left[g] = 0;
       y2_left_valid[g] = 0;
@@ -557,7 +564,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
     for (int c = 0; c < C; c++) {
       const int mb = r * C + c;
       /* phase 0: skips + Y2 blocks (independent across g) */
-      for (int g = 0; g < G; g++) {
+      for (int g = g0; g < g1; g++) {
         const int gmb = g * R * C + mb;
         mb_nz[g] = 0;
         if (skip[gmb]) {
@@ -609,7 +616,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
         int first_y[16];
         int64_t ybase[16];      /* dense element index of Y block 0 */
         uint8_t *nzc[16];       /* nz-plane corner (gr0, gc0) */
-        for (int g = 0; g < G; g++) {
+        for (int g = g0; g < g1; g++) {
           if (!live[g]) continue;
           const int y2c = y2_coded[g * R * C + mb];
           probs_y[g] = coeff_probs + ((size_t)g * 4 + (y2c ? 0 : 3))
@@ -624,7 +631,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
           const int sr = b >> 2, sc = b & 3;
           const bool has_up = r > 0 || sr > 0;
           const bool has_left = c > 0 || sc > 0;
-          for (int g = 0; g < G; g++) {
+          for (int g = g0; g < g1; g++) {
             if (!live[g]) continue;
             uint8_t *cell = nzc[g] + sr * stride + sc;
             const int ctx = (has_up ? cell[-stride] : 0) +
@@ -647,7 +654,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
           const int sr = b >> 1, sc = b & 1;
           const bool has_up = r > 0 || sr > 0;
           const bool has_left = c > 0 || sc > 0;
-          for (int g = 0; g < G; g++) {
+          for (int g = g0; g < g1; g++) {
             if (!live[g]) continue;
             uint8_t *cell = nz_base + (size_t)g * R * 2 * C * 2
                             + (size_t)(r * 2 + sr) * stride + c * 2 + sc;
@@ -666,7 +673,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
           }
         }
       }
-      for (int g = 0; g < G; g++) {
+      for (int g = g0; g < g1; g++) {
         if (!live[g]) continue;
         if (y2_pend[g])
           emit_block(g, ((int64_t)g * R * C * 25 + (int64_t)mb * 25 + 24)
@@ -680,13 +687,76 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
   delete[] v_nz;
   delete[] y2_above;
   delete[] y2_above_valid;
-  for (int g = 0; g < G; g++) {
+  for (int g = g0; g < g1; g++) {
     seg_count[g] = seg_pos[g] - seg_base[g];
     desc_count[g] = desc_pos_g[g] - esc_base[g];
     vesc_count[g] = vesc_pos_g[g] - esc_base[g];
     last_out[g] = last_idx[g];
   }
-  return overflow ? -2 : 0;
+  return overflow;
+}
+
+int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
+                         const uint8_t *data, const int64_t *offsets,
+                         const int32_t *nparts, const int32_t *part_base,
+                         const uint8_t *coeff_probs, const uint8_t *skip,
+                         const uint8_t *y2_coded, uint8_t *has_nonzero_out,
+                         uint16_t *sp_delta, int8_t *sp_val,
+                         int32_t *desc_pos, int32_t *desc_extra,
+                         int32_t *vesc_pos, int16_t *vesc_val,
+                         int64_t *seg_meta) {
+  if (G < 1 || G > 16) return -1;
+  for (int g = 0; g < G; g++)
+    if (nparts[g] < 1 || nparts[g] > 8) return -1;
+  return parse_tokens_range(0, G, G, mb_rows, mb_cols, data, offsets,
+                            nparts, part_base, coeff_probs, skip, y2_coded,
+                            has_nonzero_out, sp_delta, sp_val, desc_pos,
+                            desc_extra, vesc_pos, vesc_val, seg_meta)
+             ? -2 : 0;
+}
+
+/* Multithreaded token parse: the G independent streams are split into
+ * `threads` contiguous ranges, one std::thread each.  The range decoder
+ * is a serial dependency chain, so cores scale it where interleaving
+ * cannot; outputs are bit-identical to vp8_parse_tokens_gop (disjoint
+ * per-frame state).  Same return codes. */
+int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
+                         const uint8_t *data, const int64_t *offsets,
+                         const int32_t *nparts, const int32_t *part_base,
+                         const uint8_t *coeff_probs, const uint8_t *skip,
+                         const uint8_t *y2_coded, uint8_t *has_nonzero_out,
+                         uint16_t *sp_delta, int8_t *sp_val,
+                         int32_t *desc_pos, int32_t *desc_extra,
+                         int32_t *vesc_pos, int16_t *vesc_val,
+                         int64_t *seg_meta) {
+  if (G < 1 || G > 16) return -1;
+  for (int g = 0; g < G; g++)
+    if (nparts[g] < 1 || nparts[g] > 8) return -1;
+  if (threads > G) threads = G;
+  if (threads <= 1)
+    return parse_tokens_range(0, G, G, mb_rows, mb_cols, data, offsets,
+                              nparts, part_base, coeff_probs, skip, y2_coded,
+                              has_nonzero_out, sp_delta, sp_val, desc_pos,
+                              desc_extra, vesc_pos, vesc_val, seg_meta)
+               ? -2 : 0;
+  bool ov[16] = {};
+  std::vector<std::thread> ts;
+  ts.reserve(threads);
+  for (int t = 0; t < threads; t++) {
+    const int lo = G * t / threads, hi = G * (t + 1) / threads;
+    if (lo == hi) continue;
+    ts.emplace_back([=, &ov]() {
+      ov[t] = parse_tokens_range(lo, hi, G, mb_rows, mb_cols, data, offsets,
+                                 nparts, part_base, coeff_probs, skip,
+                                 y2_coded, has_nonzero_out, sp_delta, sp_val,
+                                 desc_pos, desc_extra, vesc_pos, vesc_val,
+                                 seg_meta);
+    });
+  }
+  for (auto &th : ts) th.join();
+  for (int t = 0; t < threads; t++)
+    if (ov[t]) return -2;
+  return 0;
 }
 
 /* Header fast path: a run of N "Flagged<Unsigned<width>>" elements, the

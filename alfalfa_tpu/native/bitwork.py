@@ -27,6 +27,10 @@ def _load():
     lib.vp8_parse_tokens_gop.argtypes = (
         [ctypes.c_int] * 3 + [ctypes.c_void_p] * 4
         + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 7)
+    lib.vp8_parse_tokens_gop_mt.restype = ctypes.c_int
+    lib.vp8_parse_tokens_gop_mt.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 7)
     lib.vp8_parse_flagged_literals.restype = ctypes.c_int
     lib.vp8_parse_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
@@ -102,7 +106,7 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
 
 
 def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
-                     skip_all, y2_all, has_nonzero_out):
+                     skip_all, y2_all, has_nonzero_out, threads=1):
     """Token-parse G frames in one interleaved call (see bitwork.cc
     vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
     strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
@@ -115,7 +119,12 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
       desc_pos/desc_extra (m,) i32 — delta escapes (delta = 65535+extra)
       vesc_pos (k,) i32 / vesc_val (k,) i16 — value escapes (replace)
     or None on parse failure.  Reconstruction: idx = cumsum(delta+esc)-1,
-    ascending and unique."""
+    ascending and unique.
+
+    threads > 1 splits the G independent streams over that many OS threads
+    (vp8_parse_tokens_gop_mt) — bit-identical output, near-linear speedup
+    on multi-core hosts (the range decoder is a serial dependency chain
+    that instruction-level interleaving alone cannot scale)."""
     lib = _load()
     G = len(frame_parts)
     data = b"".join(p for parts in frame_parts for p in parts)
@@ -155,15 +164,27 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
         desc_extra = np.empty(ecap, np.int32)
         vesc_pos = np.empty(ecap, np.int32)
         vesc_val = np.empty(ecap, np.int16)
-        rc = lib.vp8_parse_tokens_gop(
-            G, mb_rows, mb_cols, data, offsets.ctypes.data,
-            nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
-            skip_u8.ctypes.data, y2_u8.ctypes.data,
-            has_nonzero_out.ctypes.data,
-            sp_delta.ctypes.data, sp_val.ctypes.data,
-            desc_pos.ctypes.data, desc_extra.ctypes.data,
-            vesc_pos.ctypes.data, vesc_val.ctypes.data,
-            seg_meta.ctypes.data)
+        if threads > 1:
+            rc = lib.vp8_parse_tokens_gop_mt(
+                int(threads),
+                G, mb_rows, mb_cols, data, offsets.ctypes.data,
+                nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
+                skip_u8.ctypes.data, y2_u8.ctypes.data,
+                has_nonzero_out.ctypes.data,
+                sp_delta.ctypes.data, sp_val.ctypes.data,
+                desc_pos.ctypes.data, desc_extra.ctypes.data,
+                vesc_pos.ctypes.data, vesc_val.ctypes.data,
+                seg_meta.ctypes.data)
+        else:
+            rc = lib.vp8_parse_tokens_gop(
+                G, mb_rows, mb_cols, data, offsets.ctypes.data,
+                nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
+                skip_u8.ctypes.data, y2_u8.ctypes.data,
+                has_nonzero_out.ctypes.data,
+                sp_delta.ctypes.data, sp_val.ctypes.data,
+                desc_pos.ctypes.data, desc_extra.ctypes.data,
+                vesc_pos.ctypes.data, vesc_val.ctypes.data,
+                seg_meta.ctypes.data)
         if rc == -2:
             continue
         if rc != 0:

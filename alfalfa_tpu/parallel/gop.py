@@ -8,6 +8,7 @@ its chunk locally, and the small exit state (reference planes, stats) is
 exchanged with XLA collectives over ICI.
 """
 from functools import partial
+import os
 
 import numpy as np
 import jax
@@ -264,6 +265,21 @@ _STEP_CACHE = {}
 _QF_KEYS = ("y_dc", "y_ac", "y2_dc", "y2_ac", "uv_dc", "uv_ac")
 
 
+def _parse_threads(G):
+    """OS threads for the native GOP token parse.  The G streams are
+    independent serial range-decoder chains, so cores scale them
+    near-linearly; on a 1-core host the serial interleaved loop wins
+    (thread spawn + contention cost, measured round 2).  Override with
+    ALFALFA_PARSE_THREADS=N (0/1 = serial)."""
+    env = os.environ.get("ALFALFA_PARSE_THREADS")
+    if env is not None:
+        try:
+            return max(1, min(int(env), G))
+        except ValueError:
+            pass
+    return max(1, min(os.cpu_count() or 1, G))
+
+
 class BatchedGopDecoder:
     """Decode G independent, frame-type-aligned GOPs in lockstep.
 
@@ -391,7 +407,8 @@ class BatchedGopDecoder:
                 hnz = np.zeros((G, R, C), np.uint8)
                 batch_blocks = bitwork.parse_tokens_gop(
                     frame_parts, R, C, [p[3].coeff_probs for p in per],
-                    S["skip"], S["y2_coded"], hnz)
+                    S["skip"], S["y2_coded"], hnz,
+                    threads=_parse_threads(G))
                 if batch_blocks is not None:
                     S["has_nonzero"] = hnz
                     for g, p in enumerate(per):

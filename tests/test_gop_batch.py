@@ -45,6 +45,33 @@ def test_batched_equals_serial(clip):
             assert (v[g] == raster.v).all(), f"{clip} frame {f} slot {g}: V"
 
 
+def test_mt_parse_equals_serial(monkeypatch):
+    """The multithreaded native token parse (vp8_parse_tokens_gop_mt:
+    G independent range-decoder streams split over OS threads) must emit
+    the exact batch the serial interleaved call does — same compact
+    coefficient stream, same context planes."""
+    path = str(FIXTURES / "inter_320x240_q40.ivf")
+    ivf = IVFReader(path)
+    payloads = [ivf.frame(i) for i in range(len(ivf))]
+    G = 5  # odd split: threads get 2/1/1/1 streams
+
+    def batches(threads):
+        monkeypatch.setenv("ALFALFA_PARSE_THREADS", str(threads))
+        dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+        out = []
+        for p in payloads:
+            _, batch, _, _ = dec.parse_frame_batch([p] * G)
+            out.append({k: np.asarray(v) for k, v in batch.items()
+                        if v is not None and hasattr(v, "shape")})
+        return out
+
+    serial, mt = batches(1), batches(4)
+    for f, (a, b) in enumerate(zip(serial, mt)):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert np.array_equal(a[k], b[k]), f"frame {f}: {k}"
+
+
 @pytest.mark.slow
 def test_batched_equals_manifest_720p():
     """The bench configuration itself (720p, lockstep GOPs) against the
