@@ -147,7 +147,72 @@ def inter_encode_metric(clip):
           f"reference_ms={ref_ms and round(ref_ms)}", file=sys.stderr)
 
 
+def _tpu_alive(timeout=180):
+    """Probe jax backend init in a THROWAWAY subprocess.  When the axon
+    relay is down, backend registration hangs forever inside jax.devices();
+    probing in a child under a timeout keeps this process healthy."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d and d[0].platform != 'cpu' else 3)"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _fallback_line(note):
+    print(json.dumps({
+        "metric": "vp8_decode_720p_fps_8gop",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "note": note,
+    }), flush=True)
+
+
 def main():
+    """Watchdog wrapper: probe the TPU tunnel, then run the real bench in a
+    child process under a hard timeout.  A dead axon relay makes jax backend
+    init hang forever; without this the driver's bench run would record
+    nothing at all."""
+    if os.environ.get("ALFALFA_BENCH_INNER") == "1":
+        inner_main()
+        return
+    alive = _tpu_alive()
+    retries = 0
+    while not alive and retries < 2:
+        retries += 1
+        time.sleep(120)
+        alive = _tpu_alive()
+    if not alive:
+        _fallback_line("tpu tunnel unreachable (jax backend init hung); "
+                       "see ROUND3.md — all round-3 TPU work is gated by "
+                       "interpret-mode parity + jax.export cross-lowering")
+        return
+    env = dict(os.environ, ALFALFA_BENCH_INNER="1")
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+                         start_new_session=True)
+    try:
+        out, _ = p.communicate(timeout=3000)
+    except subprocess.TimeoutExpired:
+        import signal as _sig
+        try:
+            os.killpg(p.pid, _sig.SIGKILL)
+        except OSError:
+            p.kill()
+        out, _ = p.communicate()
+    text = out.decode(errors="replace")
+    sys.stdout.write(text)
+    sys.stdout.flush()
+    if '"metric"' not in text:
+        _fallback_line("bench inner process died or timed out mid-run "
+                       "(tunnel dropped?); partial stderr above")
+
+
+def inner_main():
     sys.path.insert(0, REPO)
     from alfalfa_tpu.util.ivf import IVFReader
 
