@@ -80,33 +80,38 @@ def idct(c):
     def m35468(a):
         return (a * 35468) >> 16
 
-    # pass 1 over columns: t_k valid at row 0 lanes (j = col position)
+    # pass 1 over columns: u_k = inter row k, valid at row-0 lanes
     y0, y1, y2, y3 = c, _roll(c, -4), _roll(c, -8), _roll(c, -12)
     t0 = y0 + y2
     t1 = y0 - y2
     t2 = m35468(y1) - m20091(y3)
     t3 = m20091(y1) + m35468(y3)
-    u0 = w16(t0 + t3)   # inter[:, 0] in transforms_np terms
+    u0 = w16(t0 + t3)
     u1 = w16(t1 + t2)
     u2 = w16(t1 - t2)
     u3 = w16(t0 - t3)
+    # assemble the full inter block (same two-level select as iwht):
+    # rolling row k's lanes 0..3 to lanes 4k..4k+3 makes every lane valid
+    inter = jnp.where(row_id == 0, u0,
+                      jnp.where(row_id == 1, _roll(u1, 4),
+                                jnp.where(row_id == 2, _roll(u2, 8),
+                                          _roll(u3, 12))))
 
-    # pass 2: for each inter column cc, combine its values at lanes 0..3
-    out = jnp.zeros_like(c)
-    for cc, u in enumerate((u0, u1, u2, u3)):
-        p, q, r2_, s = u, _roll(u, -1), _roll(u, -2), _roll(u, -3)
-        t0 = p + r2_
-        t1 = p - r2_
-        t2 = m35468(q) - m20091(s)
-        t3 = m20091(q) + m35468(s)
-        vals = ((t0 + t3 + 4) >> 3, (t1 + t2 + 4) >> 3,
-                (t1 - t2 + 4) >> 3, (t0 - t3 + 4) >> 3)
-        # output pixel (y=cc, x=m) <- vals[m] at block lane 0
-        for m, v in enumerate(vals):
-            tgt = 4 * cc + m
-            out = out + jnp.where((row_id == cc) & (col_id == m),
-                                  _roll(v, tgt), 0)
-    return out
+    # pass 2 over rows of inter: p..s valid at col-0 lanes of each row
+    p, q, r2_, s = (inter, _roll(inter, -1), _roll(inter, -2),
+                    _roll(inter, -3))
+    t0 = p + r2_
+    t1 = p - r2_
+    t2 = m35468(q) - m20091(s)
+    t3 = m20091(q) + m35468(s)
+    o0 = (t0 + t3 + 4) >> 3
+    o1 = (t1 + t2 + 4) >> 3
+    o2 = (t1 - t2 + 4) >> 3
+    o3 = (t0 - t3 + 4) >> 3
+    return jnp.where(col_id == 0, o0,
+                     jnp.where(col_id == 1, _roll(o1, 1),
+                               jnp.where(col_id == 2, _roll(o2, 2),
+                                         _roll(o3, 3))))
 
 
 def fwht(dc):
