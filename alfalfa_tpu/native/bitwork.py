@@ -389,6 +389,10 @@ def _load_mb():
     lib.vp8_parse_mb_headers_gop.argtypes = (
         [ctypes.c_int] * 3 + [ctypes.c_void_p] * 3
         + [ctypes.c_void_p] * 6 + [ctypes.c_void_p] * 10)
+    lib.vp8_parse_mb_headers_gop_mt.restype = ctypes.c_int
+    lib.vp8_parse_mb_headers_gop_mt.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_void_p] * 3
+        + [ctypes.c_void_p] * 6 + [ctypes.c_void_p] * 10)
     lib.vp8_parse_mb_headers.restype = ctypes.c_int
     lib.vp8_parse_mb_headers.argtypes = (
         [ctypes.c_void_p, ctypes.c_int64,
@@ -405,13 +409,16 @@ def _load_mb():
     return lib
 
 
-def parse_mb_headers_gop(items, mb_rows, mb_cols, kf_b_mode_probs):
+def parse_mb_headers_gop(items, mb_rows, mb_cols, kf_b_mode_probs,
+                         threads=1):
     """MB-header parse of G frames interleaved in one native call.
 
     items: list of (bd, header, frame_probs, key_frame) after the frame
     header phase; each bd is advanced in place.  Returns per-frame dicts of
     output slabs (views into the (G, ...) batch arrays), or None if the
-    native library is unavailable."""
+    native library is unavailable.  threads > 1 fans contiguous stream
+    ranges over OS threads (bit-identical; the per-stream decoder chains
+    are independent)."""
     lib = _load_mb()
     G = len(items)
     R, C = mb_rows, mb_cols
@@ -456,8 +463,9 @@ def parse_mb_headers_gop(items, mb_rows, mb_cols, kf_b_mode_probs):
         sub_mv=np.zeros((G, R, C, 4, 4, 2), np.int16),
         uv_mv=np.zeros((G, R, C, 2, 2, 2), np.int16),
         splitmv_pid=np.full((G, R, C), -1, np.int8))
-    rc = lib.vp8_parse_mb_headers_gop(
-        G, R, C, data, off.ctypes.data, states.ctypes.data,
+    rc = lib.vp8_parse_mb_headers_gop_mt(
+        max(1, int(threads)), G, R, C,
+        data, off.ctypes.data, states.ctypes.data,
         params.ctypes.data, seg_probs.ctypes.data, ymp.ctypes.data,
         uvp.ctypes.data, kfb.ctypes.data, mvp.ctypes.data,
         out["ymode"].ctypes.data, out["uvmode"].ctypes.data,

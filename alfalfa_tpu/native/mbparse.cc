@@ -7,6 +7,8 @@
  */
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -451,34 +453,27 @@ int vp8_parse_mb_headers(
   return 0;
 }
 
-/* GOP-batched MB-header parse: G frames interleaved MB-by-MB so the G
- * independent range-decoder chains overlap in the out-of-order core (the
- * same trick as bitwork.cc vp8_parse_tokens_gop).
- *
- * Scalar per-frame params arrive packed in params (G, 12) int32:
- *   {key_frame, read_segment_id, has_skip_prob, prob_skip, prob_inter,
- *    prob_last, prob_golden, sign_bias_golden, sign_bias_alt, 0, 0, 0}
- * Decoder states: states (G, 4) int64 {pos, range, value, bit_count},
- * updated in place.  data/off: concatenated first partitions.  Prob
- * tables are contiguous (G, ...) slabs; outputs are (G, R*C, ...) slabs.
- * Returns 0 or -1. */
-int vp8_parse_mb_headers_gop(
-    int G, int mb_rows, int mb_cols,
+} // extern "C" — the range worker below is internal
+
+/* Worker: parse the stream range [g0, g1) of the batch, interleaving the
+ * range's independent bool-decoder chains MB-by-MB so they overlap in the
+ * out-of-order core.  All mutable state (contexts, outputs, decoders) is
+ * per-frame disjoint, so disjoint ranges run on separate threads with
+ * bit-identical output (same structure as bitwork.cc parse_tokens_range). */
+static int parse_headers_range(
+    int g0, int g1, int mb_rows, int mb_cols,
     const uint8_t *data, const int64_t *off, int64_t *states,
     const int32_t *params,
-    const uint8_t *seg_tree_probs /* (G,3) */,
-    const uint8_t *y_mode_probs /* (G,4) */,
-    const uint8_t *uv_mode_probs /* (G,3) */,
-    const uint8_t *kf_b_mode_probs /* 10*10*9, shared */,
-    const uint8_t *mv_probs /* (G,2*19) */,
+    const uint8_t *seg_tree_probs, const uint8_t *y_mode_probs,
+    const uint8_t *uv_mode_probs, const uint8_t *kf_b_mode_probs,
+    const uint8_t *mv_probs,
     int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
     uint8_t *skip, uint8_t *y2_coded, int8_t *bmode,
     int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
-  if (G < 1 || G > 16) return -1;
   const int R = mb_rows, C = mb_cols;
   const int64_t n = (int64_t)R * C;
   FrameHdrCtx fs[16];
-  for (int g = 0; g < G; g++) {
+  for (int g = g0; g < g1; g++) {
     FrameHdrCtx &f = fs[g];
     const int32_t *p = params + g * 12;
     f.bd.data = data + off[g];
@@ -518,15 +513,15 @@ int vp8_parse_mb_headers_gop(
 
   int rc = 0;
   for (int r = 0; r < R && rc == 0; r++) {
-    for (int g = 0; g < G; g++) start_row(fs[g]);
+    for (int g = g0; g < g1; g++) start_row(fs[g]);
     for (int c = 0; c < C && rc == 0; c++) {
-      for (int g = 0; g < G; g++) {
+      for (int g = g0; g < g1; g++) {
         if (parse_one_mb(fs[g], r, c) != 0) { rc = -1; break; }
       }
     }
   }
 
-  for (int g = 0; g < G; g++) {
+  for (int g = g0; g < g1; g++) {
     states[g * 4 + 0] = fs[g].bd.pos;
     states[g * 4 + 1] = fs[g].bd.range_;
     states[g * 4 + 2] = fs[g].bd.value;
@@ -535,6 +530,81 @@ int vp8_parse_mb_headers_gop(
     delete[] fs[g].bmode_above;
   }
   return rc;
+}
+
+extern "C" {
+
+/* GOP-batched MB-header parse: G frames interleaved MB-by-MB (see
+ * parse_headers_range).
+ *
+ * Scalar per-frame params arrive packed in params (G, 12) int32:
+ *   {key_frame, read_segment_id, has_skip_prob, prob_skip, prob_inter,
+ *    prob_last, prob_golden, sign_bias_golden, sign_bias_alt, 0, 0, 0}
+ * Decoder states: states (G, 4) int64 {pos, range, value, bit_count},
+ * updated in place.  data/off: concatenated first partitions.  Prob
+ * tables are contiguous (G, ...) slabs; outputs are (G, R*C, ...) slabs.
+ * Returns 0 or -1. */
+int vp8_parse_mb_headers_gop(
+    int G, int mb_rows, int mb_cols,
+    const uint8_t *data, const int64_t *off, int64_t *states,
+    const int32_t *params,
+    const uint8_t *seg_tree_probs /* (G,3) */,
+    const uint8_t *y_mode_probs /* (G,4) */,
+    const uint8_t *uv_mode_probs /* (G,3) */,
+    const uint8_t *kf_b_mode_probs /* 10*10*9, shared */,
+    const uint8_t *mv_probs /* (G,2*19) */,
+    int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
+    uint8_t *skip, uint8_t *y2_coded, int8_t *bmode,
+    int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
+  if (G < 1 || G > 16) return -1;
+  return parse_headers_range(0, G, mb_rows, mb_cols, data, off, states,
+                             params, seg_tree_probs, y_mode_probs,
+                             uv_mode_probs, kf_b_mode_probs, mv_probs,
+                             ymode, uvmode, ref, segment_update, skip,
+                             y2_coded, bmode, sub_mv, uv_mv, splitmv_pid);
+}
+
+/* Multithreaded variant: contiguous stream ranges fan out over OS threads
+ * (bit-identical to the serial call; the range decoder chains are per-
+ * stream, so only core count limits scaling).  threads <= 1 or G == 1
+ * falls back to the serial interleaved loop. */
+int vp8_parse_mb_headers_gop_mt(
+    int threads, int G, int mb_rows, int mb_cols,
+    const uint8_t *data, const int64_t *off, int64_t *states,
+    const int32_t *params,
+    const uint8_t *seg_tree_probs, const uint8_t *y_mode_probs,
+    const uint8_t *uv_mode_probs, const uint8_t *kf_b_mode_probs,
+    const uint8_t *mv_probs,
+    int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
+    uint8_t *skip, uint8_t *y2_coded, int8_t *bmode,
+    int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
+  if (G < 1 || G > 16) return -1;
+  if (threads > G) threads = G;
+  if (threads <= 1)
+    return parse_headers_range(0, G, mb_rows, mb_cols, data, off, states,
+                               params, seg_tree_probs, y_mode_probs,
+                               uv_mode_probs, kf_b_mode_probs, mv_probs,
+                               ymode, uvmode, ref, segment_update, skip,
+                               y2_coded, bmode, sub_mv, uv_mv, splitmv_pid);
+  std::vector<std::thread> ts;
+  std::vector<int> rcs(threads, 0);
+  for (int t = 0; t < threads; t++) {
+    const int lo = (int)((int64_t)G * t / threads);
+    const int hi = (int)((int64_t)G * (t + 1) / threads);
+    if (lo == hi) continue;
+    ts.emplace_back([=, &rcs]() {
+      rcs[t] = parse_headers_range(lo, hi, mb_rows, mb_cols, data, off,
+                                   states, params, seg_tree_probs,
+                                   y_mode_probs, uv_mode_probs,
+                                   kf_b_mode_probs, mv_probs, ymode, uvmode,
+                                   ref, segment_update, skip, y2_coded,
+                                   bmode, sub_mv, uv_mv, splitmv_pid);
+    });
+  }
+  for (auto &th : ts) th.join();
+  for (int t = 0; t < threads; t++)
+    if (rcs[t] != 0) return -1;
+  return 0;
 }
 
 } // extern "C"

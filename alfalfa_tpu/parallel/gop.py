@@ -353,7 +353,8 @@ class BatchedGopDecoder:
                 from alfalfa_tpu.native import bitwork
                 S = bitwork.parse_mb_headers_gop(
                     [(hdr[g][2], hdr[g][0], hdr[g][1], key_frame)
-                     for g in range(G)], R, C, _T.KF_B_MODE_PROBS)
+                     for g in range(G)], R, C, _T.KF_B_MODE_PROBS,
+                    threads=_parse_threads(G))
             except (ImportError, AttributeError, OSError):
                 S = None
         per = []
