@@ -214,6 +214,16 @@ def main():
 
 def inner_main():
     sys.path.insert(0, REPO)
+    try:
+        model = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+        print(f"host: {os.cpu_count()} cpus, {model}", file=sys.stderr)
+    except OSError:
+        pass
     from alfalfa_tpu.util.ivf import IVFReader
 
     frames = IVFReader(CLIP).frame_count
