@@ -759,6 +759,59 @@ int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
   return 0;
 }
 
+/* Async token parse: start returns immediately with the worker threads
+ * running (the Python caller overlaps its frame-packing numpy work with
+ * the bit-serial decode), join blocks until done and returns the same
+ * codes as vp8_parse_tokens_gop_mt.  All pointer arguments must stay
+ * valid until join returns. */
+struct GopTokenJob {
+  std::vector<std::thread> ts;
+  bool ov[16];
+};
+
+void *vp8_parse_tokens_gop_mt_start(
+                         int threads, int G, int mb_rows, int mb_cols,
+                         const uint8_t *data, const int64_t *offsets,
+                         const int32_t *nparts, const int32_t *part_base,
+                         const uint8_t *coeff_probs, const uint8_t *skip,
+                         const uint8_t *y2_coded, uint8_t *has_nonzero_out,
+                         uint16_t *sp_delta, int8_t *sp_val,
+                         int32_t *desc_pos, int32_t *desc_extra,
+                         int32_t *vesc_pos, int16_t *vesc_val,
+                         int64_t *seg_meta) {
+  if (G < 1 || G > 16) return nullptr;
+  for (int g = 0; g < G; g++)
+    if (nparts[g] < 1 || nparts[g] > 8) return nullptr;
+  if (threads > G) threads = G;
+  if (threads < 1) threads = 1;
+  GopTokenJob *job = new GopTokenJob();
+  std::memset(job->ov, 0, sizeof job->ov);
+  bool *ov = job->ov;
+  job->ts.reserve(threads);
+  for (int t = 0; t < threads; t++) {
+    const int lo = G * t / threads, hi = G * (t + 1) / threads;
+    if (lo == hi) continue;
+    job->ts.emplace_back([=]() {
+      ov[t] = parse_tokens_range(lo, hi, G, mb_rows, mb_cols, data, offsets,
+                                 nparts, part_base, coeff_probs, skip,
+                                 y2_coded, has_nonzero_out, sp_delta, sp_val,
+                                 desc_pos, desc_extra, vesc_pos, vesc_val,
+                                 seg_meta);
+    });
+  }
+  return job;
+}
+
+int vp8_parse_tokens_gop_mt_join(void *p) {
+  GopTokenJob *job = (GopTokenJob *)p;
+  for (auto &th : job->ts) th.join();
+  int rc = 0;
+  for (int t = 0; t < 16; t++)
+    if (job->ov[t]) rc = -2;
+  delete job;
+  return rc;
+}
+
 /* Header fast path: a run of N "Flagged<Unsigned<width>>" elements, the
  * dominant cost of VP8 frame-header parsing (TokenProbUpdate[4][8][3][11]
  * = 1056 flags; MVProbUpdate[2][19]; frame_header.hh:194-325).  The caller

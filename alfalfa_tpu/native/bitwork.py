@@ -31,6 +31,12 @@ def _load():
     lib.vp8_parse_tokens_gop_mt.argtypes = (
         [ctypes.c_int] * 4 + [ctypes.c_void_p] * 4
         + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 7)
+    lib.vp8_parse_tokens_gop_mt_start.restype = ctypes.c_void_p
+    lib.vp8_parse_tokens_gop_mt_start.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 7)
+    lib.vp8_parse_tokens_gop_mt_join.restype = ctypes.c_int
+    lib.vp8_parse_tokens_gop_mt_join.argtypes = [ctypes.c_void_p]
     lib.vp8_parse_flagged_literals.restype = ctypes.c_int
     lib.vp8_parse_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
@@ -105,27 +111,9 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     return None
 
 
-def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
-                     skip_all, y2_all, has_nonzero_out, threads=1):
-    """Token-parse G frames in one interleaved call (see bitwork.cc
-    vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
-    strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
-    has_nonzero_out: (G, R, C) u8, filled in place.
-
-    Returns the COMPACT coefficient stream as a dict:
-      delta (n,) u16  — strictly positive global-index deltas; the first
-                        element is relative to index -1
-      val   (n,) i8   — clamped values
-      desc_pos/desc_extra (m,) i32 — delta escapes (delta = 65535+extra)
-      vesc_pos (k,) i32 / vesc_val (k,) i16 — value escapes (replace)
-    or None on parse failure.  Reconstruction: idx = cumsum(delta+esc)-1,
-    ascending and unique.
-
-    threads > 1 splits the G independent streams over that many OS threads
-    (vp8_parse_tokens_gop_mt) — bit-identical output, near-linear speedup
-    on multi-core hosts (the range decoder is a serial dependency chain
-    that instruction-level interleaving alone cannot scale)."""
-    lib = _load()
+def _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
+               has_nonzero_out):
+    """Shared input marshalling for the GOP token-parse entry points."""
     G = len(frame_parts)
     data = b"".join(p for parts in frame_parts for p in parts)
     nparts = np.array([len(parts) for parts in frame_parts], np.int32)
@@ -147,95 +135,203 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     y2_u8 = np.ascontiguousarray(y2_all, np.uint8)
     assert has_nonzero_out.flags.c_contiguous
     frame_bytes = [sum(len(p) for p in parts) for parts in frame_parts]
+    return dict(G=G, data=data, nparts=nparts, part_base=part_base,
+                offsets=offsets, probs=probs, skip_u8=skip_u8, y2_u8=y2_u8,
+                has_nonzero_out=has_nonzero_out, frame_bytes=frame_bytes)
+
+
+def _gop_buffers(su, dense_g, scale):
+    """Output buffers + segment metadata for one capacity scale."""
+    G = su["G"]
+    caps = [min(dense_g, scale * b + 4096) if scale else dense_g
+            for b in su["frame_bytes"]]
+    ecaps = [c // 32 + 256 for c in caps]
+    seg_meta = np.zeros(6 * G + 2, np.int64)
+    np.cumsum(caps, out=seg_meta[1:G + 1])
+    np.cumsum(ecaps, out=seg_meta[2 * G + 2:3 * G + 2])
+    cap = int(seg_meta[G])
+    ecap = int(seg_meta[3 * G + 1])
+    return dict(seg_meta=seg_meta,
+                sp_delta=np.empty(cap, np.uint16),
+                sp_val=np.empty(cap, np.int8),
+                desc_pos=np.empty(ecap, np.int32),
+                desc_extra=np.empty(ecap, np.int32),
+                vesc_pos=np.empty(ecap, np.int32),
+                vesc_val=np.empty(ecap, np.int16))
+
+
+def _gop_args(su, bufs, mb_rows, mb_cols):
+    return (su["G"], mb_rows, mb_cols, su["data"],
+            su["offsets"].ctypes.data, su["nparts"].ctypes.data,
+            su["part_base"].ctypes.data, su["probs"].ctypes.data,
+            su["skip_u8"].ctypes.data, su["y2_u8"].ctypes.data,
+            su["has_nonzero_out"].ctypes.data,
+            bufs["sp_delta"].ctypes.data, bufs["sp_val"].ctypes.data,
+            bufs["desc_pos"].ctypes.data, bufs["desc_extra"].ctypes.data,
+            bufs["vesc_pos"].ctypes.data, bufs["vesc_val"].ctypes.data,
+            bufs["seg_meta"].ctypes.data)
+
+
+def _gop_compact(G, felems, bufs):
+    """Compact the per-segment outputs into one ascending delta stream."""
+    seg_meta = bufs["seg_meta"]
+    sp_delta, sp_val = bufs["sp_delta"], bufs["sp_val"]
+    desc_pos, desc_extra = bufs["desc_pos"], bufs["desc_extra"]
+    vesc_pos, vesc_val = bufs["vesc_pos"], bufs["vesc_val"]
+    counts = seg_meta[G + 1:2 * G + 1]
+    dcounts = seg_meta[3 * G + 2:4 * G + 2]
+    vcounts = seg_meta[4 * G + 2:5 * G + 2]
+    lasts = seg_meta[5 * G + 2:6 * G + 2]
+    n = int(counts.sum())
+    delta = np.empty(n, np.uint16)
+    val = np.empty(n, np.int8)
+    dlists, vlists = [], []
+    pos = 0
+    prev_last = -1        # segment 0's first delta is relative to -1
+    for g in range(G):
+        b, c = int(seg_meta[g]), int(counts[g])
+        delta[pos:pos + c] = sp_delta[b:b + c]
+        val[pos:pos + c] = sp_val[b:b + c]
+        eb = int(seg_meta[2 * G + 1 + g])
+        dc, vc = int(dcounts[g]), int(vcounts[g])
+        dp = desc_pos[eb:eb + dc] - b + pos
+        de = desc_extra[eb:eb + dc].copy()
+        if c:
+            # re-base the segment's first delta onto the compacted
+            # stream: it was emitted relative to g*felems - 1
+            first = g * felems - 1 + int(delta[pos])
+            if dc and desc_pos[eb] == b:
+                first += int(de[0])
+            want = first - prev_last
+            assert want >= 1
+            d16 = min(want, 65535)
+            delta[pos] = d16
+            if dc and desc_pos[eb] == b:
+                de[0] = want - d16
+            elif want > 65535:
+                dp = np.concatenate([[pos], dp]).astype(np.int32)
+                de = np.concatenate([[want - 65535], de]) \
+                    .astype(np.int32)
+            prev_last = int(lasts[g])
+        dlists.append((dp.astype(np.int32), de.astype(np.int32)))
+        vlists.append((vesc_pos[eb:eb + vc] - b + pos,
+                       vesc_val[eb:eb + vc]))
+        pos += c
+    return dict(
+        delta=delta, val=val,
+        desc_pos=np.concatenate([d[0] for d in dlists]).astype(np.int32),
+        desc_extra=np.concatenate([d[1] for d in dlists]).astype(np.int32),
+        vesc_pos=np.concatenate([v[0] for v in vlists]).astype(np.int32),
+        vesc_val=np.concatenate([v[1] for v in vlists]).astype(np.int16))
+
+
+def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
+                     skip_all, y2_all, has_nonzero_out, threads=1,
+                     _scales=(1, 4, 0)):
+    """Token-parse G frames in one interleaved call (see bitwork.cc
+    vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
+    strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
+    has_nonzero_out: (G, R, C) u8, filled in place.
+
+    Returns the COMPACT coefficient stream as a dict:
+      delta (n,) u16  — strictly positive global-index deltas; the first
+                        element is relative to index -1
+      val   (n,) i8   — clamped values
+      desc_pos/desc_extra (m,) i32 — delta escapes (delta = 65535+extra)
+      vesc_pos (k,) i32 / vesc_val (k,) i16 — value escapes (replace)
+    or None on parse failure.  Reconstruction: idx = cumsum(delta+esc)-1,
+    ascending and unique.
+
+    threads > 1 splits the G independent streams over that many OS threads
+    (vp8_parse_tokens_gop_mt) — bit-identical output, near-linear speedup
+    on multi-core hosts (the range decoder is a serial dependency chain
+    that instruction-level interleaving alone cannot scale)."""
+    lib = _load()
+    su = _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
+                    has_nonzero_out)
+    G = su["G"]
     dense_g = mb_rows * mb_cols * 25 * 16
-    felems = dense_g
-    for scale in (1, 4, 0):
-        caps = [min(dense_g, scale * b + 4096) if scale else dense_g
-                for b in frame_bytes]
-        ecaps = [c // 32 + 256 for c in caps]
-        seg_meta = np.zeros(6 * G + 2, np.int64)
-        np.cumsum(caps, out=seg_meta[1:G + 1])
-        np.cumsum(ecaps, out=seg_meta[2 * G + 2:3 * G + 2])
-        cap = int(seg_meta[G])
-        ecap = int(seg_meta[3 * G + 1])
-        sp_delta = np.empty(cap, np.uint16)
-        sp_val = np.empty(cap, np.int8)
-        desc_pos = np.empty(ecap, np.int32)
-        desc_extra = np.empty(ecap, np.int32)
-        vesc_pos = np.empty(ecap, np.int32)
-        vesc_val = np.empty(ecap, np.int16)
+    for scale in _scales:
+        bufs = _gop_buffers(su, dense_g, scale)
+        args = _gop_args(su, bufs, mb_rows, mb_cols)
         if threads > 1:
-            rc = lib.vp8_parse_tokens_gop_mt(
-                int(threads),
-                G, mb_rows, mb_cols, data, offsets.ctypes.data,
-                nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
-                skip_u8.ctypes.data, y2_u8.ctypes.data,
-                has_nonzero_out.ctypes.data,
-                sp_delta.ctypes.data, sp_val.ctypes.data,
-                desc_pos.ctypes.data, desc_extra.ctypes.data,
-                vesc_pos.ctypes.data, vesc_val.ctypes.data,
-                seg_meta.ctypes.data)
+            rc = lib.vp8_parse_tokens_gop_mt(int(threads), *args)
         else:
-            rc = lib.vp8_parse_tokens_gop(
-                G, mb_rows, mb_cols, data, offsets.ctypes.data,
-                nparts.ctypes.data, part_base.ctypes.data, probs.ctypes.data,
-                skip_u8.ctypes.data, y2_u8.ctypes.data,
-                has_nonzero_out.ctypes.data,
-                sp_delta.ctypes.data, sp_val.ctypes.data,
-                desc_pos.ctypes.data, desc_extra.ctypes.data,
-                vesc_pos.ctypes.data, vesc_val.ctypes.data,
-                seg_meta.ctypes.data)
+            rc = lib.vp8_parse_tokens_gop(*args)
         if rc == -2:
             continue
         if rc != 0:
             return None
-        counts = seg_meta[G + 1:2 * G + 1]
-        dcounts = seg_meta[3 * G + 2:4 * G + 2]
-        vcounts = seg_meta[4 * G + 2:5 * G + 2]
-        lasts = seg_meta[5 * G + 2:6 * G + 2]
-        n = int(counts.sum())
-        delta = np.empty(n, np.uint16)
-        val = np.empty(n, np.int8)
-        dlists, vlists = [], []
-        pos = 0
-        extra_pos, extra_val = [], []
-        prev_last = -1        # segment 0's first delta is relative to -1
-        for g in range(G):
-            b, c = int(seg_meta[g]), int(counts[g])
-            delta[pos:pos + c] = sp_delta[b:b + c]
-            val[pos:pos + c] = sp_val[b:b + c]
-            eb = int(seg_meta[2 * G + 1 + g])
-            dc, vc = int(dcounts[g]), int(vcounts[g])
-            dp = desc_pos[eb:eb + dc] - b + pos
-            de = desc_extra[eb:eb + dc].copy()
-            if c:
-                # re-base the segment's first delta onto the compacted
-                # stream: it was emitted relative to g*felems - 1
-                first = g * felems - 1 + int(delta[pos])
-                if dc and desc_pos[eb] == b:
-                    first += int(de[0])
-                want = first - prev_last
-                assert want >= 1
-                d16 = min(want, 65535)
-                delta[pos] = d16
-                if dc and desc_pos[eb] == b:
-                    de[0] = want - d16
-                elif want > 65535:
-                    dp = np.concatenate([[pos], dp]).astype(np.int32)
-                    de = np.concatenate([[want - 65535], de]) \
-                        .astype(np.int32)
-                prev_last = int(lasts[g])
-            dlists.append((dp.astype(np.int32), de.astype(np.int32)))
-            vlists.append((vesc_pos[eb:eb + vc] - b + pos,
-                           vesc_val[eb:eb + vc]))
-            pos += c
-        return dict(
-            delta=delta, val=val,
-            desc_pos=np.concatenate([d[0] for d in dlists]).astype(np.int32),
-            desc_extra=np.concatenate([d[1] for d in dlists]).astype(np.int32),
-            vesc_pos=np.concatenate([v[0] for v in vlists]).astype(np.int32),
-            vesc_val=np.concatenate([v[1] for v in vlists]).astype(np.int16))
+        return _gop_compact(G, dense_g, bufs)
     return None
+
+
+class _TokenJob:
+    """Handle for an in-flight async GOP token parse.  Keeps every buffer
+    the C threads read or write alive until join()."""
+
+    def __init__(self, lib, handle, su, bufs, retry):
+        self._lib = lib
+        self._handle = handle
+        self._su = su
+        self._bufs = bufs
+        self._retry = retry
+
+    def join(self):
+        """Block until the worker threads finish; returns the compact
+        coefficient stream dict (same as parse_tokens_gop) or None."""
+        rc = self._lib.vp8_parse_tokens_gop_mt_join(
+            ctypes.c_void_p(self._handle))
+        self._handle = None
+        if rc == 0:
+            G = self._su["G"]
+            return _gop_compact(G, self._retry[1] * self._retry[2] * 400,
+                                self._bufs)
+        if rc == -2:
+            # capacity overflow (rare): re-run synchronously, larger
+            return parse_tokens_gop(*self._retry[:7],
+                                    threads=self._retry[7],
+                                    _scales=(4, 0))
+        return None
+
+
+class _SyncTokenJob:
+    """1-thread degenerate of _TokenJob: runs the parse at join() time.
+    On a single-core host a background thread just timeshares the core
+    with the caller's packing work (measured 27% slower from context-
+    switch thrash), so the serial interleaved call wins."""
+
+    def __init__(self, args, threads):
+        self._args, self._threads = args, threads
+
+    def join(self):
+        return parse_tokens_gop(*self._args, threads=self._threads)
+
+
+def parse_tokens_gop_async(frame_parts, mb_rows, mb_cols, coeff_probs_list,
+                           skip_all, y2_all, has_nonzero_out, threads=1):
+    """Start the GOP token parse on background OS threads and return a
+    job whose join() yields parse_tokens_gop's result.  The caller
+    overlaps its frame-packing work with the bit-serial decode.  Returns
+    None if the native library rejects the inputs (caller falls back to
+    the synchronous path)."""
+    if threads <= 1:
+        _load()     # raise now (not at join) if the library is missing
+        return _SyncTokenJob((frame_parts, mb_rows, mb_cols,
+                              coeff_probs_list, skip_all, y2_all,
+                              has_nonzero_out), threads)
+    lib = _load()
+    su = _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
+                    has_nonzero_out)
+    dense_g = mb_rows * mb_cols * 25 * 16
+    bufs = _gop_buffers(su, dense_g, 1)
+    handle = lib.vp8_parse_tokens_gop_mt_start(
+        max(1, int(threads)), *_gop_args(su, bufs, mb_rows, mb_cols))
+    if not handle:
+        return None
+    retry = (frame_parts, mb_rows, mb_cols, coeff_probs_list,
+             skip_all, y2_all, has_nonzero_out, threads)
+    return _TokenJob(lib, handle, su, bufs, retry)
 
 
 def parse_flagged_literals(bd, update_probs, n, width):

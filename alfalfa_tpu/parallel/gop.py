@@ -394,10 +394,13 @@ class BatchedGopDecoder:
                 bmode=np.stack([p[1].bmode for p in per]),
                 sub_mv=np.stack([p[1].sub_mv for p in per]))
 
-        # token decode: one native call interleaving all G streams;
-        # output is block-granular (one (idx, 16 coeffs) record per coded
-        # 4x4 block) so the device scatters 16-lane rows, not elements
-        batch_blocks = None
+        # token decode: the G independent streams start NOW on background
+        # OS threads (one native call; bit-serial range decode is the parse
+        # wall) and everything below that doesn't need coefficients — MV /
+        # quantizer / loop-filter packing — overlaps with them; the join
+        # sits right before the coefficient-stream packing
+        token_job = None
+        hnz = None
         if clean:
             try:
                 from alfalfa_tpu.native import bitwork
@@ -406,21 +409,12 @@ class BatchedGopDecoder:
                         1 << p[0].log2_number_of_dct_partitions)
                     for p in per]
                 hnz = np.zeros((G, R, C), np.uint8)
-                batch_blocks = bitwork.parse_tokens_gop(
+                token_job = bitwork.parse_tokens_gop_async(
                     frame_parts, R, C, [p[3].coeff_probs for p in per],
                     S["skip"], S["y2_coded"], hnz,
                     threads=_parse_threads(G))
-                if batch_blocks is not None:
-                    S["has_nonzero"] = hnz
-                    for g, p in enumerate(per):
-                        p[1].has_nonzero[:] = hnz[g].view(bool)
             except (ImportError, AttributeError, OSError):
-                batch_blocks = None
-        if batch_blocks is None:
-            for header, arrays, chunk, fp, parser in per:
-                parser._parse_tokens(chunk, header, arrays, fp)
-            S["has_nonzero"] = np.stack(
-                [p[1].has_nonzero for p in per]).astype(np.uint8)
+                token_job = None
 
         def bucket(n, floor):
             # coarse pow4 buckets: shape variety costs minutes of XLA
@@ -429,60 +423,6 @@ class BatchedGopDecoder:
             while b < n:
                 b <<= 2
             return b
-
-        # The host->device link is the scaling bottleneck, so uploads are
-        # minimal: nonzero coefficients as block records (emitted directly
-        # by the C token parser), one MV per macroblock with sparse SPLITMV
-        # escapes, and small per-MB maps.  Chroma MVs, loop filter limits,
-        # and dequant factors are re-derived on device.
-        frame_elems = self.mb_rows * self.mb_cols * 25 * 16
-        n_elems = G * frame_elems
-        if batch_blocks is None:
-            # fallback: per-frame elementwise sparse (token order) -> the
-            # same compact delta stream the native parser emits
-            sp = [p[1].coeff_sparse for p in per]
-            eidx = np.concatenate(
-                [idx.astype(np.int64) + g * frame_elems
-                 for g, (idx, _v) in enumerate(sp)])
-            eval_ = np.concatenate([v for _i, v in sp]).astype(np.int64)
-            order = np.argsort(eidx, kind="stable")
-            eidx, eval_ = eidx[order], eval_[order]
-            d = np.diff(eidx, prepend=-1)
-            dpos = np.flatnonzero(d > 65535).astype(np.int32)
-            vpos = np.flatnonzero((eval_ < -128) | (eval_ > 127)) \
-                .astype(np.int32)
-            batch_blocks = dict(
-                delta=np.minimum(d, 65535).astype(np.uint16),
-                val=np.where((eval_ < -128) | (eval_ > 127), 0, eval_)
-                .astype(np.int8),
-                desc_pos=dpos,
-                desc_extra=(d[dpos] - 65535).astype(np.int32),
-                vesc_pos=vpos, vesc_val=eval_[vpos].astype(np.int16))
-        cs = batch_blocks
-        n_nz = len(cs["delta"])
-
-        def bucket2(n, floor):
-            b = floor
-            while b < n:
-                b <<= 1
-            return b
-
-        cap = bucket2(n_nz, 1 << 15)
-        # pad deltas of 1 keep the reconstructed indices ascending and
-        # unique, walking into the scratch slots past the dense layout
-        coeff_delta = np.ones(cap, np.uint16)
-        coeff_val8 = np.zeros(cap, np.int8)
-        coeff_delta[:n_nz] = cs["delta"]
-        coeff_val8[:n_nz] = cs["val"]
-        ecap = bucket2(max(len(cs["desc_pos"]), len(cs["vesc_pos"])), 512)
-        desc_pos = np.full(ecap, cap, np.int32)     # OOB -> dropped
-        desc_extra = np.zeros(ecap, np.int32)
-        vesc_pos = np.full(ecap, cap, np.int32)
-        vesc_val = np.zeros(ecap, np.int16)
-        desc_pos[:len(cs["desc_pos"])] = cs["desc_pos"]
-        desc_extra[:len(cs["desc_extra"])] = cs["desc_extra"]
-        vesc_pos[:len(cs["vesc_pos"])] = cs["vesc_pos"]
-        vesc_val[:len(cs["vesc_val"])] = cs["vesc_val"]
 
         smv = S["sub_mv"]
         mv0 = smv[:, :, :, 0, 0, :]
@@ -560,7 +500,7 @@ class BatchedGopDecoder:
         for g, pp in enumerate(per):
             buf8[g, :, :, 0] = pp[1].segment
         buf8[:, :, :, 1] = S["y2_coded"]
-        buf8[:, :, :, 2] = S["has_nonzero"]
+        # slot 2 (has_nonzero) is filled after the token-thread join below
         buf8[:, :, :, 3] = S["ymode"]
         buf8[:, :, :, 4] = S["uvmode"]
         buf8[:, :, :, 5] = S["ref"]
@@ -581,6 +521,74 @@ class BatchedGopDecoder:
             qf_table.ravel(),
             np.array([p[0].sharpness_level for p in per], np.int16),
             fl.ravel()])
+
+        # join the token threads (they ran during all the packing above);
+        # fall back to the Python token parser if the native path was
+        # unavailable or failed
+        batch_blocks = token_job.join() if token_job is not None else None
+        if batch_blocks is not None:
+            S["has_nonzero"] = hnz
+            for g, p in enumerate(per):
+                p[1].has_nonzero[:] = hnz[g].view(bool)
+        else:
+            for header, arrays, chunk, fp, parser in per:
+                parser._parse_tokens(chunk, header, arrays, fp)
+            S["has_nonzero"] = np.stack(
+                [p[1].has_nonzero for p in per]).astype(np.uint8)
+        buf8[:, :, :, 2] = S["has_nonzero"]
+
+        # The host->device link is the scaling bottleneck, so uploads are
+        # minimal: nonzero coefficients as block records (emitted directly
+        # by the C token parser), one MV per macroblock with sparse SPLITMV
+        # escapes, and small per-MB maps.  Chroma MVs, loop filter limits,
+        # and dequant factors are re-derived on device.
+        frame_elems = self.mb_rows * self.mb_cols * 25 * 16
+        if batch_blocks is None:
+            # fallback: per-frame elementwise sparse (token order) -> the
+            # same compact delta stream the native parser emits
+            sp = [p[1].coeff_sparse for p in per]
+            eidx = np.concatenate(
+                [idx.astype(np.int64) + g * frame_elems
+                 for g, (idx, _v) in enumerate(sp)])
+            eval_ = np.concatenate([v for _i, v in sp]).astype(np.int64)
+            order = np.argsort(eidx, kind="stable")
+            eidx, eval_ = eidx[order], eval_[order]
+            d = np.diff(eidx, prepend=-1)
+            dpos = np.flatnonzero(d > 65535).astype(np.int32)
+            vpos = np.flatnonzero((eval_ < -128) | (eval_ > 127)) \
+                .astype(np.int32)
+            batch_blocks = dict(
+                delta=np.minimum(d, 65535).astype(np.uint16),
+                val=np.where((eval_ < -128) | (eval_ > 127), 0, eval_)
+                .astype(np.int8),
+                desc_pos=dpos,
+                desc_extra=(d[dpos] - 65535).astype(np.int32),
+                vesc_pos=vpos, vesc_val=eval_[vpos].astype(np.int16))
+        cs = batch_blocks
+        n_nz = len(cs["delta"])
+
+        def bucket2(n, floor):
+            b = floor
+            while b < n:
+                b <<= 1
+            return b
+
+        cap = bucket2(n_nz, 1 << 15)
+        # pad deltas of 1 keep the reconstructed indices ascending and
+        # unique, walking into the scratch slots past the dense layout
+        coeff_delta = np.ones(cap, np.uint16)
+        coeff_val8 = np.zeros(cap, np.int8)
+        coeff_delta[:n_nz] = cs["delta"]
+        coeff_val8[:n_nz] = cs["val"]
+        ecap = bucket2(max(len(cs["desc_pos"]), len(cs["vesc_pos"])), 512)
+        desc_pos = np.full(ecap, cap, np.int32)     # OOB -> dropped
+        desc_extra = np.zeros(ecap, np.int32)
+        vesc_pos = np.full(ecap, cap, np.int32)
+        vesc_val = np.zeros(ecap, np.int16)
+        desc_pos[:len(cs["desc_pos"])] = cs["desc_pos"]
+        desc_extra[:len(cs["desc_extra"])] = cs["desc_extra"]
+        vesc_pos[:len(cs["vesc_pos"])] = cs["vesc_pos"]
+        vesc_val[:len(cs["vesc_val"])] = cs["vesc_val"]
 
         batch = dict(
             intra_active=intra_active,
