@@ -45,6 +45,58 @@ def test_batched_equals_serial(clip):
             assert (v[g] == raster.v).all(), f"{clip} frame {f} slot {g}: V"
 
 
+def test_async_overflow_retry(monkeypatch):
+    """When the async token job's scale-1 capacity guess overflows (rc -2),
+    join() must transparently re-run the synchronous grow-and-retry path
+    and still return the exact compact stream."""
+    from alfalfa_tpu.native import bitwork
+
+    path = str(FIXTURES / "inter_320x240_q40.ivf")
+    ivf = IVFReader(path)
+    payloads = [ivf.frame(i) for i in range(len(ivf))]
+    G = 3
+
+    def batches(**kw):
+        dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+        out = []
+        for p in payloads:
+            _, batch, _, _ = dec.parse_frame_batch([p] * G)
+            out.append({k: np.asarray(v) for k, v in batch.items()
+                        if v is not None and hasattr(v, "shape")})
+        return out
+
+    want = batches()
+
+    orig = bitwork._gop_buffers
+    calls = {"n": 0}
+
+    def tiny_first(su, dense_g, scale):
+        calls["n"] += 1
+        if scale == 1:   # sabotage only the async job's first guess
+            su = dict(su, frame_bytes=[0] * su["G"])
+            b = orig(su, dense_g, 0)
+            # 16-entry segments: guaranteed overflow on real content
+            seg = np.zeros_like(b["seg_meta"])
+            np.cumsum([16] * su["G"], out=seg[1:su["G"] + 1])
+            np.cumsum([4] * su["G"],
+                      out=seg[2 * su["G"] + 2:3 * su["G"] + 2])
+            b["seg_meta"] = seg
+            for k in ("sp_delta", "sp_val"):
+                b[k] = b[k][:int(seg[su["G"]])].copy()
+            return b
+        return orig(su, dense_g, scale)
+
+    monkeypatch.setattr(bitwork, "_gop_buffers", tiny_first)
+    # threads=2 takes the real _TokenJob (thread-spawning) join path
+    monkeypatch.setenv("ALFALFA_PARSE_THREADS", "2")
+    got = batches()
+    assert calls["n"] > 0
+    for f, (a, b) in enumerate(zip(want, got)):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert np.array_equal(a[k], b[k]), f"frame {f}: {k}"
+
+
 def test_mt_parse_equals_serial(monkeypatch):
     """The multithreaded native token parse (vp8_parse_tokens_gop_mt:
     G independent range-decoder streams split over OS threads) must emit
