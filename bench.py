@@ -18,7 +18,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CLIP = os.path.join(REPO, "tests", "fixtures", "inter_1280x720_q48.ivf")
 ORACLE = os.path.join(REPO, "oracle", "build", "bin", "decode-to-stdout")
-G = 8        # GOPs decoded in lockstep
+G = int(os.environ.get("ALFALFA_BENCH_G", "8"))   # GOPs in lockstep; the
+# wavefront kernel's step count is batch-independent, so wider batches
+# amortize per-step overheads whenever the device step is the wall
 TRIALS = 3
 
 
