@@ -111,6 +111,53 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     return None
 
 
+_simdlib = None
+_SIMD_SRC = os.path.join(_HERE, "tokensimd.cc")
+
+
+def _load_simd():
+    """AVX-512 8-lane token decoder (tokensimd.cc), or None when the host
+    lacks AVX-512 / the build fails / ALFALFA_SIMD_TOKENS=0."""
+    global _simdlib
+    if _simdlib is not None:
+        return _simdlib if _simdlib is not False else None
+    # experimental: off by default until the engine beats the interleaved
+    # scalar loop end-to-end (it is bit-exact but setup-bound; see NEXT.md)
+    if os.environ.get("ALFALFA_SIMD_TOKENS", "0") == "0":
+        _simdlib = False
+        return None
+    try:
+        from alfalfa_tpu.native._build import load_library
+        lib = load_library(_SIMD_SRC)
+        if not lib.vp8_token_simd_supported():
+            _simdlib = False
+            return None
+        lib.vp8_parse_tokens_gop_simd.restype = ctypes.c_int
+        lib.vp8_parse_tokens_gop_simd.argtypes = (
+            [ctypes.c_int] * 4 + [ctypes.c_void_p] * 6
+            + [ctypes.c_void_p] * 7)
+        _simdlib = lib
+        return lib
+    except (ImportError, AttributeError, OSError,
+            subprocess.CalledProcessError):
+        _simdlib = False
+        return None
+
+
+def _simd_call(lib, threads, su, bufs, mb_rows, mb_cols):
+    """One SIMD engine invocation; same return codes as the scalar call
+    plus -1 = unsupported input (caller falls through to scalar)."""
+    return lib.vp8_parse_tokens_gop_simd(
+        max(1, int(threads)), su["G"], mb_rows, mb_cols, su["data"],
+        su["off1"].ctypes.data, su["probs"].ctypes.data,
+        su["skip_u8"].ctypes.data, su["y2_u8"].ctypes.data,
+        su["has_nonzero_out"].ctypes.data,
+        bufs["sp_delta"].ctypes.data, bufs["sp_val"].ctypes.data,
+        bufs["desc_pos"].ctypes.data, bufs["desc_extra"].ctypes.data,
+        bufs["vesc_pos"].ctypes.data, bufs["vesc_val"].ctypes.data,
+        bufs["seg_meta"].ctypes.data)
+
+
 def _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
                has_nonzero_out):
     """Shared input marshalling for the GOP token-parse entry points."""
@@ -135,9 +182,17 @@ def _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
     y2_u8 = np.ascontiguousarray(y2_all, np.uint8)
     assert has_nonzero_out.flags.c_contiguous
     frame_bytes = [sum(len(p) for p in parts) for parts in frame_parts]
+    # single-partition batches also carry plain per-stream offsets for the
+    # SIMD engine (streams are concatenated contiguously)
+    off1 = None
+    if all(int(n) == 1 for n in nparts):
+        off1 = np.zeros(G + 1, np.int64)
+        off1[:G] = offsets[0::2][:G]
+        off1[G] = len(data)
     return dict(G=G, data=data, nparts=nparts, part_base=part_base,
                 offsets=offsets, probs=probs, skip_u8=skip_u8, y2_u8=y2_u8,
-                has_nonzero_out=has_nonzero_out, frame_bytes=frame_bytes)
+                has_nonzero_out=has_nonzero_out, frame_bytes=frame_bytes,
+                off1=off1)
 
 
 def _gop_buffers(su, dense_g, scale):
@@ -227,7 +282,7 @@ def _gop_compact(G, felems, bufs):
 
 def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
                      skip_all, y2_all, has_nonzero_out, threads=1,
-                     _scales=(1, 4, 0)):
+                     _scales=(2, 8, 0)):
     """Token-parse G frames in one interleaved call (see bitwork.cc
     vp8_parse_tokens_gop).  frame_parts: list of G lists of partition byte
     strings; coeff_probs_list: G (4,8,3,11) u8 arrays; skip_all/y2_all/
@@ -251,13 +306,20 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
                     has_nonzero_out)
     G = su["G"]
     dense_g = mb_rows * mb_cols * 25 * 16
+    simd = _load_simd() if su["off1"] is not None else None
     for scale in _scales:
         bufs = _gop_buffers(su, dense_g, scale)
-        args = _gop_args(su, bufs, mb_rows, mb_cols)
-        if threads > 1:
-            rc = lib.vp8_parse_tokens_gop_mt(int(threads), *args)
-        else:
-            rc = lib.vp8_parse_tokens_gop(*args)
+        rc = None
+        if simd is not None:
+            rc = _simd_call(simd, threads, su, bufs, mb_rows, mb_cols)
+            if rc == -1:        # engine declined: scalar path below
+                rc = None
+        if rc is None:
+            args = _gop_args(su, bufs, mb_rows, mb_cols)
+            if threads > 1:
+                rc = lib.vp8_parse_tokens_gop_mt(int(threads), *args)
+            else:
+                rc = lib.vp8_parse_tokens_gop(*args)
         if rc == -2:
             continue
         if rc != 0:
@@ -291,8 +353,30 @@ class _TokenJob:
             # capacity overflow (rare): re-run synchronously, larger
             return parse_tokens_gop(*self._retry[:7],
                                     threads=self._retry[7],
-                                    _scales=(4, 0))
+                                    _scales=(8, 0))
         return None
+
+
+class _SimdTokenJob:
+    """Async handle for an in-flight SIMD token parse (one Python thread
+    driving the 8-lane engine; buffers kept alive until join)."""
+
+    def __init__(self, thread, rc_box, su, bufs, retry, dense_g):
+        self._thread = thread
+        self._rc = rc_box
+        self._su, self._bufs = su, bufs
+        self._retry, self._dense_g = retry, dense_g
+
+    def join(self):
+        self._thread.join()
+        rc = self._rc[0]
+        if rc == 0:
+            return _gop_compact(self._su["G"], self._dense_g, self._bufs)
+        if rc == -2:
+            return parse_tokens_gop(*self._retry[:7],
+                                    threads=self._retry[7], _scales=(8, 0))
+        # -1 (engine declined) or failure: full scalar fallback
+        return parse_tokens_gop(*self._retry[:7], threads=self._retry[7])
 
 
 class _SyncTokenJob:
@@ -315,8 +399,30 @@ def parse_tokens_gop_async(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     overlaps its frame-packing work with the bit-serial decode.  Returns
     None if the native library rejects the inputs (caller falls back to
     the synchronous path)."""
+    _load()         # raise now (not at join) if the library is missing
+    simd = _load_simd()
+    if simd is not None:
+        su = _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
+                        has_nonzero_out)
+        if su["off1"] is not None:
+            # the engine packs all 8 chains into one thread's zmm lanes;
+            # run it on a Python thread (ctypes releases the GIL) so the
+            # caller's packing work still overlaps
+            import threading as _threading
+            dense_g = mb_rows * mb_cols * 25 * 16
+            bufs = _gop_buffers(su, dense_g, 2)
+            rc_box = [None]
+
+            def _run():
+                rc_box[0] = _simd_call(simd, threads, su, bufs,
+                                       mb_rows, mb_cols)
+
+            th = _threading.Thread(target=_run, daemon=True)
+            th.start()
+            retry = (frame_parts, mb_rows, mb_cols, coeff_probs_list,
+                     skip_all, y2_all, has_nonzero_out, threads)
+            return _SimdTokenJob(th, rc_box, su, bufs, retry, dense_g)
     if threads <= 1:
-        _load()     # raise now (not at join) if the library is missing
         return _SyncTokenJob((frame_parts, mb_rows, mb_cols,
                               coeff_probs_list, skip_all, y2_all,
                               has_nonzero_out), threads)
@@ -324,7 +430,7 @@ def parse_tokens_gop_async(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     su = _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
                     has_nonzero_out)
     dense_g = mb_rows * mb_cols * 25 * 16
-    bufs = _gop_buffers(su, dense_g, 1)
+    bufs = _gop_buffers(su, dense_g, 2)
     handle = lib.vp8_parse_tokens_gop_mt_start(
         max(1, int(threads)), *_gop_args(su, bufs, mb_rows, mb_cols))
     if not handle:
