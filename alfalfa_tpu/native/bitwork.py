@@ -121,9 +121,12 @@ def _load_simd():
     global _simdlib
     if _simdlib is not None:
         return _simdlib if _simdlib is not False else None
-    # experimental: off by default until the engine beats the interleaved
-    # scalar loop end-to-end (it is bit-exact but setup-bound; see NEXT.md)
-    if os.environ.get("ALFALFA_SIMD_TOKENS", "0") == "0":
+    # ALFALFA_SIMD_TOKENS: 0 = off, 1 = force, unset/auto = only on hosts
+    # with too few cores for the scalar MT fan-out to win (the 8-lane
+    # engine is one thread; measured ~1.1x the interleaved scalar loop per
+    # core on Skylake-SP, more on cores with fast vpmullq/gathers)
+    mode = os.environ.get("ALFALFA_SIMD_TOKENS", "auto")
+    if mode == "0" or (mode != "1" and (os.cpu_count() or 1) > 2):
         _simdlib = False
         return None
     try:
@@ -401,7 +404,7 @@ def parse_tokens_gop_async(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     the synchronous path)."""
     _load()         # raise now (not at join) if the library is missing
     simd = _load_simd()
-    if simd is not None:
+    if simd is not None and (os.cpu_count() or 1) > 1:
         su = _gop_setup(frame_parts, coeff_probs_list, skip_all, y2_all,
                         has_nonzero_out)
         if su["off1"] is not None:

@@ -176,89 +176,105 @@ void build_dfa(const uint8_t *probs, uint64_t *t) {
 struct Sched {
   std::vector<uint64_t> e;
   std::vector<uint32_t> dense;
+  int64_t n = 0;          /* valid entries including the sentinel */
 };
 
+/* Only the boundary cells of a macroblock can feed a LATER block's
+ * context: the bottom 4x4 row feeds the row below, the right column
+ * feeds the MB to the right; interior producers are plain arithmetic on
+ * the current MB's nz base.  So the builder carries one row of producer
+ * cells per plane (rowbuf) plus tiny per-row left arrays instead of
+ * full planes.  rowbuf: y (4C) | u (2C) | v (2C) | y2above (C) |
+ * y2above_valid (C), all u32. */
 void build_schedule(const uint8_t *skip, const uint8_t *y2c, int R, int C,
-                    Sched &out) {
-  const int yw = C * 4, uvw = C * 2;
-  /* producer planes: nz index of the block owning each 4x4 / chroma cell
-   * (0 = constant zero: edge or skipped MB) */
-  std::vector<uint32_t> ypl((size_t)R * 4 * yw, 0);
-  std::vector<uint32_t> upl((size_t)R * 2 * uvw, 0);
-  std::vector<uint32_t> vpl((size_t)R * 2 * uvw, 0);
-  std::vector<uint32_t> y2above(C, 0);           /* producer idx or 0 */
-  std::vector<uint8_t> y2above_valid(C, 0);
-  out.e.clear();
-  out.dense.clear();
-  out.e.reserve((size_t)R * C * 25 / 2);
-  out.dense.reserve((size_t)R * C * 25 / 2);
-
+                    Sched &out, std::vector<uint32_t> &rowbuf) {
+  rowbuf.assign((size_t)C * 10, 0);
+  uint32_t *yrow = rowbuf.data();
+  uint32_t *urow = yrow + 4 * C;
+  uint32_t *vrow = urow + 2 * C;
+  uint32_t *y2ab = vrow + 2 * C;
+  uint32_t *y2av = y2ab + C;
+  const size_t cap = (size_t)R * C * 25 + 1;
+  if (out.e.size() < cap) {
+    out.e.resize(cap);
+    out.dense.resize(cap);
+  }
+  uint64_t *pe = out.e.data();
+  uint32_t *pd = out.dense.data();
+  size_t k = 0;
   for (int r = 0; r < R; r++) {
-    uint32_t y2left = 0;
-    uint8_t y2left_valid = 0;
+    uint32_t y2left = 0, y2lv = 0;
+    uint32_t yleft[4] = {0, 0, 0, 0}, uleft[2] = {0, 0}, vleft[2] = {0, 0};
     for (int c = 0; c < C; c++) {
       const int mb = r * C + c;
+      const uint32_t nzi0 = (uint32_t)mb * 25 + 1;
       if (skip[mb]) {
-        for (int sr = 0; sr < 4; sr++)
-          for (int sc = 0; sc < 4; sc++)
-            ypl[(size_t)(r * 4 + sr) * yw + c * 4 + sc] = 0;
-        for (int sr = 0; sr < 2; sr++)
-          for (int sc = 0; sc < 2; sc++) {
-            upl[(size_t)(r * 2 + sr) * uvw + c * 2 + sc] = 0;
-            vpl[(size_t)(r * 2 + sr) * uvw + c * 2 + sc] = 0;
-          }
+        for (int i = 0; i < 4; i++) {
+          yrow[c * 4 + i] = 0;
+          yleft[i] = 0;
+        }
+        urow[c * 2] = urow[c * 2 + 1] = vrow[c * 2] = vrow[c * 2 + 1] = 0;
+        uleft[0] = uleft[1] = vleft[0] = vleft[1] = 0;
         if (y2c[mb]) {
-          y2above[c] = 0;
-          y2above_valid[c] = 1;
+          y2ab[c] = 0;
+          y2av[c] = 1;
           y2left = 0;
-          y2left_valid = 1;
+          y2lv = 1;
         }
         continue;
       }
       const int has_y2 = y2c[mb] != 0;
       if (has_y2) {
-        const uint32_t nzi = (uint32_t)(mb * 25 + 24) + 1;
-        const uint64_t sa = y2above_valid[c] ? y2above[c] : 0;
-        const uint64_t sb = y2left_valid ? y2left : 0;
-        out.e.push_back((uint64_t)sid(1, 0, 0) | (sa << 13) | (sb << 34));
-        out.dense.push_back((uint32_t)mb * 400 + 24 * 16);
-        y2above[c] = nzi;
-        y2above_valid[c] = 1;
-        y2left = nzi;
-        y2left_valid = 1;
+        const uint64_t sa = y2av[c] ? y2ab[c] : 0;
+        const uint64_t sb = y2lv ? y2left : 0;
+        pe[k] = (uint64_t)sid(1, 0, 0) | (sa << 13) | (sb << 34);
+        pd[k++] = (uint32_t)mb * 400 + 384;
+        y2ab[c] = nzi0 + 24;
+        y2av[c] = 1;
+        y2left = nzi0 + 24;
+        y2lv = 1;
       }
-      const int ybt = has_y2 ? 0 : 3, yfirst = has_y2 ? 1 : 0;
+      const uint64_t ystart =
+          (uint64_t)sid(has_y2 ? 0 : 3, has_y2 ? 1 : 0, 0);
       for (int b = 0; b < 16; b++) {
         const int sr = b >> 2, sc = b & 3;
-        const size_t row = (size_t)(r * 4 + sr) * yw, col = c * 4 + sc;
-        const uint64_t sa = (r > 0 || sr > 0) ? ypl[row - yw + col] : 0;
-        const uint64_t sb = (c > 0 || sc > 0) ? ypl[row + col - 1] : 0;
-        out.e.push_back((uint64_t)sid(ybt, yfirst, 0) | (sa << 13)
-                        | (sb << 34));
-        out.dense.push_back((uint32_t)mb * 400 + b * 16);
-        ypl[row + col] = (uint32_t)(mb * 25 + b) + 1;
+        const uint64_t sa = sr ? nzi0 + b - 4 : yrow[c * 4 + sc];
+        const uint64_t sb = sc ? nzi0 + b - 1 : yleft[sr];
+        pe[k] = ystart | (sa << 13) | (sb << 34);
+        pd[k++] = (uint32_t)mb * 400 + b * 16;
       }
+      for (int i = 0; i < 4; i++) {
+        yrow[c * 4 + i] = nzi0 + 12 + i;   /* bottom 4x4 row (b 12..15) */
+        yleft[i] = nzi0 + 4 * i + 3;       /* right column (b 3,7,11,15) */
+      }
+      const uint64_t cstart = (uint64_t)sid(2, 0, 0);
       for (int pl = 0; pl < 2; pl++) {
-        std::vector<uint32_t> &p = pl ? vpl : upl;
+        uint32_t *prow = pl ? vrow : urow;
+        uint32_t *pleft = pl ? vleft : uleft;
+        const uint32_t base = nzi0 + 16 + pl * 4;
         for (int b = 0; b < 4; b++) {
           const int sr = b >> 1, sc = b & 1;
-          const size_t row = (size_t)(r * 2 + sr) * uvw, col = c * 2 + sc;
-          const uint64_t sa = (r > 0 || sr > 0) ? p[row - uvw + col] : 0;
-          const uint64_t sb = (c > 0 || sc > 0) ? p[row + col - 1] : 0;
-          const int slot = 16 + pl * 4 + b;
-          out.e.push_back((uint64_t)sid(2, 0, 0) | (sa << 13) | (sb << 34));
-          out.dense.push_back((uint32_t)mb * 400 + slot * 16);
-          p[row + col] = (uint32_t)(mb * 25 + slot) + 1;
+          const uint64_t sa = sr ? base + b - 2 : prow[c * 2 + sc];
+          const uint64_t sb = sc ? base + b - 1 : pleft[sr];
+          pe[k] = cstart | (sa << 13) | (sb << 34);
+          pd[k++] = (uint32_t)mb * 400 + (16 + pl * 4 + b) * 16;
         }
+        prow[c * 2] = base + 2;
+        prow[c * 2 + 1] = base + 3;
+        pleft[0] = base + 1;
+        pleft[1] = base + 3;
       }
     }
   }
   /* sentinel: entering it puts the lane in DEAD */
-  out.e.push_back(0);
-  out.dense.push_back(0);
+  pe[k] = 0;
+  pd[k++] = 0;
+  out.n = (int64_t)k;
 }
 
 #if TOKENSIMD_OK
+
+static thread_local int64_t g_engine_iters = 0;
 
 /* ---- the engine -------------------------------------------------------
  * Decodes up to 8 lanes until every lane's schedule is exhausted.
@@ -347,7 +363,8 @@ bool run_engine(Lane *L, int n_lanes) {
   /* prologue: every lane performs its first block-advance */
   __mmask8 f_blk = 0xFF;
   const int64_t max_iter = (int64_t)64 << 20;
-  for (int64_t it = 0;; it++) {
+  int64_t it = 0;
+  for (;; it++) {
     if (f_blk) {
       /* finished-block nz store: nz[(bbase>>4)+1] = blknz (epi32) */
       __m512i nzslot = _mm512_add_epi64(_mm512_srai_epi64(bbase, 4), k1);
@@ -456,6 +473,7 @@ bool run_engine(Lane *L, int n_lanes) {
   _mm512_storeu_si512(tmp, rcur);
   for (int l = 0; l < n_lanes; l++)
     L[l].rec_count = (tmp[l] - rec0_[l]) >> 3;
+  g_engine_iters = it;
   return true;
 }
 
@@ -604,44 +622,57 @@ int vp8_parse_tokens_gop_simd(
     return std::chrono::duration<double, std::milli>(b - a).count();
   };
 
+  /* reusable per-thread workspace: every buffer here keeps its capacity
+   * across calls, so a steady-state frame costs zero allocation and no
+   * redundant zero-fill (nz slots are written before any read within a
+   * frame; slot 0 is reserved and only ever written 0) */
+  struct Workspace {
+    std::vector<uint64_t> tables[16];
+    std::vector<uint8_t> arena;
+    Sched sched[16];
+    std::vector<uint32_t> nz[16];
+    std::vector<uint64_t> recs[16];
+    std::vector<uint32_t> rowbuf;
+  };
+  static thread_local Workspace ws;
+
   /* DFA tables, shared between lanes with identical prob bytes */
-  std::vector<std::vector<uint64_t>> tables;
-  std::vector<const uint64_t *> lane_dfa(G);
-  std::vector<int> table_of(G, -1);
+  const uint64_t *lane_dfa[16];
+  int table_of[16];
+  int n_tables = 0;
   for (int g = 0; g < G; g++) {
     const uint8_t *pg = coeff_probs + (size_t)g * 1056;
+    table_of[g] = -1;
     for (int h = 0; h < g; h++)
       if (memcmp(pg, coeff_probs + (size_t)h * 1056, 1056) == 0) {
         table_of[g] = table_of[h];
         break;
       }
     if (table_of[g] < 0) {
-      tables.emplace_back(N_STATES);
-      build_dfa(pg, tables.back().data());
-      table_of[g] = (int)tables.size() - 1;
+      ws.tables[n_tables].resize(N_STATES);
+      build_dfa(pg, ws.tables[n_tables].data());
+      table_of[g] = n_tables++;
     }
   }
-  for (int g = 0; g < G; g++) lane_dfa[g] = tables[table_of[g]].data();
+  for (int g = 0; g < G; g++) lane_dfa[g] = ws.tables[table_of[g]].data();
   auto t1 = now();
 
   /* padded stream arena: FastBool reads zeros past EOS */
   const int64_t total = off[G];
-  std::vector<uint8_t> arena(total + (int64_t)16 * G + 16, 0);
-  std::vector<int64_t> abase(G);
+  const size_t need = (size_t)(total + (int64_t)16 * G + 16);
+  if (ws.arena.size() < need) ws.arena.resize(need);
+  int64_t abase[16];
   {
     int64_t w = 0;
     for (int g = 0; g < G; g++) {
       const int64_t n = off[g + 1] - off[g];
       abase[g] = w;
-      memcpy(arena.data() + w, data + off[g], n);
+      memcpy(ws.arena.data() + w, data + off[g], n);
+      memset(ws.arena.data() + w + n, 0, 16);
       w += n + 16;
     }
   }
 
-  /* schedules + nz arrays + record sinks */
-  std::vector<Sched> sched(G);
-  std::vector<std::vector<uint32_t>> nz(G);
-  std::vector<std::vector<uint64_t>> recs(G);
   const int64_t *seg_base = seg_meta;
   int64_t *seg_count = seg_meta + G + 1;
   const int64_t *esc_base = seg_meta + 2 * G + 1;
@@ -650,41 +681,44 @@ int vp8_parse_tokens_gop_simd(
   int64_t *last_out = seg_meta + 5 * G + 2;
 
   for (int g = 0; g < G; g++) {
-    build_schedule(skip + g * n_mb, y2_coded + g * n_mb, R, C, sched[g]);
-    nz[g].assign(n_mb * 25 + 2, 0);
+    build_schedule(skip + g * n_mb, y2_coded + g * n_mb, R, C, ws.sched[g],
+                   ws.rowbuf);
+    if (ws.nz[g].size() < (size_t)(n_mb * 25 + 2))
+      ws.nz[g].resize(n_mb * 25 + 2);     /* zero-filled on first growth */
     const int64_t bytes = off[g + 1] - off[g];
-    const int64_t cap = std::min<int64_t>(n_mb * 400, 4 * bytes + 4096);
-    recs[g].resize(cap);
+    const size_t cap = (size_t)std::min<int64_t>(n_mb * 400,
+                                                 4 * bytes + 4096);
+    if (ws.recs[g].size() < cap) ws.recs[g].resize(cap);
   }
   auto t2 = now();
 
   /* engines: 8 lanes each */
   const int n_eng = (G + 7) / 8;
-  std::vector<Lane> lanes(G);
+  Lane lanes[16];
   for (int g = 0; g < G; g++) {
     Lane &l = lanes[g];
-    l.data = arena.data() + abase[g];
+    l.data = ws.arena.data() + abase[g];
     l.size = off[g + 1] - off[g];
     l.dfa = lane_dfa[g];
-    l.sched = sched[g].e.data();
-    l.dense = sched[g].dense.data();
-    l.n_sched = (int64_t)sched[g].e.size() - 1;
-    l.nz = nz[g].data();
-    l.rec = recs[g].data();
-    l.rec_cap = (int64_t)recs[g].size();
+    l.sched = ws.sched[g].e.data();
+    l.dense = ws.sched[g].dense.data();
+    l.n_sched = ws.sched[g].n - 1;
+    l.nz = ws.nz[g].data();
+    l.rec = ws.recs[g].data();
+    l.rec_cap = (int64_t)ws.recs[g].size();
     l.rec_count = 0;
   }
-  std::vector<char> eng_ok(n_eng, 1);
+  char eng_ok[2] = {1, 1};
   auto run_one = [&](int e) {
     const int lo = e * 8, hi = std::min(G, lo + 8);
     if (!run_engine(&lanes[lo], hi - lo)) {
       /* record-buffer overflow: retry once with the dense bound */
       for (int g = lo; g < hi; g++) {
-        recs[g].assign((size_t)(n_mb * 400), 0);
-        lanes[g].rec = recs[g].data();
-        lanes[g].rec_cap = (int64_t)recs[g].size();
+        if (ws.recs[g].size() < (size_t)(n_mb * 400))
+          ws.recs[g].resize((size_t)(n_mb * 400));
+        lanes[g].rec = ws.recs[g].data();
+        lanes[g].rec_cap = (int64_t)ws.recs[g].size();
         lanes[g].rec_count = 0;
-        std::fill(nz[g].begin(), nz[g].end(), 0);
       }
       eng_ok[e] = run_engine(&lanes[lo], hi - lo) ? 1 : 0;
     }
@@ -717,7 +751,7 @@ int vp8_parse_tokens_gop_simd(
     E.esc_lim = esc_base[g + 1];
     E.last = (int64_t)g * felems - 1;
     E.overflow = false;
-    phase_b(recs[g].data(), lanes[g].rec_count, (int64_t)g * felems,
+    phase_b(ws.recs[g].data(), lanes[g].rec_count, (int64_t)g * felems,
             has_nonzero_out + g * n_mb, E);
     if (E.overflow) overflow = true;
     seg_count[g] = E.p - seg_base[g];
@@ -728,8 +762,12 @@ int vp8_parse_tokens_gop_simd(
   if (dbg) {
     auto t4 = now();
     fprintf(stderr,
-            "simd: dfa %.2f sched+alloc %.2f engine %.2f phaseB %.2f ms\n",
-            ms(t0, t1), ms(t1, t2), ms(t2, t3), ms(t3, t4));
+            "simd: dfa %.2f sched+alloc %.2f engine %.2f (%lld iters, "
+            "%.1f ns/iter) phaseB %.2f ms\n",
+            ms(t0, t1), ms(t1, t2), ms(t2, t3),
+            (long long)g_engine_iters,
+            g_engine_iters ? ms(t2, t3) * 1e6 / g_engine_iters : 0.0,
+            ms(t3, t4));
   }
   return overflow ? -2 : 0;
 #endif
