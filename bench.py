@@ -174,6 +174,15 @@ def _fallback_line(note):
     }), flush=True)
 
 
+def our_fps_at(clip, frames, g):
+    global G
+    saved, G = G, g
+    try:
+        return our_fps(clip, frames)
+    finally:
+        G = saved
+
+
 def main():
     """Watchdog wrapper: probe the TPU tunnel, then run the real bench in a
     child process under a hard timeout.  A dead axon relay makes jax backend
@@ -229,7 +238,23 @@ def inner_main():
     from alfalfa_tpu.util.ivf import IVFReader
 
     frames = IVFReader(CLIP).frame_count
+    t_first = time.perf_counter()
     ours, _check = our_fps(CLIP, frames)
+    t_first = time.perf_counter() - t_first
+    best_g = G
+    # lockstep width is free ExCamera parallelism: when the device step is
+    # the wall, wider batches amortize it (kernel step count is batch-
+    # independent).  Sweep 2x the default width if the first run was quick
+    # enough to afford the extra geometry compile.
+    if "ALFALFA_BENCH_G" not in os.environ and t_first < 240:
+        try:
+            ours2, _ = our_fps_at(CLIP, frames, G * 2)
+            print(f"sweep: G={G} -> {ours:.2f} fps, G={G * 2} -> "
+                  f"{ours2:.2f} fps", file=sys.stderr)
+            if ours2 > ours:
+                ours, best_g = ours2, G * 2
+        except Exception as e:
+            print(f"G-sweep skipped: {e!r}", file=sys.stderr)
     ref = oracle_fps(CLIP, frames)
     # headline first: the secondary metric may spend minutes compiling the
     # encode kernel on a cold cache
@@ -238,6 +263,7 @@ def inner_main():
         "value": round(ours, 2),
         "unit": "frames/s",
         "vs_baseline": round(ours / ref, 3) if ref else None,
+        "gops_in_lockstep": best_g,
     }), flush=True)
     # secondary metric under a hard budget: a cold Mosaic cache can spend
     # minutes compiling the encode kernel, and the headline must not hang
