@@ -11,6 +11,7 @@
  */
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -313,6 +314,124 @@ inline int parse_block(FastBool &bd, const uint8_t *coeff_probs,
 
 } // namespace
 
+/* Shared single-frame token state: context planes are written by the
+ * owning MB row and read by the row below (the serial path trivially
+ * satisfies that order; the wavefront-MT path enforces it with per-row
+ * progress counters). */
+struct TokenFrameCtx {
+  int R, C;
+  const uint8_t *coeff_probs, *skip, *y2_coded;
+  int16_t *coeffs;                       /* dense out, or null */
+  uint8_t *has_nonzero_out;
+  uint8_t *y_nz, *u_nz, *v_nz;
+  uint8_t *y2_above, *y2_above_valid;
+};
+
+/* One MB row of the token parse.  wait(c)/done(c) are the wavefront
+ * hooks (no-ops in the serial path): wait blocks until MB (r-1, c) is
+ * complete, done publishes MB (r, c). */
+template <class WaitFn, class DoneFn>
+inline void process_token_row(const TokenFrameCtx &F, int r, FastBool &bd,
+                              SparseSink *sink, WaitFn wait, DoneFn done) {
+  const int C = F.C;
+  uint8_t y2_left = 0, y2_left_valid = 0;
+  for (int c = 0; c < C; c++) {
+    wait(c);
+    const int mb = r * C + c;
+    const int64_t mb_base = (int64_t)mb * 25 * 16;
+    int16_t *mb_coeffs = F.coeffs ? F.coeffs + mb_base : nullptr;
+    const int y2c = F.y2_coded[mb];
+
+    if (F.skip[mb]) {
+      /* contexts cleared; has_nonzero stays 0 */
+      for (int sr = 0; sr < 4; sr++)
+        memset(F.y_nz + (r * 4 + sr) * C * 4 + c * 4, 0, 4);
+      for (int sr = 0; sr < 2; sr++) {
+        memset(F.u_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+        memset(F.v_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
+      }
+      if (y2c) {
+        F.y2_above[c] = 0;
+        F.y2_above_valid[c] = 1;
+        y2_left = 0;
+        y2_left_valid = 1;
+      }
+      done(c);
+      continue;
+    }
+
+    int mb_nonzero = 0;
+    if (y2c) {
+      const int ctx = (F.y2_above_valid[c] ? F.y2_above[c] : 0) +
+                      (y2_left_valid ? y2_left : 0);
+      if (sink) sink->base = mb_base + 24 * 16;
+      const int nz = parse_block(bd, F.coeff_probs, 1 /*Y2*/, ctx, 0,
+                                 mb_coeffs ? mb_coeffs + 24 * 16 : nullptr,
+                                 sink);
+      F.y2_above[c] = (uint8_t)nz;
+      F.y2_above_valid[c] = 1;
+      y2_left = (uint8_t)nz;
+      y2_left_valid = 1;
+      mb_nonzero |= nz;
+    }
+
+    const int block_type = y2c ? 0 /*Y_after_Y2*/ : 3 /*Y_without_Y2*/;
+    const int first = y2c ? 1 : 0;
+    for (int sr = 0; sr < 4; sr++) {
+      for (int sc = 0; sc < 4; sc++) {
+        const int gr = r * 4 + sr, gc = c * 4 + sc;
+        const int ctx = (gr > 0 ? F.y_nz[(gr - 1) * C * 4 + gc] : 0) +
+                        (gc > 0 ? F.y_nz[gr * C * 4 + gc - 1] : 0);
+        if (sink) sink->base = mb_base + (sr * 4 + sc) * 16;
+        const int nz = parse_block(
+            bd, F.coeff_probs, block_type, ctx, first,
+            mb_coeffs ? mb_coeffs + (sr * 4 + sc) * 16 : nullptr, sink);
+        F.y_nz[gr * C * 4 + gc] = (uint8_t)nz;
+        mb_nonzero |= nz;
+      }
+    }
+
+    uint8_t *nz_planes[2] = {F.u_nz, F.v_nz};
+    for (int plane = 0; plane < 2; plane++) {
+      uint8_t *nzp = nz_planes[plane];
+      const int base = 16 + plane * 4;
+      for (int sr = 0; sr < 2; sr++) {
+        for (int sc = 0; sc < 2; sc++) {
+          const int gr = r * 2 + sr, gc = c * 2 + sc;
+          const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
+                          (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
+          if (sink) sink->base = mb_base + (base + sr * 2 + sc) * 16;
+          const int nz = parse_block(
+              bd, F.coeff_probs, 2 /*UV*/, ctx, 0,
+              mb_coeffs ? mb_coeffs + (base + sr * 2 + sc) * 16 : nullptr,
+              sink);
+          nzp[gr * C * 2 + gc] = (uint8_t)nz;
+          mb_nonzero |= nz;
+        }
+      }
+    }
+    F.has_nonzero_out[mb] = (uint8_t)mb_nonzero;
+    done(c);
+  }
+}
+
+struct TokenPlanes {
+  uint8_t *y_nz, *u_nz, *v_nz, *y2_above, *y2_above_valid;
+  TokenPlanes(int R, int C)
+      : y_nz(new uint8_t[(size_t)R * 4 * C * 4]()),
+        u_nz(new uint8_t[(size_t)R * 2 * C * 2]()),
+        v_nz(new uint8_t[(size_t)R * 2 * C * 2]()),
+        y2_above(new uint8_t[C]()),
+        y2_above_valid(new uint8_t[C]()) {}
+  ~TokenPlanes() {
+    delete[] y_nz;
+    delete[] u_nz;
+    delete[] v_nz;
+    delete[] y2_above;
+    delete[] y2_above_valid;
+  }
+};
+
 extern "C" {
 
 /* coeffs may be NULL (skip dense output); sparse_* may be NULL (skip
@@ -337,102 +456,116 @@ int vp8_parse_tokens(const uint8_t *part_data, const int64_t *part_offsets,
   }
 
   const int C = mb_cols, R = mb_rows;
-  /* per-subblock nonzero context planes */
-  uint8_t *y_nz = new uint8_t[R * 4 * C * 4]();
-  uint8_t *u_nz = new uint8_t[R * 2 * C * 2]();
-  uint8_t *v_nz = new uint8_t[R * 2 * C * 2]();
-  /* Y2 contexts with skip-non-coded relinking (frame.cc:252-269) */
-  uint8_t *y2_above = new uint8_t[C]();
-  uint8_t *y2_above_valid = new uint8_t[C]();
-
-  for (int r = 0; r < R; r++) {
-    FastBool &bd = decs[r % num_parts];
-    uint8_t y2_left = 0, y2_left_valid = 0;
-    for (int c = 0; c < C; c++) {
-      const int mb = r * C + c;
-      const int64_t mb_base = (int64_t)mb * 25 * 16;
-      int16_t *mb_coeffs = coeffs ? coeffs + mb_base : nullptr;
-      const int y2c = y2_coded[mb];
-
-      if (skip[mb]) {
-        /* contexts cleared; has_nonzero stays 0 */
-        for (int sr = 0; sr < 4; sr++)
-          memset(y_nz + (r * 4 + sr) * C * 4 + c * 4, 0, 4);
-        for (int sr = 0; sr < 2; sr++) {
-          memset(u_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
-          memset(v_nz + (r * 2 + sr) * C * 2 + c * 2, 0, 2);
-        }
-        if (y2c) {
-          y2_above[c] = 0;
-          y2_above_valid[c] = 1;
-          y2_left = 0;
-          y2_left_valid = 1;
-        }
-        continue;
-      }
-
-      int mb_nonzero = 0;
-      if (y2c) {
-        const int ctx = (y2_above_valid[c] ? y2_above[c] : 0) +
-                        (y2_left_valid ? y2_left : 0);
-        if (sink) sink->base = mb_base + 24 * 16;
-        const int nz = parse_block(bd, coeff_probs, 1 /*Y2*/, ctx, 0,
-                                   mb_coeffs ? mb_coeffs + 24 * 16 : nullptr,
-                                   sink);
-        y2_above[c] = (uint8_t)nz;
-        y2_above_valid[c] = 1;
-        y2_left = (uint8_t)nz;
-        y2_left_valid = 1;
-        mb_nonzero |= nz;
-      }
-
-      const int block_type = y2c ? 0 /*Y_after_Y2*/ : 3 /*Y_without_Y2*/;
-      const int first = y2c ? 1 : 0;
-      for (int sr = 0; sr < 4; sr++) {
-        for (int sc = 0; sc < 4; sc++) {
-          const int gr = r * 4 + sr, gc = c * 4 + sc;
-          const int ctx = (gr > 0 ? y_nz[(gr - 1) * C * 4 + gc] : 0) +
-                          (gc > 0 ? y_nz[gr * C * 4 + gc - 1] : 0);
-          if (sink) sink->base = mb_base + (sr * 4 + sc) * 16;
-          const int nz = parse_block(
-              bd, coeff_probs, block_type, ctx, first,
-              mb_coeffs ? mb_coeffs + (sr * 4 + sc) * 16 : nullptr, sink);
-          y_nz[gr * C * 4 + gc] = (uint8_t)nz;
-          mb_nonzero |= nz;
-        }
-      }
-
-      uint8_t *nz_planes[2] = {u_nz, v_nz};
-      for (int plane = 0; plane < 2; plane++) {
-        uint8_t *nzp = nz_planes[plane];
-        const int base = 16 + plane * 4;
-        for (int sr = 0; sr < 2; sr++) {
-          for (int sc = 0; sc < 2; sc++) {
-            const int gr = r * 2 + sr, gc = c * 2 + sc;
-            const int ctx = (gr > 0 ? nzp[(gr - 1) * C * 2 + gc] : 0) +
-                            (gc > 0 ? nzp[gr * C * 2 + gc - 1] : 0);
-            if (sink) sink->base = mb_base + (base + sr * 2 + sc) * 16;
-            const int nz = parse_block(
-                bd, coeff_probs, 2 /*UV*/, ctx, 0,
-                mb_coeffs ? mb_coeffs + (base + sr * 2 + sc) * 16 : nullptr,
-                sink);
-            nzp[gr * C * 2 + gc] = (uint8_t)nz;
-            mb_nonzero |= nz;
-          }
-        }
-      }
-      has_nonzero_out[mb] = (uint8_t)mb_nonzero;
-    }
-  }
-
-  delete[] y_nz;
-  delete[] u_nz;
-  delete[] v_nz;
-  delete[] y2_above;
-  delete[] y2_above_valid;
+  TokenPlanes P(R, C);
+  const TokenFrameCtx F{R, C, coeff_probs, skip, y2_coded, coeffs,
+                        has_nonzero_out, P.y_nz, P.u_nz, P.v_nz,
+                        P.y2_above, P.y2_above_valid};
+  for (int r = 0; r < R; r++)
+    process_token_row(F, r, decs[r % num_parts], sink,
+                      [](int) {}, [](int) {});
   if (sink) {
     sparse_meta[0] = sink->count;
     if (sink->count >= sink->cap) return -2; /* truncated */
+  }
+  return 0;
+}
+
+/* Wavefront-parallel token parse across DCT partitions: the up-to-8
+ * token partitions are independent range-decoder chains over alternating
+ * MB rows (reference decoder/frame.cc:131-136 decodes them serially);
+ * one thread per partition, with MB (r, c) gated on MB (r-1, c) via
+ * per-row progress counters — the nonzero-context dependency points
+ * up and left only.  Sparse output lands in per-row segments (bounded
+ * by the row's dense size, so workers can't overflow) merged in raster
+ * order afterwards; identical to vp8_parse_tokens bit for bit.
+ * This is the §2.9 row-partition parallelism the reference leaves on
+ * the table, applied to single-stream decode. */
+int vp8_parse_tokens_mt(int threads,
+                        const uint8_t *part_data, const int64_t *part_offsets,
+                        int num_parts, int mb_rows, int mb_cols,
+                        const uint8_t *coeff_probs, const uint8_t *skip,
+                        const uint8_t *y2_coded, int16_t *coeffs,
+                        uint8_t *has_nonzero_out,
+                        int32_t *sparse_idx, int16_t *sparse_val,
+                        int64_t *sparse_meta) {
+  if (num_parts < 2 || threads <= 1)
+    return vp8_parse_tokens(part_data, part_offsets, num_parts, mb_rows,
+                            mb_cols, coeff_probs, skip, y2_coded, coeffs,
+                            has_nonzero_out, sparse_idx, sparse_val,
+                            sparse_meta);
+  if (num_parts > 8) return -1;
+  if (threads > num_parts) threads = num_parts;
+  const int C = mb_cols, R = mb_rows;
+  const bool want_sparse = sparse_idx && sparse_val && sparse_meta;
+
+  FastBool decs[8];
+  for (int i = 0; i < num_parts; i++)
+    decs[i].init(part_data + part_offsets[i],
+                 part_offsets[i + 1] - part_offsets[i]);
+  TokenPlanes P(R, C);
+  const TokenFrameCtx F{R, C, coeff_probs, skip, y2_coded, coeffs,
+                        has_nonzero_out, P.y_nz, P.u_nz, P.v_nz,
+                        P.y2_above, P.y2_above_valid};
+
+  /* per-row sparse segments, bounded by the row's dense coefficient
+   * count — a worker can never overflow its segment */
+  const int64_t row_cap = (int64_t)C * 400;
+  std::vector<int32_t> ridx;
+  std::vector<int16_t> rval;
+  std::vector<SparseSink> rsink(R);
+  if (want_sparse) {
+    ridx.resize((size_t)R * row_cap);
+    rval.resize((size_t)R * row_cap);
+    for (int r = 0; r < R; r++)
+      rsink[r] = SparseSink{ridx.data() + (size_t)r * row_cap,
+                            rval.data() + (size_t)r * row_cap, 0, row_cap,
+                            0};
+  }
+
+  std::vector<std::atomic<int>> progress(R);
+  for (int r = 0; r < R; r++) progress[r].store(-1);
+
+  auto worker = [&](int t) {
+    /* ascending global row order per thread (wavefront: row r waits only
+     * on r-1, whose owner is also ascending — no deadlock) */
+    for (int r = 0; r < R; r++) {
+      if ((r % num_parts) % threads != t) continue;
+      auto wait = [&](int c) {
+        if (r == 0) return;
+        int spins = 0;
+        while (progress[r - 1].load(std::memory_order_acquire) < c) {
+#if defined(__x86_64__)
+          __builtin_ia32_pause();
+#endif
+          if (++spins > 4096) {
+            std::this_thread::yield();
+            spins = 0;
+          }
+        }
+      };
+      auto done = [&](int c) {
+        progress[r].store(c, std::memory_order_release);
+      };
+      process_token_row(F, r, decs[r % num_parts],
+                        want_sparse ? &rsink[r] : nullptr, wait, done);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < threads; t++) ts.emplace_back(worker, t);
+  worker(0);
+  for (auto &th : ts) th.join();
+
+  if (want_sparse) {
+    int64_t total = 0;
+    for (int r = 0; r < R; r++) total += rsink[r].count;
+    sparse_meta[0] = total;
+    if (total > sparse_meta[1]) return -2;
+    int64_t w = 0;
+    for (int r = 0; r < R; r++) {
+      memcpy(sparse_idx + w, rsink[r].idx, rsink[r].count * sizeof(int32_t));
+      memcpy(sparse_val + w, rsink[r].val, rsink[r].count * sizeof(int16_t));
+      w += rsink[r].count;
+    }
   }
   return 0;
 }

@@ -23,6 +23,9 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.vp8_parse_tokens_mt.restype = ctypes.c_int
+    lib.vp8_parse_tokens_mt.argtypes = [ctypes.c_int] + \
+        lib.vp8_parse_tokens.argtypes
     lib.vp8_parse_tokens_gop.restype = ctypes.c_int
     lib.vp8_parse_tokens_gop.argtypes = (
         [ctypes.c_int] * 3 + [ctypes.c_void_p] * 4
@@ -66,6 +69,19 @@ def _load():
     return lib
 
 
+def _token_threads(n_parts):
+    """Worker threads for the wavefront-parallel multi-partition token
+    parse (one per DCT partition, capped by cores).  Override with
+    ALFALFA_PARSE_THREADS (0/1 = serial)."""
+    env = os.environ.get("ALFALFA_PARSE_THREADS")
+    if env is not None:
+        try:
+            return max(1, min(int(env), n_parts))
+        except ValueError:
+            pass
+    return max(1, min(os.cpu_count() or 1, n_parts))
+
+
 def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
                  coeffs_out, has_nonzero_out, sparse=False):
     """Token-parse a whole frame. partitions: list of bytes.
@@ -73,7 +89,10 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     coeffs_out (r, c, 25, 16) int16 (or None) and has_nonzero_out (r, c)
     uint8 are filled in place.  With sparse=True also returns the nonzero
     coefficients as (idx, val) arrays (flat indices into the dense layout).
-    Returns True on success, or (idx, val) when sparse."""
+    Returns True on success, or (idx, val) when sparse.
+
+    Multi-partition streams decode their partitions wavefront-parallel
+    over OS threads (vp8_parse_tokens_mt) — bit-identical output."""
     lib = _load()
     data = b"".join(partitions)
     offsets = np.zeros(len(partitions) + 1, np.int64)
@@ -83,13 +102,18 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
     y2_u8 = np.ascontiguousarray(y2_coded, np.uint8)
     if coeffs_out is not None:
         assert coeffs_out.flags.c_contiguous and coeffs_out.dtype == np.int16
-    if not sparse:
-        rc = lib.vp8_parse_tokens(
-            data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
-            probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
+    threads = _token_threads(len(partitions))
+
+    def call(*tail):
+        return lib.vp8_parse_tokens_mt(
+            threads, data, offsets.ctypes.data, len(partitions),
+            mb_rows, mb_cols, probs.ctypes.data, skip_u8.ctypes.data,
+            y2_u8.ctypes.data,
             None if coeffs_out is None else coeffs_out.ctypes.data,
-            has_nonzero_out.ctypes.data, None, None, None)
-        return rc == 0
+            has_nonzero_out.ctypes.data, *tail)
+
+    if not sparse:
+        return call(None, None, None) == 0
     # usual case is bounded by the bitstream length (>= 2 bits/coeff), but
     # extreme probabilities can beat that; retry at the true dense bound
     # (mb_rows*mb_cols*25*16) on overflow instead of losing the fast path
@@ -97,12 +121,8 @@ def parse_tokens(partitions, mb_rows, mb_cols, coeff_probs, skip, y2_coded,
         sp_idx = np.empty(cap, np.int32)
         sp_val = np.empty(cap, np.int16)
         sp_meta = np.array([0, cap], np.int64)
-        rc = lib.vp8_parse_tokens(
-            data, offsets.ctypes.data, len(partitions), mb_rows, mb_cols,
-            probs.ctypes.data, skip_u8.ctypes.data, y2_u8.ctypes.data,
-            None if coeffs_out is None else coeffs_out.ctypes.data,
-            has_nonzero_out.ctypes.data,
-            sp_idx.ctypes.data, sp_val.ctypes.data, sp_meta.ctypes.data)
+        rc = call(sp_idx.ctypes.data, sp_val.ctypes.data,
+                  sp_meta.ctypes.data)
         if rc == 0:
             n = int(sp_meta[0])
             return sp_idx[:n], sp_val[:n]

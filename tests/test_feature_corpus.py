@@ -97,3 +97,13 @@ def test_roundtrip_identity(corpus, name):
         out = serialize_frame(header, arrays, frame_probs, chunk.key_frame,
                               ivf.width, ivf.height)
         assert out == payload, f"{name} frame {i} reserialization differs"
+
+
+def test_mt_partition_decode_equals_serial(corpus, numpy_yuv, monkeypatch):
+    """Wavefront-parallel token decode across DCT partitions
+    (vp8_parse_tokens_mt: one thread per partition, MB (r, c) gated on
+    MB (r-1, c)) must be bit-identical to the serial decode on the
+    multi-partition SPLITMV stream (2/4/8 token partitions)."""
+    monkeypatch.setenv("ALFALFA_PARSE_THREADS", "4")
+    got = _decode_ours(corpus / "feat_splitmv.ivf", "numpy")
+    assert got == numpy_yuv["feat_splitmv.ivf"]
