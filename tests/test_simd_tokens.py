@@ -61,3 +61,19 @@ def test_simd_tokens_equal_scalar(path, monkeypatch):
         assert a.keys() == b.keys()
         for k in a:
             assert np.array_equal(a[k], b[k]), f"{path} frame {f}: {k}"
+
+
+@pytest.mark.skipif(not _supported(), reason="no AVX-512 on this host")
+def test_simd_tokens_wide_batch(monkeypatch):
+    """G > 8 splits into two 8-lane engines fanned over threads — the
+    wide-lockstep (ALFALFA_BENCH_G=16) configuration."""
+    path = "tests/fixtures/inter_176x144_q96.ivf"
+    monkeypatch.setenv("ALFALFA_PARSE_THREADS", "2")
+    try:
+        want = _batches(path, 12, False, monkeypatch)
+        got = _batches(path, 12, True, monkeypatch)
+    finally:
+        bw._simdlib = None
+    for f, (a, b) in enumerate(zip(want, got)):
+        for k in a:
+            assert np.array_equal(a[k], b[k]), f"frame {f}: {k}"
