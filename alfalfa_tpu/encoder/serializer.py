@@ -4,6 +4,8 @@ Exact mirror of the parser, so parse-then-serialize is the identity on every
 well-formed frame (the reference's roundtrip invariant, tests/roundtrip.cc).
 Semantics follow encoder/serializer.cc:165-829.
 """
+import os
+
 import numpy as np
 
 from alfalfa_tpu.bitstream import tables as T
@@ -304,6 +306,16 @@ class FrameSerializer:
                 from alfalfa_tpu.native import bitwork
                 if bitwork.write_kf_modes(be, self.a,
                                           self.h.prob_skip_false):
+                    return be.finish()
+            except (ImportError, AttributeError, OSError):
+                pass
+        if (not self.key_frame
+                and os.environ.get("ALFALFA_NATIVE_MODES", "1") != "0"):
+            try:
+                from alfalfa_tpu.native import bitwork
+                flipped = np.asarray(flipped_map_for(self.a, self.h))
+                if bitwork.write_inter_modes(be, self.a, self.h, self.probs,
+                                             flipped):
                     return be.finish()
             except (ImportError, AttributeError, OSError):
                 pass

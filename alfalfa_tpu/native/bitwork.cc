@@ -1378,6 +1378,210 @@ int vp8_write_kf_modes(int64_t *state, uint8_t *buf, int64_t cap,
   return be.overflow ? -2 : 0;
 }
 
+/* Interframe MB headers (serializer.cc:165-316 inter side), resuming a
+ * Python BoolEncoder exactly like vp8_write_kf_modes.
+ *
+ * trees: packed path-table arena, 8 trees x 272 bytes each in the order
+ *   [mv_ref, submv_ref, split_mv, small_mv, y, bmode, uv, segment_id];
+ *   per tree: bits u8[16][8] @0, prob_idx u8[16][8] @128, len u8[16] @256.
+ * mvpart_n / mvpart_first: per SPLITMV scheme, the partition count and the
+ *   (sr, sc) of each partition's first subblock (u8[4], u8[4][16][2]).
+ */
+static inline void wtree_arena(BoolEnc &be, const uint8_t *trees, int t,
+                               const uint8_t *probs, int leaf) {
+  const uint8_t *base = trees + t * 272;
+  const int n = base[256 + leaf];
+  for (int k = 0; k < n; k++)
+    be.put(base[leaf * 8 + k], probs[base[128 + leaf * 8 + k]]);
+}
+
+/* One MV component (serializer.cc:197-236); probs: 19 per component. */
+static inline void write_mv_component(BoolEnc &be, int num,
+                                      const uint8_t *probs,
+                                      const uint8_t *trees) {
+  const int nte = num >> 1; /* arithmetic shift, same as Python's >> */
+  const int x = nte < 0 ? -nte : nte;
+  if (x < 8) {
+    be.put(0, probs[0]);
+    wtree_arena(be, trees, 3 /*small_mv*/, probs + 2, x);
+  } else {
+    be.put(1, probs[0]);
+    for (int i = 0; i < 3; i++) be.put((x >> i) & 1, probs[9 + i]);
+    for (int i = 9; i > 3; i--) be.put((x >> i) & 1, probs[9 + i]);
+    if (x & 0xFFF0) be.put((x >> 3) & 1, probs[9 + 3]);
+  }
+  if (x) be.put(nte < 0 ? 1 : 0, probs[1]);
+}
+
+static inline void write_mv2(BoolEnc &be, int dx, int dy,
+                             const uint8_t *mv_probs, const uint8_t *trees) {
+  write_mv_component(be, dy, mv_probs, trees);      /* y first */
+  write_mv_component(be, dx, mv_probs + 19, trees);
+}
+
+/* Scorer census over above/left/above-left (decoder/parse.py mv_census;
+ * reference scorer.hh:36-79).  out: best xy, nearest xy, counts[4]. */
+static void census_c(const int8_t *ref, const int16_t *sub_mv,
+                     const int8_t *ymode, const uint8_t *flipped, int C,
+                     int r, int c, int *best, int *counts) {
+  int scores[4] = {0, 0, 0, 0};
+  int mvx[4] = {0, 0, 0, 0}, mvy[4] = {0, 0, 0, 0};
+  int splitmv_score = 0, index = 0;
+  const int fl = flipped[r * C + c];
+  const int poss[3][3] = {{2, r - 1, c}, {2, r, c - 1}, {1, r - 1, c - 1}};
+  for (int i = 0; i < 3; i++) {
+    const int score = poss[i][0], rr = poss[i][1], cc = poss[i][2];
+    if (rr < 0 || cc < 0) continue;
+    const int mb = rr * C + cc;
+    if (ref[mb] == 0 /*CURRENT_FRAME*/) continue;
+    int x = sub_mv[(int64_t)(mb * 16 + 15) * 2 + 0];
+    int y = sub_mv[(int64_t)(mb * 16 + 15) * 2 + 1];
+    if ((int)flipped[mb] != fl) { x = -x; y = -y; }
+    if (x == 0 && y == 0) {
+      scores[0] += score;
+    } else {
+      if (x != mvx[index] || y != mvy[index]) {
+        index++;
+        mvx[index] = x;
+        mvy[index] = y;
+      }
+      scores[index] += score;
+    }
+    if (ymode[mb] == 9 /*SPLITMV*/) splitmv_score += score;
+  }
+  if (scores[3]) {
+    if (mvx[index] == mvx[1] && mvy[index] == mvy[1]) scores[1] += scores[3];
+  }
+  if (scores[2] > scores[1]) {
+    int t;
+    t = scores[1]; scores[1] = scores[2]; scores[2] = t;
+    t = mvx[1]; mvx[1] = mvx[2]; mvx[2] = t;
+    t = mvy[1]; mvy[1] = mvy[2]; mvy[2] = t;
+  }
+  if (scores[1] >= scores[0]) { mvx[0] = mvx[1]; mvy[0] = mvy[1]; }
+  best[0] = mvx[0];
+  best[1] = mvy[0];
+  counts[0] = scores[0];
+  counts[1] = scores[1];
+  counts[2] = scores[2];
+  counts[3] = splitmv_score;
+}
+
+int vp8_write_inter_modes(
+    int64_t *state, uint8_t *buf, int64_t cap, int64_t *len_io, int R, int C,
+    const int8_t *ymode, const int8_t *bmode, const int8_t *uvmode,
+    const uint8_t *skip, int has_skip, int prob_skip, const int8_t *ref,
+    const int16_t *sub_mv, const uint8_t *flipped, const int8_t *splitmv_pid,
+    const int8_t *seg_map, int has_seg, const uint8_t *seg_probs,
+    int prob_inter, int prob_ref_last, int prob_ref_golden,
+    const uint8_t *y_probs, const uint8_t *uv_probs, const uint8_t *b_probs,
+    const uint8_t *mv_probs, const uint8_t *c2p, const uint8_t *submv_probs2,
+    const uint8_t *split_probs, const uint8_t *trees, const uint8_t *mvpart_n,
+    const uint8_t *mvpart_first) {
+  BoolEnc be;
+  be.out = buf;
+  be.len = *len_io;
+  be.cap = cap;
+  be.range_ = (uint32_t)state[0];
+  be.bottom = (uint64_t)state[1];
+  be.bit_count = (int)state[2];
+  be.overflow = false;
+
+  for (int r = 0; r < R; r++) {
+    for (int c = 0; c < C; c++) {
+      const int mb = r * C + c;
+      if (has_seg)
+        wtree_arena(be, trees, 7 /*segment_id*/, seg_probs, seg_map[mb]);
+      if (has_skip) be.put(skip[mb] != 0, prob_skip);
+      const int rf = ref[mb];
+      const int ym = ymode[mb];
+      be.put(rf != 0, prob_inter);
+      if (rf != 0) {
+        be.put(rf != 1, prob_ref_last);
+        if (rf != 1) be.put(rf == 3, prob_ref_golden);
+        int best[2], counts[4];
+        census_c(ref, sub_mv, ymode, flipped, C, r, c, best, counts);
+        const uint8_t mv_ref_probs[4] = {
+            c2p[counts[0] * 4 + 0], c2p[counts[1] * 4 + 1],
+            c2p[counts[2] * 4 + 2], c2p[counts[3] * 4 + 3]};
+        wtree_arena(be, trees, 0 /*mv_ref*/, mv_ref_probs, ym);
+        if (ym == 8 /*NEWMV*/ || ym == 9 /*SPLITMV*/) {
+          /* clamp best (macroblock.cc:176-195) */
+          const int to_left = -(c * 16 << 3) - 128;
+          const int to_right = ((C - 1 - c) * 16 << 3) + 128;
+          const int to_top = -(r * 16 << 3) - 128;
+          const int to_bottom = ((R - 1 - r) * 16 << 3) + 128;
+          int bx = best[0] < to_left ? to_left : best[0];
+          if (bx > to_right) bx = to_right;
+          int by = best[1] < to_top ? to_top : best[1];
+          if (by > to_bottom) by = to_bottom;
+          const int16_t *smv = sub_mv + (int64_t)mb * 16 * 2;
+          if (ym == 8) {
+            write_mv2(be, smv[15 * 2 + 0] - bx, smv[15 * 2 + 1] - by,
+                      mv_probs, trees);
+          } else {
+            const int pid = splitmv_pid[mb];
+            wtree_arena(be, trees, 2 /*split_mv*/, split_probs, pid);
+            const int np = mvpart_n[pid];
+            for (int p = 0; p < np; p++) {
+              const int sr = mvpart_first[(pid * 16 + p) * 2 + 0];
+              const int sc = mvpart_first[(pid * 16 + p) * 2 + 1];
+              /* neighbor sub-MVs (serializer.cc:249-316) */
+              int lx = 0, ly = 0, ax = 0, ay = 0;
+              if (sc > 0) {
+                lx = smv[(sr * 4 + sc - 1) * 2 + 0];
+                ly = smv[(sr * 4 + sc - 1) * 2 + 1];
+              } else if (c > 0) {
+                const int16_t *n2 = sub_mv + (int64_t)(mb - 1) * 16 * 2;
+                lx = n2[(sr * 4 + 3) * 2 + 0];
+                ly = n2[(sr * 4 + 3) * 2 + 1];
+              }
+              if (sr > 0) {
+                ax = smv[((sr - 1) * 4 + sc) * 2 + 0];
+                ay = smv[((sr - 1) * 4 + sc) * 2 + 1];
+              } else if (r > 0) {
+                const int16_t *n2 = sub_mv + (int64_t)(mb - C) * 16 * 2;
+                ax = n2[(12 + sc) * 2 + 0];
+                ay = n2[(12 + sc) * 2 + 1];
+              }
+              const bool lz = (lx == 0 && ly == 0);
+              const bool az = (ax == 0 && ay == 0);
+              const bool eq = (lx == ax && ly == ay);
+              int ctx;
+              if (eq && lz) ctx = 4;
+              else if (eq) ctx = 3;
+              else if (az) ctx = 2;
+              else if (lz) ctx = 1;
+              else ctx = 0;
+              const int sm = bmode[(int64_t)mb * 16 + sr * 4 + sc];
+              wtree_arena(be, trees, 1 /*submv_ref*/, submv_probs2 + ctx * 3,
+                          sm);
+              if (sm == 13 /*NEW4X4*/) {
+                write_mv2(be, smv[(sr * 4 + sc) * 2 + 0] - bx,
+                          smv[(sr * 4 + sc) * 2 + 1] - by, mv_probs, trees);
+              }
+            }
+          }
+        }
+      } else {
+        /* intra MB inside an interframe (serializer.cc:227-237 analogue) */
+        wtree_arena(be, trees, 4 /*y*/, y_probs, ym);
+        if (ym == 4 /*B_PRED*/) {
+          const int8_t *bm = bmode + (int64_t)mb * 16;
+          for (int i = 0; i < 16; i++)
+            wtree_arena(be, trees, 5 /*bmode*/, b_probs, bm[i]);
+        }
+        wtree_arena(be, trees, 6 /*uv*/, uv_probs, uvmode[mb]);
+      }
+    }
+  }
+  state[0] = be.range_;
+  state[1] = (int64_t)be.bottom;
+  state[2] = be.bit_count;
+  *len_io = be.len;
+  return be.overflow ? -2 : 0;
+}
+
 /* accumulate_token_branches over the frame; counts: i64[4][8][3][11][2]. */
 int vp8_count_token_branches(const int16_t *coeffs, const uint8_t *skip,
                              const uint8_t *y2_coded, int R, int C,

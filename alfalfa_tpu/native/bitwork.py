@@ -55,6 +55,15 @@ def _load():
          ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 4 + [ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 12)
+    lib.vp8_write_inter_modes.restype = ctypes.c_int
+    lib.vp8_write_inter_modes.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+         ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int, ctypes.c_int]
+        + [ctypes.c_void_p] * 4
+        + [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        + [ctypes.c_int] * 3
+        + [ctypes.c_void_p] * 10)
     lib.vp8_count_token_branches.restype = ctypes.c_int
     lib.vp8_count_token_branches.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -559,6 +568,99 @@ def write_kf_modes(be, arrays, prob_skip):
         yb.ctypes.data, yi.ctypes.data, yl.ctypes.data, yprobs.ctypes.data,
         bb.ctypes.data, bi.ctypes.data, bl.ctypes.data, kfb.ctypes.data,
         ub.ctypes.data, ui.ctypes.data, ul.ctypes.data, uvprobs.ctypes.data)
+    if rc != 0:
+        return False
+    be.output[:] = buf[:int(length[0])].tobytes()
+    be.range = int(state[0])
+    be.bottom = int(state[1])
+    be.bit_count = int(state[2])
+    return True
+
+
+_INTER_TABLES = None
+
+
+def _inter_tables():
+    """Packed tree-path arena + MV-partition tables for the native
+    interframe MB-header writer (order must match bitwork.cc)."""
+    global _INTER_TABLES
+    if _INTER_TABLES is None:
+        from alfalfa_tpu.bitstream import tables as T
+        specs = [("mv_ref", T.MV_REF_TREE), ("submv_ref", T.SUBMV_REF_TREE),
+                 ("split_mv", T.SPLIT_MV_TREE), ("small_mv", T.SMALL_MV_TREE),
+                 ("y", T.Y_MODE_TREE), ("bmode", T.B_MODE_TREE),
+                 ("uv", T.UV_MODE_TREE), ("segment_id", T.SEGMENT_ID_TREE)]
+        arena = np.zeros(len(specs) * 272, np.uint8)
+        for t, (tid, tree) in enumerate(specs):
+            bits, idx, lens = _tree_tables(tid, tree)
+            n = bits.shape[0]
+            base = t * 272
+            arena[base:base + n * 8] = bits.reshape(-1)
+            arena[base + 128:base + 128 + n * 8] = idx.reshape(-1)
+            arena[base + 256:base + 256 + n] = lens
+        mvpart_n = np.zeros(4, np.uint8)
+        mvpart_first = np.zeros((4, 16, 2), np.uint8)
+        for pid, parts in enumerate(T.MV_PARTITIONS):
+            mvpart_n[pid] = len(parts)
+            for p, part in enumerate(parts):
+                first_c, first_r = part[0]
+                mvpart_first[pid, p] = (first_r, first_c)
+        c2p = np.ascontiguousarray(T.MV_COUNTS_TO_PROBS, np.uint8)
+        submv2 = np.ascontiguousarray(T.SUBMV_REF_PROBS2, np.uint8)
+        split = np.ascontiguousarray(T.SPLIT_MV_PROBS, np.uint8)
+        binv = np.ascontiguousarray(T.INVARIANT_B_MODE_PROBS, np.uint8)
+        _INTER_TABLES = (arena, mvpart_n, mvpart_first, c2p, submv2, split,
+                         binv)
+    return _INTER_TABLES
+
+
+def write_inter_modes(be, arrays, header, frame_probs, flipped_map):
+    """Append all interframe MB headers (segment id, skip flag, reference,
+    inter/intra modes, MVs) to Python BoolEncoder ``be`` natively; returns
+    True on success.  Exact mirror of FrameSerializer._serialize_mb_header
+    (reference encoder/serializer.cc:165-316)."""
+    lib = _load()
+    arena, mvpart_n, mvpart_first, c2p, submv2, split, binv = _inter_tables()
+    R, C = arrays.mb_rows, arrays.mb_cols
+    cap = len(be.output) + R * C * 96 + 4096
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(be.output)] = np.frombuffer(bytes(be.output), np.uint8)
+    state = np.array([be.range, be.bottom, be.bit_count], np.int64)
+    length = np.array([len(be.output)], np.int64)
+
+    seg = header.update_segmentation
+    has_seg = int(seg is not None and seg.update_mb_segmentation_map)
+    if has_seg:
+        seg_probs = np.ascontiguousarray(seg.segment_tree_probs(), np.uint8)
+        seg_map = np.ascontiguousarray(arrays.segment_update, np.int8)
+    else:
+        seg_probs = np.zeros(3, np.uint8)
+        seg_map = np.zeros(1, np.int8)
+
+    ym = np.ascontiguousarray(arrays.ymode, np.int8)
+    bm = np.ascontiguousarray(arrays.bmode, np.int8)
+    uvm = np.ascontiguousarray(arrays.uvmode, np.int8)
+    skip = np.ascontiguousarray(arrays.skip_coeff, np.uint8)
+    ref = np.ascontiguousarray(arrays.ref, np.int8)
+    smv = np.ascontiguousarray(arrays.sub_mv, np.int16)
+    flip = np.ascontiguousarray(flipped_map, np.uint8)
+    pid = np.ascontiguousarray(arrays.splitmv_pid, np.int8)
+    yp = np.ascontiguousarray(frame_probs.y_mode_probs, np.uint8)
+    uvp = np.ascontiguousarray(frame_probs.uv_mode_probs, np.uint8)
+    mvp = np.ascontiguousarray(frame_probs.mv_probs, np.uint8)
+    prob_skip = header.prob_skip_false
+
+    rc = lib.vp8_write_inter_modes(
+        state.ctypes.data, buf.ctypes.data, cap, length.ctypes.data, R, C,
+        ym.ctypes.data, bm.ctypes.data, uvm.ctypes.data, skip.ctypes.data,
+        int(prob_skip is not None), int(prob_skip or 0),
+        ref.ctypes.data, smv.ctypes.data, flip.ctypes.data, pid.ctypes.data,
+        seg_map.ctypes.data, has_seg, seg_probs.ctypes.data,
+        int(header.prob_inter), int(header.prob_references_last),
+        int(header.prob_references_golden),
+        yp.ctypes.data, uvp.ctypes.data, binv.ctypes.data, mvp.ctypes.data,
+        c2p.ctypes.data, submv2.ctypes.data, split.ctypes.data,
+        arena.ctypes.data, mvpart_n.ctypes.data, mvpart_first.ctypes.data)
     if rc != 0:
         return False
     be.output[:] = buf[:int(length[0])].tobytes()
