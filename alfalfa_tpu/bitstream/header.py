@@ -177,6 +177,20 @@ def parse_token_prob_update(bd):
 
 def write_token_prob_update(be, updates):
     up = tables.COEFF_UPDATE_PROBS
+    try:
+        from alfalfa_tpu.native import bitwork
+        import numpy as _np
+        flags = _np.zeros(up.shape, _np.uint8)
+        vals = _np.zeros(up.shape, _np.uint8)
+        for key, v in updates.items():
+            flags[key] = 1
+            vals[key] = v
+        if bitwork.write_flagged_literals(be, up.reshape(-1),
+                                          flags.reshape(-1),
+                                          vals.reshape(-1), 8):
+            return
+    except (ImportError, AttributeError, OSError):
+        pass
     for i in range(tables.BLOCK_TYPES):
         for j in range(tables.COEF_BANDS):
             for k in range(tables.PREV_COEF_CONTEXTS):
@@ -216,6 +230,20 @@ def parse_mv_prob_update(bd):
 
 def write_mv_prob_update(be, updates):
     up = tables.MV_UPDATE_PROBS
+    try:
+        from alfalfa_tpu.native import bitwork
+        import numpy as _np
+        flags = _np.zeros(up.shape, _np.uint8)
+        vals = _np.zeros(up.shape, _np.uint8)
+        for key, v in updates.items():
+            flags[key] = 1
+            vals[key] = v >> 1
+        if bitwork.write_flagged_literals(be, up.reshape(-1),
+                                          flags.reshape(-1),
+                                          vals.reshape(-1), 7):
+            return
+    except (ImportError, AttributeError, OSError):
+        pass
     for i in range(2):
         for j in range(tables.MV_PROB_CNT):
             v = updates.get((i, j))

@@ -1378,6 +1378,36 @@ int vp8_write_kf_modes(int64_t *state, uint8_t *buf, int64_t cap,
   return be.overflow ? -2 : 0;
 }
 
+/* Flagged-literal runs in frame headers (token/mv prob updates): for each
+ * position, a flag bit against probs[i], then a `bits`-wide literal when
+ * the flag is set.  Write-side twin of vp8_parse_flagged_literals,
+ * resuming a Python BoolEncoder (state i64[3] = {range, bottom,
+ * bit_count}). */
+int vp8_write_flagged_literals(int64_t *state, uint8_t *buf, int64_t cap,
+                               int64_t *len_io, const uint8_t *probs,
+                               const uint8_t *flags, const uint8_t *vals,
+                               int64_t n, int bits) {
+  BoolEnc be;
+  be.out = buf;
+  be.len = *len_io;
+  be.cap = cap;
+  be.range_ = (uint32_t)state[0];
+  be.bottom = (uint64_t)state[1];
+  be.bit_count = (int)state[2];
+  be.overflow = false;
+  for (int64_t i = 0; i < n; i++) {
+    be.put(flags[i] != 0, probs[i]);
+    if (flags[i]) {
+      for (int k = bits - 1; k >= 0; k--) be.put((vals[i] >> k) & 1, 128);
+    }
+  }
+  state[0] = be.range_;
+  state[1] = (int64_t)be.bottom;
+  state[2] = be.bit_count;
+  *len_io = be.len;
+  return be.overflow ? -2 : 0;
+}
+
 /* Interframe MB headers (serializer.cc:165-316 inter side), resuming a
  * Python BoolEncoder exactly like vp8_write_kf_modes.
  *

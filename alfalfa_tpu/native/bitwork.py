@@ -55,6 +55,11 @@ def _load():
          ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 4 + [ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 12)
+    lib.vp8_write_flagged_literals.restype = ctypes.c_int
+    lib.vp8_write_flagged_literals.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int]
     lib.vp8_write_inter_modes.restype = ctypes.c_int
     lib.vp8_write_inter_modes.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -568,6 +573,32 @@ def write_kf_modes(be, arrays, prob_skip):
         yb.ctypes.data, yi.ctypes.data, yl.ctypes.data, yprobs.ctypes.data,
         bb.ctypes.data, bi.ctypes.data, bl.ctypes.data, kfb.ctypes.data,
         ub.ctypes.data, ui.ctypes.data, ul.ctypes.data, uvprobs.ctypes.data)
+    if rc != 0:
+        return False
+    be.output[:] = buf[:int(length[0])].tobytes()
+    be.range = int(state[0])
+    be.bottom = int(state[1])
+    be.bit_count = int(state[2])
+    return True
+
+
+def write_flagged_literals(be, probs_flat, flags_flat, vals_flat, bits):
+    """Append a flagged-literal run (flag vs probs_flat[i], then a
+    ``bits``-wide literal where flags_flat[i]) to Python BoolEncoder
+    ``be`` natively; returns True on success."""
+    lib = _load()
+    n = int(probs_flat.size)
+    cap = len(be.output) + 2 * n + 4096
+    buf = np.zeros(cap, np.uint8)
+    buf[:len(be.output)] = np.frombuffer(bytes(be.output), np.uint8)
+    state = np.array([be.range, be.bottom, be.bit_count], np.int64)
+    length = np.array([len(be.output)], np.int64)
+    probs = np.ascontiguousarray(probs_flat, np.uint8)
+    flags = np.ascontiguousarray(flags_flat, np.uint8)
+    vals = np.ascontiguousarray(vals_flat, np.uint8)
+    rc = lib.vp8_write_flagged_literals(
+        state.ctypes.data, buf.ctypes.data, cap, length.ctypes.data,
+        probs.ctypes.data, flags.ctypes.data, vals.ctypes.data, n, bits)
     if rc != 0:
         return False
     be.output[:] = buf[:int(length[0])].tobytes()
