@@ -292,16 +292,37 @@ struct Lane {
   int64_t rec_count;      /* out */
 };
 
-bool run_engine(Lane *L, int n_lanes) {
-  alignas(64) int64_t tmp[8];
+/* One engine's full architectural state, steppable one iteration at a
+ * time so TWO independent engines can interleave in one loop: the
+ * per-iteration critical path (state gather -> mullo split -> compare ->
+ * next-state select) is ~75 cycles of latency against ~20 uops of work,
+ * so a second chain nearly doubles per-core throughput at 16 streams. */
+struct EngState {
+  Lane *L;
+  int n_lanes;
+  int64_t rec0_[8];
+  __m512i dbase, dfab, schb, schd, nzb, rcur, rlim, nsch, szp;
+  __m512i value, range, count, pos, state, vacc, bbase, blknz, cursor;
+  __mmask8 overflow, f_blk;
+  int64_t it;
+  bool done, failed;
+
+  inline void refill_m(__mmask8 m);
+  void init(Lane *L_, int n_lanes_);
+  inline void step();
+  bool finish();
+};
+
+void EngState::init(Lane *L_, int n_lanes_) {
+  L = L_;
+  n_lanes = n_lanes_;
   /* dead filler lanes (n_lanes < 8) read this empty schedule: entry 0 is
    * the sentinel, so their prologue block-advance lands in DEAD */
   static const uint64_t kEmptySched[1] = {0};
   static const uint32_t kEmptyDense[1] = {0};
   /* per-lane constant bases */
   int64_t dbase_[8] = {}, dfab_[8] = {}, schb_[8] = {}, schd_[8] = {},
-          nzb_[8] = {}, rec0_[8] = {}, rlim_[8] = {}, nsch_[8] = {},
-          szp_[8] = {};
+          nzb_[8] = {}, rlim_[8] = {}, nsch_[8] = {}, szp_[8] = {};
   for (int l = 0; l < 8; l++) {
     const Lane &a = L[l < n_lanes ? l : 0];
     dbase_[l] = (int64_t)a.data;
@@ -314,26 +335,37 @@ bool run_engine(Lane *L, int n_lanes) {
     nsch_[l] = l < n_lanes ? a.n_sched : 0;
     szp_[l] = a.size + 8;
   }
-  __m512i dbase = _mm512_loadu_si512(dbase_);
-  __m512i dfab = _mm512_loadu_si512(dfab_);
-  __m512i schb = _mm512_loadu_si512(schb_);
-  __m512i schd = _mm512_loadu_si512(schd_);
-  __m512i nzb = _mm512_loadu_si512(nzb_);
-  __m512i rcur = _mm512_loadu_si512(rec0_);
-  __m512i rlim = _mm512_loadu_si512(rlim_);
-  __m512i nsch = _mm512_loadu_si512(nsch_);
-  __m512i szp = _mm512_loadu_si512(szp_);
+  dbase = _mm512_loadu_si512(dbase_);
+  dfab = _mm512_loadu_si512(dfab_);
+  schb = _mm512_loadu_si512(schb_);
+  schd = _mm512_loadu_si512(schd_);
+  nzb = _mm512_loadu_si512(nzb_);
+  rcur = _mm512_loadu_si512(rec0_);
+  rlim = _mm512_loadu_si512(rlim_);
+  nsch = _mm512_loadu_si512(nsch_);
+  szp = _mm512_loadu_si512(szp_);
 
+  const __m512i k0 = _mm512_setzero_si512();
+  value = k0;
+  range = _mm512_set1_epi64(255);
+  count = _mm512_set1_epi64(-8);
+  pos = k0;
+  state = k0;
+  vacc = k0;
+  bbase = _mm512_set1_epi64(-16);
+  blknz = k0;
+  cursor = k0;
+  overflow = 0;
+  f_blk = 0xFF;   /* prologue: every lane performs its first block-advance */
+  it = 0;
+  done = failed = false;
+  refill_m(0xFF);
+}
+
+inline void EngState::refill_m(__mmask8 m) {
   const __m512i k1 = _mm512_set1_epi64(1);
   const __m512i k0 = _mm512_setzero_si512();
-
-  __m512i value = k0, range = _mm512_set1_epi64(255);
-  __m512i count = _mm512_set1_epi64(-8), pos = k0;
-  __m512i state = k0, vacc = k0, bbase = _mm512_set1_epi64(-16);
-  __m512i blknz = k0, cursor = k0;
-  __mmask8 overflow = 0;
-
-  auto refill = [&](__mmask8 m) {
+  {
     __m512i p = _mm512_min_epi64(pos, szp);
     __m512i big = _mm512_mask_i64gather_epi64(
         k0, m, _mm512_add_epi64(dbase, p), (const long long *)0, 1);
@@ -357,14 +389,15 @@ bool run_engine(Lane *L, int n_lanes) {
     pos = _mm512_mask_add_epi64(pos, m, pos, nbytes);
     count = _mm512_mask_add_epi64(count, m, count,
                                   _mm512_slli_epi64(nbytes, 3));
-  };
-  refill(0xFF);
+  }
+}
 
-  /* prologue: every lane performs its first block-advance */
-  __mmask8 f_blk = 0xFF;
+/* one iteration: pending block-advance, then one bool for all lanes */
+inline void EngState::step() {
+  const __m512i k1 = _mm512_set1_epi64(1);
+  const __m512i k0 = _mm512_setzero_si512();
   const int64_t max_iter = (int64_t)64 << 20;
-  int64_t it = 0;
-  for (;; it++) {
+  {
     if (f_blk) {
       /* finished-block nz store: nz[(bbase>>4)+1] = blknz (epi32) */
       __m512i nzslot = _mm512_add_epi64(_mm512_srai_epi64(bbase, 4), k1);
@@ -403,9 +436,16 @@ bool run_engine(Lane *L, int n_lanes) {
       state = _mm512_mask_mov_epi64(state, f_blk, start);
       bbase = _mm512_mask_mov_epi64(bbase, f_blk, dn);
       /* all lanes dead? */
-      if (_mm512_cmpeq_epi64_mask(state, k0) == 0xFF) break;
+      if (_mm512_cmpeq_epi64_mask(state, k0) == 0xFF) {
+        done = true;
+        return;
+      }
     }
-    if (it >= max_iter) return false;
+    if (it >= max_iter) {
+      failed = true;
+      done = true;
+      return;
+    }
 
     /* ---- one bool for all lanes ---- */
     __m512i ev = _mm512_i64gather_epi64(
@@ -426,7 +466,7 @@ bool run_engine(Lane *L, int n_lanes) {
     range = _mm512_sllv_epi64(range, sh);
     count = _mm512_sub_epi64(count, sh);
     __mmask8 need = _mm512_cmplt_epi64_mask(count, k0);
-    if (need) refill(need);
+    if (need) refill_m(need);
 
     __m512i action = _mm512_and_epi64(_mm512_srli_epi64(ev, 34),
                                       _mm512_set1_epi64(7));
@@ -469,12 +509,38 @@ bool run_engine(Lane *L, int n_lanes) {
     __mmask8 blk1 = _mm512_test_epi64_mask(ev, _mm512_set1_epi64(1ULL << 38));
     f_blk = (blk0 & ~bit) | (blk1 & bit);
   }
-  if (overflow) return false;
+  it++;
+}
+
+bool EngState::finish() {
+  alignas(64) int64_t tmp[8];
+  if (failed || overflow) return false;
   _mm512_storeu_si512(tmp, rcur);
   for (int l = 0; l < n_lanes; l++)
     L[l].rec_count = (tmp[l] - rec0_[l]) >> 3;
-  g_engine_iters = it;
+  g_engine_iters += it;
   return true;
+}
+
+bool run_engine(Lane *L, int n_lanes) {
+  EngState s;
+  s.init(L, n_lanes);
+  while (!s.done) s.step();
+  return s.finish();
+}
+
+/* Two engines advanced alternately in one loop: the decode sequences are
+ * untouched (bit-exact per engine), the chains just overlap in the
+ * out-of-order core.  Returns bit0/bit1 = engine A/B ok. */
+int run_engine_pair(Lane *A, int na, Lane *B, int nb) {
+  EngState a, b;
+  a.init(A, na);
+  b.init(B, nb);
+  while (!(a.done & b.done)) {
+    if (!a.done) a.step();
+    if (!b.done) b.step();
+  }
+  return (a.finish() ? 1 : 0) | (b.finish() ? 2 : 0);
 }
 
 #endif  /* TOKENSIMD_OK */
@@ -708,18 +774,23 @@ int vp8_parse_tokens_gop_simd(
     l.rec_cap = (int64_t)ws.recs[g].size();
     l.rec_count = 0;
   }
+  g_engine_iters = 0;
   char eng_ok[2] = {1, 1};
+  auto regrow = [&](int e) {
+    /* record-buffer overflow: retry once with the dense bound */
+    const int lo = e * 8, hi = std::min(G, lo + 8);
+    for (int g = lo; g < hi; g++) {
+      if (ws.recs[g].size() < (size_t)(n_mb * 400))
+        ws.recs[g].resize((size_t)(n_mb * 400));
+      lanes[g].rec = ws.recs[g].data();
+      lanes[g].rec_cap = (int64_t)ws.recs[g].size();
+      lanes[g].rec_count = 0;
+    }
+  };
   auto run_one = [&](int e) {
     const int lo = e * 8, hi = std::min(G, lo + 8);
     if (!run_engine(&lanes[lo], hi - lo)) {
-      /* record-buffer overflow: retry once with the dense bound */
-      for (int g = lo; g < hi; g++) {
-        if (ws.recs[g].size() < (size_t)(n_mb * 400))
-          ws.recs[g].resize((size_t)(n_mb * 400));
-        lanes[g].rec = ws.recs[g].data();
-        lanes[g].rec_cap = (int64_t)ws.recs[g].size();
-        lanes[g].rec_count = 0;
-      }
+      regrow(e);
       eng_ok[e] = run_engine(&lanes[lo], hi - lo) ? 1 : 0;
     }
   };
@@ -727,6 +798,20 @@ int vp8_parse_tokens_gop_simd(
     std::vector<std::thread> ts;
     for (int e = 0; e < n_eng; e++) ts.emplace_back(run_one, e);
     for (auto &t : ts) t.join();
+  } else if (n_eng == 2) {
+    /* one core, two engines: interleave both dependency chains in a
+     * single loop — per-iteration latency (~75 cy) dominates the uop
+     * count, so the chains overlap for ~2x throughput */
+    const int nb = G - 8;
+    int ok = run_engine_pair(&lanes[0], 8, &lanes[8], nb);
+    if (!(ok & 1)) {
+      regrow(0);
+      eng_ok[0] = run_engine(&lanes[0], 8) ? 1 : 0;
+    }
+    if (!(ok & 2)) {
+      regrow(1);
+      eng_ok[1] = run_engine(&lanes[8], nb) ? 1 : 0;
+    }
   } else {
     for (int e = 0; e < n_eng; e++) run_one(e);
   }

@@ -64,6 +64,24 @@ def test_simd_tokens_equal_scalar(path, monkeypatch):
 
 
 @pytest.mark.skipif(not _supported(), reason="no AVX-512 on this host")
+def test_simd_tokens_paired_engines(monkeypatch):
+    """G > 8 on ONE thread interleaves both 8-lane engines in a single
+    loop (run_engine_pair) — must stay bit-identical to the scalar
+    parser, including the uneven 8+4 split."""
+    path = "tests/fixtures/inter_320x240_q40.ivf"
+    monkeypatch.setenv("ALFALFA_PARSE_THREADS", "1")
+    for G in (12, 16):
+        try:
+            want = _batches(path, G, False, monkeypatch)
+            got = _batches(path, G, True, monkeypatch)
+        finally:
+            bw._simdlib = None
+        for f, (a, b) in enumerate(zip(want, got)):
+            for k in a:
+                assert np.array_equal(a[k], b[k]), f"G={G} frame {f}: {k}"
+
+
+@pytest.mark.skipif(not _supported(), reason="no AVX-512 on this host")
 def test_simd_tokens_wide_batch(monkeypatch):
     """G > 8 splits into two 8-lane engines fanned over threads — the
     wide-lockstep (ALFALFA_BENCH_G=16) configuration."""
