@@ -392,7 +392,8 @@ class BatchedGopDecoder:
                 skip=np.stack([p[1].skip_coeff for p in per]).astype(np.uint8),
                 y2_coded=np.stack([p[1].y2_coded for p in per]).astype(np.uint8),
                 bmode=np.stack([p[1].bmode for p in per]),
-                sub_mv=np.stack([p[1].sub_mv for p in per]))
+                sub_mv=np.stack([p[1].sub_mv for p in per]),
+                splitmv_pid=np.stack([p[1].splitmv_pid for p in per]))
 
         # token decode: the G independent streams start NOW on background
         # OS threads (one native call; bit-serial range decode is the parse
@@ -426,7 +427,11 @@ class BatchedGopDecoder:
 
         smv = S["sub_mv"]
         mv0 = smv[:, :, :, 0, 0, :]
-        split = np.any(smv != mv0[:, :, :, None, None, :], axis=(3, 4, 5))
+        # non-SPLITMV MBs have all 16 sub-MVs equal by construction, so the
+        # parser's splitmv_pid flag replaces a 16x sub-MV equality scan
+        # (rarely a SPLITMV MB's sub-MVs are all equal — the sparse escape
+        # path still decodes those correctly, just less compactly)
+        split = S["splitmv_pid"] >= 0
         sidx = np.flatnonzero(split)
         cap_s = bucket(len(sidx), 256)
         split_idx = np.zeros(cap_s, np.int32)
@@ -438,46 +443,73 @@ class BatchedGopDecoder:
         split_idx[len(sidx):] = pad_row
         split_val[len(sidx):] = smv.reshape(-1, 4, 4, 2)[pad_row]
 
-        # per-segment dequant factor tables + segment map (device gathers)
+        # per-segment dequant factor tables + segment map (device gathers);
+        # one vectorized quantizer_values call over the (G, 4) index grid
         qf_table = np.zeros((self.G, len(_QF_KEYS), 4), np.int16)
-        for g, (header, arrays, chunk, _fp, _parser) in enumerate(per):
+        qi = np.zeros((G, 4), np.int32)
+        dq = np.zeros((G, 5), np.int32)
+        for g, (header, _arrays, _chunk, _fp, _parser) in enumerate(per):
+            qin = header.quant_indices
             seg = self.states[g].segmentation
             if seg is not None:
-                qs = [header.quant_indices.quantizer(
-                    int(seg.quantizer_adjustments[i]), seg.absolute)
-                    for i in range(4)]
+                # uint8 wrap before clamp (frame.cc:192-197 semantics,
+                # QuantIndices.quantizer)
+                adj = np.asarray(seg.quantizer_adjustments[:4], np.int32)
+                qi[g] = (adj + (0 if seg.absolute else qin.y_ac_qi)) & 0xFF
             else:
-                qs = [header.quant_indices.quantizer()] * 4
-            for ki, k in enumerate(_QF_KEYS):
-                qf_table[g, ki] = [int(q[k]) for q in qs]
+                qi[g] = qin.y_ac_qi
+            dq[g] = (qin.y_dc or 0, qin.y2_dc or 0, qin.y2_ac or 0,
+                     qin.uv_dc or 0, qin.uv_ac or 0)
+        from alfalfa_tpu.bitstream.tables import quantizer_values
+        qv = quantizer_values(qi, dq[:, 0:1], dq[:, 1:2], dq[:, 2:3],
+                              dq[:, 3:4], dq[:, 4:5])
+        for ki, k in enumerate(_QF_KEYS):
+            qf_table[:, ki] = qv[k]
 
         # loop-filter base level per MB (pre-clip, with segment/mode/ref
-        # adjustments; _frame_lf_params semantics) — limits derive on device
-        def lf_base(g):
-            header, arrays = per[g][0], per[g][1]
-            seg = self.states[g].segmentation
-            fa = self.states[g].filter_adjustments
-            R, C = self.mb_rows, self.mb_cols
-            if not header.loop_filter_level:
-                return np.zeros((R, C), np.int16)
-            if seg is not None:
-                base = seg.filter_adjustments[arrays.segment].astype(np.int32) + \
-                    (0 if seg.absolute else header.loop_filter_level)
-            else:
-                base = np.full((R, C), header.loop_filter_level, np.int32)
-            if fa is not None:
-                ref = arrays.ref.astype(np.int32)
-                ymode = arrays.ymode.astype(np.int32)
-                base = base + fa.ref_adjustments[ref].astype(np.int32)
-                mode_adj = np.where(
-                    ref == _T.CURRENT_FRAME,
-                    np.where(ymode == _T.B_PRED, fa.mode_adjustments[0], 0),
-                    np.where(ymode == _T.ZEROMV, fa.mode_adjustments[1],
-                             np.where(ymode == _T.SPLITMV,
-                                      fa.mode_adjustments[3],
-                                      fa.mode_adjustments[2]))).astype(np.int32)
-                base = base + mode_adj
-            return base.astype(np.int16)
+        # adjustments; _frame_lf_params semantics) — limits derive on
+        # device.  Per-lane scalars gathered into (G, ...) tables, then one
+        # vectorized expression over the whole batch.
+        def lf_base_batch():
+            lf_level = np.array([p[0].loop_filter_level for p in per],
+                                np.int32)
+            has_segf = np.zeros(G, bool)
+            seg_abs = np.zeros(G, bool)
+            segf = np.zeros((G, 4), np.int32)
+            has_fa = np.zeros(G, bool)
+            fa_ref = np.zeros((G, 4), np.int32)
+            fa_mode = np.zeros((G, 4), np.int32)
+            for g in range(G):
+                seg = self.states[g].segmentation
+                if seg is not None:
+                    has_segf[g] = True
+                    seg_abs[g] = seg.absolute
+                    segf[g] = seg.filter_adjustments[:4]
+                fa = self.states[g].filter_adjustments
+                if fa is not None:
+                    has_fa[g] = True
+                    fa_ref[g] = fa.ref_adjustments[:4]
+                    fa_mode[g] = fa.mode_adjustments[:4]
+            gi = np.arange(G)[:, None, None]
+            segmap = np.stack([p[1].segment for p in per]).astype(np.int32)
+            lfg = lf_level[:, None, None]
+            base = np.where(
+                has_segf[:, None, None],
+                segf[gi, segmap]
+                + np.where(seg_abs[:, None, None], 0, lfg),
+                lfg)
+            ref = S["ref"].astype(np.int32)
+            ymode = S["ymode"].astype(np.int32)
+            mode_adj = np.where(
+                ref == _T.CURRENT_FRAME,
+                np.where(ymode == _T.B_PRED, fa_mode[:, 0:1, None], 0),
+                np.where(ymode == _T.ZEROMV, fa_mode[:, 1:2, None],
+                         np.where(ymode == _T.SPLITMV,
+                                  fa_mode[:, 3:4, None],
+                                  fa_mode[:, 2:3, None])))
+            adj = np.where(has_fa[:, None, None],
+                           fa_ref[gi, ref] + mode_adj, 0)
+            return np.where(lfg > 0, base + adj, 0).astype(np.int16)
 
         # union of diagonals containing intra MBs (skip the rest on device;
         # the Pallas intra kernel does this internally on TPU)
@@ -517,7 +549,7 @@ class BatchedGopDecoder:
                  [p[0].refresh_last for p in per]], np.int16)
         buf16 = np.concatenate([
             mv0.ravel().astype(np.int16),
-            np.concatenate([lf_base(g).ravel() for g in range(G)]),
+            lf_base_batch().ravel(),
             qf_table.ravel(),
             np.array([p[0].sharpness_level for p in per], np.int16),
             fl.ravel()])
