@@ -698,7 +698,7 @@ int vp8_parse_tokens_gop_simd(
     Sched sched[16];
     std::vector<uint32_t> nz[16];
     std::vector<uint64_t> recs[16];
-    std::vector<uint32_t> rowbuf;
+    std::vector<uint32_t> rowbuf, rowbuf2;
   };
   static thread_local Workspace ws;
 
@@ -723,7 +723,8 @@ int vp8_parse_tokens_gop_simd(
   for (int g = 0; g < G; g++) lane_dfa[g] = ws.tables[table_of[g]].data();
   auto t1 = now();
 
-  /* padded stream arena: FastBool reads zeros past EOS */
+  /* padded stream arena: FastBool reads zeros past EOS.  The resize is
+   * one shot here; the per-lane copies happen inside the workers. */
   const int64_t total = off[G];
   const size_t need = (size_t)(total + (int64_t)16 * G + 16);
   if (ws.arena.size() < need) ws.arena.resize(need);
@@ -731,11 +732,8 @@ int vp8_parse_tokens_gop_simd(
   {
     int64_t w = 0;
     for (int g = 0; g < G; g++) {
-      const int64_t n = off[g + 1] - off[g];
       abase[g] = w;
-      memcpy(ws.arena.data() + w, data + off[g], n);
-      memset(ws.arena.data() + w + n, 0, 16);
-      w += n + 16;
+      w += off[g + 1] - off[g] + 16;
     }
   }
 
@@ -746,25 +744,31 @@ int vp8_parse_tokens_gop_simd(
   int64_t *vesc_count = seg_meta + 4 * G + 2;
   int64_t *last_out = seg_meta + 5 * G + 2;
 
-  for (int g = 0; g < G; g++) {
+  /* every per-lane stage (arena copy, schedule build, engine, record ->
+   * stream emission) runs inside that lane's engine worker, so with two
+   * engines on two cores the whole token phase parallelizes, not just
+   * the bool loop */
+  const int n_eng = (G + 7) / 8;
+  Lane lanes[16];
+  g_engine_iters = 0;
+  char eng_ok[2] = {1, 1};
+  char pb_overflow[16] = {};
+  const int64_t felems = n_mb * 400;
+
+  auto prep_one = [&](int g, std::vector<uint32_t> &rowbuf) {
+    const int64_t bytes = off[g + 1] - off[g];
+    memcpy(ws.arena.data() + abase[g], data + off[g], bytes);
+    memset(ws.arena.data() + abase[g] + bytes, 0, 16);
     build_schedule(skip + g * n_mb, y2_coded + g * n_mb, R, C, ws.sched[g],
-                   ws.rowbuf);
+                   rowbuf);
     if (ws.nz[g].size() < (size_t)(n_mb * 25 + 2))
       ws.nz[g].resize(n_mb * 25 + 2);     /* zero-filled on first growth */
-    const int64_t bytes = off[g + 1] - off[g];
     const size_t cap = (size_t)std::min<int64_t>(n_mb * 400,
                                                  4 * bytes + 4096);
     if (ws.recs[g].size() < cap) ws.recs[g].resize(cap);
-  }
-  auto t2 = now();
-
-  /* engines: 8 lanes each */
-  const int n_eng = (G + 7) / 8;
-  Lane lanes[16];
-  for (int g = 0; g < G; g++) {
     Lane &l = lanes[g];
     l.data = ws.arena.data() + abase[g];
-    l.size = off[g + 1] - off[g];
+    l.size = bytes;
     l.dfa = lane_dfa[g];
     l.sched = ws.sched[g].e.data();
     l.dense = ws.sched[g].dense.data();
@@ -773,56 +777,8 @@ int vp8_parse_tokens_gop_simd(
     l.rec = ws.recs[g].data();
     l.rec_cap = (int64_t)ws.recs[g].size();
     l.rec_count = 0;
-  }
-  g_engine_iters = 0;
-  char eng_ok[2] = {1, 1};
-  auto regrow = [&](int e) {
-    /* record-buffer overflow: retry once with the dense bound */
-    const int lo = e * 8, hi = std::min(G, lo + 8);
-    for (int g = lo; g < hi; g++) {
-      if (ws.recs[g].size() < (size_t)(n_mb * 400))
-        ws.recs[g].resize((size_t)(n_mb * 400));
-      lanes[g].rec = ws.recs[g].data();
-      lanes[g].rec_cap = (int64_t)ws.recs[g].size();
-      lanes[g].rec_count = 0;
-    }
   };
-  auto run_one = [&](int e) {
-    const int lo = e * 8, hi = std::min(G, lo + 8);
-    if (!run_engine(&lanes[lo], hi - lo)) {
-      regrow(e);
-      eng_ok[e] = run_engine(&lanes[lo], hi - lo) ? 1 : 0;
-    }
-  };
-  if (threads > 1 && n_eng > 1) {
-    std::vector<std::thread> ts;
-    for (int e = 0; e < n_eng; e++) ts.emplace_back(run_one, e);
-    for (auto &t : ts) t.join();
-  } else if (n_eng == 2) {
-    /* one core, two engines: interleave both dependency chains in a
-     * single loop — per-iteration latency (~75 cy) dominates the uop
-     * count, so the chains overlap for ~2x throughput */
-    const int nb = G - 8;
-    int ok = run_engine_pair(&lanes[0], 8, &lanes[8], nb);
-    if (!(ok & 1)) {
-      regrow(0);
-      eng_ok[0] = run_engine(&lanes[0], 8) ? 1 : 0;
-    }
-    if (!(ok & 2)) {
-      regrow(1);
-      eng_ok[1] = run_engine(&lanes[8], nb) ? 1 : 0;
-    }
-  } else {
-    for (int e = 0; e < n_eng; e++) run_one(e);
-  }
-  for (int e = 0; e < n_eng; e++)
-    if (!eng_ok[e]) return -1;
-  auto t3 = now();
-
-  /* phase B per lane */
-  const int64_t felems = n_mb * 400;
-  bool overflow = false;
-  for (int g = 0; g < G; g++) {
+  auto phase_b_one = [&](int g) {
     EmitCtx E;
     E.sp_delta = sp_delta;
     E.sp_val = sp_val;
@@ -838,21 +794,69 @@ int vp8_parse_tokens_gop_simd(
     E.overflow = false;
     phase_b(ws.recs[g].data(), lanes[g].rec_count, (int64_t)g * felems,
             has_nonzero_out + g * n_mb, E);
-    if (E.overflow) overflow = true;
+    pb_overflow[g] = E.overflow ? 1 : 0;
     seg_count[g] = E.p - seg_base[g];
     desc_count[g] = E.epos_d - esc_base[g];
     vesc_count[g] = E.epos_v - esc_base[g];
     last_out[g] = E.last;
+  };
+  auto regrow = [&](int e) {
+    /* record-buffer overflow: retry once with the dense bound */
+    const int lo = e * 8, hi = std::min(G, lo + 8);
+    for (int g = lo; g < hi; g++) {
+      if (ws.recs[g].size() < (size_t)(n_mb * 400))
+        ws.recs[g].resize((size_t)(n_mb * 400));
+      lanes[g].rec = ws.recs[g].data();
+      lanes[g].rec_cap = (int64_t)ws.recs[g].size();
+      lanes[g].rec_count = 0;
+    }
+  };
+  auto work_one = [&](int e, std::vector<uint32_t> &rowbuf) {
+    const int lo = e * 8, hi = std::min(G, lo + 8);
+    for (int g = lo; g < hi; g++) prep_one(g, rowbuf);
+    if (!run_engine(&lanes[lo], hi - lo)) {
+      regrow(e);
+      eng_ok[e] = run_engine(&lanes[lo], hi - lo) ? 1 : 0;
+    }
+    if (eng_ok[e])
+      for (int g = lo; g < hi; g++) phase_b_one(g);
+  };
+  auto t2 = now();
+  if (threads > 1 && n_eng > 1) {
+    std::vector<std::thread> ts;
+    for (int e = 0; e < n_eng; e++)
+      ts.emplace_back(work_one, e, std::ref(e ? ws.rowbuf2 : ws.rowbuf));
+    for (auto &t : ts) t.join();
+  } else if (n_eng == 2) {
+    /* one core, two engines: interleave both dependency chains in a
+     * single loop — per-iteration latency (~75 cy) dominates the uop
+     * count, so the chains overlap for ~2x throughput */
+    const int nb = G - 8;
+    for (int g = 0; g < G; g++) prep_one(g, ws.rowbuf);
+    int ok = run_engine_pair(&lanes[0], 8, &lanes[8], nb);
+    if (!(ok & 1)) {
+      regrow(0);
+      eng_ok[0] = run_engine(&lanes[0], 8) ? 1 : 0;
+    }
+    if (!(ok & 2)) {
+      regrow(1);
+      eng_ok[1] = run_engine(&lanes[8], nb) ? 1 : 0;
+    }
+    for (int g = 0; g < G && eng_ok[0] && eng_ok[1]; g++) phase_b_one(g);
+  } else {
+    for (int e = 0; e < n_eng; e++) work_one(e, ws.rowbuf);
   }
+  for (int e = 0; e < n_eng; e++)
+    if (!eng_ok[e]) return -1;
+  bool overflow = false;
+  for (int g = 0; g < G; g++) overflow |= pb_overflow[g] != 0;
   if (dbg) {
-    auto t4 = now();
+    auto t3 = now();
     fprintf(stderr,
-            "simd: dfa %.2f sched+alloc %.2f engine %.2f (%lld iters, "
-            "%.1f ns/iter) phaseB %.2f ms\n",
+            "simd: dfa %.2f setup %.2f prep+engine+emit %.2f "
+            "(%lld main-thread iters) ms\n",
             ms(t0, t1), ms(t1, t2), ms(t2, t3),
-            (long long)g_engine_iters,
-            g_engine_iters ? ms(t2, t3) * 1e6 / g_engine_iters : 0.0,
-            ms(t3, t4));
+            (long long)g_engine_iters);
   }
   return overflow ? -2 : 0;
 #endif
