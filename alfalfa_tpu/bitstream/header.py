@@ -425,6 +425,86 @@ class InterFrameHeader:
         write_mv_prob_update(be, self.mv_prob_update)
 
 
+def parse_frame_header_fast(first_partition, key_frame):
+    """Whole frame header via the native scalar parser (one C call instead
+    of ~60 Python bool reads + two native runs).  Returns (header,
+    (pos, range, value, bit_count)) with the decoder state positioned at
+    the MB headers, or None — no native library, or a stream feature the
+    Python parser reports precisely (color_space, simple filter)."""
+    try:
+        from alfalfa_tpu.native import bitwork
+        res = bitwork.parse_frame_header(first_partition, key_frame)
+    except (ImportError, AttributeError, OSError):
+        return None
+    if res is None:
+        return None
+    out, tf, tv, mf, mvv, state = res
+    SENT = -(1 << 31)
+    o = out.tolist()
+
+    def v(i):
+        return None if o[i] == SENT else o[i]
+
+    seg = None
+    if o[0]:
+        fd = None
+        if o[2]:
+            fd = SegmentFeatureData(bool(o[3]),
+                                    [v(4 + i) for i in range(4)],
+                                    [v(8 + i) for i in range(4)])
+        mp = [v(12 + i) for i in range(3)] if o[1] else None
+        seg = UpdateSegmentation(bool(o[1]), fd, mp)
+    lfu = None
+    if o[19]:
+        lfu = ModeRefLFDeltaUpdate([v(20 + i) for i in range(4)],
+                                   [v(24 + i) for i in range(4)])
+    qi = QuantIndices(o[29], v(30), v(31), v(32), v(33), v(34))
+    ti = np.flatnonzero(tf)
+    tok = {}
+    if len(ti):
+        keys = np.stack(np.unravel_index(ti, (4, 8, 3, 11)), axis=1).tolist()
+        tok = dict(zip(map(tuple, keys), tv[ti].tolist()))
+
+    if key_frame:
+        h = KeyFrameHeader()
+        h.color_space = bool(o[56])
+        h.clamping_type = bool(o[57])
+    else:
+        h = InterFrameHeader()
+        h.refresh_golden_frame = bool(o[37])
+        h.refresh_alternate_frame = bool(o[38])
+        h.copy_buffer_to_golden = v(39)
+        h.copy_buffer_to_alternate = v(40)
+        h.sign_bias_golden = bool(o[41])
+        h.sign_bias_alternate = bool(o[42])
+        h.refresh_last = bool(o[43])
+        h.prob_inter = o[44]
+        h.prob_references_last = o[45]
+        h.prob_references_golden = o[46]
+        h.intra_16x16_prob = ([o[48 + i] for i in range(4)] if o[47]
+                              else None)
+        h.intra_chroma_prob = ([o[53 + i] for i in range(3)] if o[52]
+                               else None)
+        mi = np.flatnonzero(mf)
+        if len(mi):
+            n = tables.MV_UPDATE_PROBS.shape[1]
+            h.mv_prob_update = {(int(i) // n, int(i) % n):
+                                ((int(mvv[i]) << 1) if mvv[i] else 1)
+                                for i in mi}
+    h.update_segmentation = seg
+    h.filter_type = bool(o[15])
+    h.loop_filter_level = o[16]
+    h.sharpness_level = o[17]
+    h.mode_lf_adjustments_enabled = bool(o[18])
+    h.mode_lf_adjustments = lfu
+    h.log2_number_of_dct_partitions = o[28]
+    h.quant_indices = qi
+    h.refresh_entropy_probs = bool(o[35])
+    h.token_prob_update = tok
+    h.prob_skip_false = v(36)
+    return h, tuple(int(x) for x in state)
+
+
 # ---------------------------------------------------------------------------
 # uncompressed chunk (frame tag + partition split)
 # ---------------------------------------------------------------------------

@@ -219,18 +219,33 @@ class FrameParser:
             self._parse_tokens(chunk, header, arrays, frame_probs)
         return header, arrays, frame_probs
 
+    def _parse_header_fields(self, chunk, key_frame):
+        """Frame-header grammar walk: one native C call on clean chunks
+        (bitwork.vp8_parse_frame_header), the declarative Python parse
+        otherwise.  Returns (header, bd) with bd at the MB headers."""
+        complete = chunk.corruption_level < CORRUPTED_FIRST_PARTITION
+        if complete:
+            from alfalfa_tpu.bitstream.header import parse_frame_header_fast
+            fast = parse_frame_header_fast(chunk.first_partition, key_frame)
+            if fast is not None:
+                header, (pos, rng, value, bit_count) = fast
+                bd = BoolDecoder(chunk.first_partition, True)
+                bd.pos, bd.range, bd.value, bd.bit_count = \
+                    pos, rng, value, bit_count
+                return header, bd
+        bd = BoolDecoder(chunk.first_partition, complete)
+        cls = KeyFrameHeader if key_frame else InterFrameHeader
+        return cls.parse(bd), bd
+
     def parse_header_phase(self, chunk):
         """Frame header + persistent-state updates only; returns (header,
         frame_probs, bd) with ``bd`` positioned at the MB headers.  The
         GOP-batched decoder uses this split to run the MB-header parse of
         G frames interleaved in one native call."""
         if chunk.key_frame:
-            bd = BoolDecoder(chunk.first_partition,
-                             chunk.corruption_level
-                             < CORRUPTED_FIRST_PARTITION)
             if chunk.experimental:
                 raise ValueError("experimental key frame")
-            header = KeyFrameHeader.parse(bd)
+            header, bd = self._parse_header_fields(chunk, key_frame=True)
 
             # keyframe resets all persistent state
             from alfalfa_tpu.state.decoder_state import DecoderState
@@ -246,9 +261,7 @@ class FrameParser:
                 self.state.probability_tables = frame_probs.copy()
             return header, frame_probs, bd
 
-        bd = BoolDecoder(chunk.first_partition,
-                         chunk.corruption_level < CORRUPTED_FIRST_PARTITION)
-        header = InterFrameHeader.parse(bd)
+        header, bd = self._parse_header_fields(chunk, key_frame=False)
 
         frame_probs = self.state.probability_tables.copy()
         frame_probs.update(header)

@@ -978,6 +978,138 @@ int vp8_parse_flagged_literals(const uint8_t *data, int64_t size,
   return 0;
 }
 
+/* Whole frame-header scalar parse (KeyFrameHeader.parse /
+ * InterFrameHeader.parse grammar, bitstream/header.py; reference
+ * decoder/frame_header.hh:37-325).  Fills a flat i32 record (INT32_MIN =
+ * absent optional) plus the token/mv prob-update flag+value runs; leaves
+ * the decoder state in state[4] = {pos, range, value, bit_count} so the
+ * Python BoolDecoder resumes at the MB headers.
+ *
+ * out[] layout:
+ *   0 has_update_segmentation  1 update_mb_segmentation_map
+ *   2 has_segment_feature_data 3 segment_feature_mode
+ *   4..7 quantizer_update[4]   8..11 loop_filter_update[4]
+ *   12..14 mb_segmentation_map probs[3]
+ *   15 filter_type  16 loop_filter_level  17 sharpness_level
+ *   18 mode_lf_adjustments_enabled  19 has_mode_lf_update
+ *   20..23 ref_update[4]  24..27 mode_update[4]
+ *   28 log2_number_of_dct_partitions
+ *   29 y_ac_qi  30..34 y_dc,y2_dc,y2_ac,uv_dc,uv_ac
+ *   35 refresh_entropy_probs  36 prob_skip_false
+ *   interframe only:
+ *   37 refresh_golden  38 refresh_alternate  39 copy_to_golden
+ *   40 copy_to_alternate  41 sign_bias_golden  42 sign_bias_alternate
+ *   43 refresh_last  44 prob_inter  45 prob_references_last
+ *   46 prob_references_golden  47 has_intra_16x16  48..51 y probs
+ *   52 has_intra_chroma  53..55 uv probs
+ *   keyframe only: 56 color_space  57 clamping_type
+ * Returns 0 ok, -3 unsupported stream feature (caller falls back to the
+ * Python parser, which raises the precise error). */
+int vp8_parse_frame_header(const uint8_t *data, int64_t size, int key_frame,
+                           int32_t *out, const uint8_t *tok_up,
+                           uint8_t *tok_flags, uint8_t *tok_vals,
+                           const uint8_t *mv_up, uint8_t *mv_flags,
+                           uint8_t *mv_vals, int64_t *state) {
+  BoolDecoder bd;
+  bd.init(data, size);
+  const int32_t SENT = INT32_MIN;
+  for (int i = 0; i < 64; i++) out[i] = SENT;
+  auto uns = [&](int w) {
+    int v = 0;
+    for (int b = 0; b < w; b++) v = (v << 1) | bd.get(128);
+    return v;
+  };
+  auto sgn = [&](int w) {
+    int v = uns(w);
+    return bd.get(128) ? -v : v;
+  };
+  auto flag_u = [&](int w) { return bd.get(128) ? (int32_t)uns(w) : SENT; };
+  auto flag_s = [&](int w) { return bd.get(128) ? (int32_t)sgn(w) : SENT; };
+
+  if (key_frame) {
+    out[56] = bd.get(128);
+    out[57] = bd.get(128);
+    if (out[56] || out[57]) return -3;   /* color_space / clamping_type */
+  }
+  const int has_seg = bd.get(128);
+  out[0] = has_seg;
+  if (has_seg) {
+    out[1] = bd.get(128);
+    const int has_fd = bd.get(128);
+    out[2] = has_fd;
+    if (has_fd) {
+      out[3] = bd.get(128);
+      for (int i = 0; i < 4; i++) out[4 + i] = flag_s(7);
+      for (int i = 0; i < 4; i++) out[8 + i] = flag_s(6);
+    }
+    if (out[1])
+      for (int i = 0; i < 3; i++) out[12 + i] = flag_u(8);
+  }
+  out[15] = bd.get(128);
+  if (out[15]) return -3;                /* 'simple' loop filter */
+  out[16] = uns(6);
+  out[17] = uns(3);
+  out[18] = bd.get(128);
+  out[19] = 0;
+  if (out[18]) {
+    out[19] = bd.get(128);
+    if (out[19]) {
+      for (int i = 0; i < 4; i++) out[20 + i] = flag_s(6);
+      for (int i = 0; i < 4; i++) out[24 + i] = flag_s(6);
+    }
+  }
+  out[28] = uns(2);
+  out[29] = uns(7);
+  for (int i = 0; i < 5; i++) out[30 + i] = flag_s(4);
+  if (!key_frame) {
+    out[37] = bd.get(128);
+    out[38] = bd.get(128);
+    if (!out[37]) out[39] = uns(2);
+    if (!out[38]) out[40] = uns(2);
+    out[41] = bd.get(128);
+    out[42] = bd.get(128);
+    out[35] = bd.get(128);
+    out[43] = bd.get(128);
+  } else {
+    out[35] = bd.get(128);
+  }
+  for (int i = 0; i < 1056; i++) {
+    if (bd.get(tok_up[i])) {
+      int v = 0;
+      for (int b = 0; b < 8; b++) v = (v << 1) | bd.get(128);
+      tok_flags[i] = 1;
+      tok_vals[i] = (uint8_t)v;
+    } else {
+      tok_flags[i] = 0;
+    }
+  }
+  out[36] = flag_u(8);
+  if (!key_frame) {
+    out[44] = uns(8);
+    out[45] = uns(8);
+    out[46] = uns(8);
+    out[47] = bd.get(128);
+    if (out[47])
+      for (int i = 0; i < 4; i++) out[48 + i] = uns(8);
+    out[52] = bd.get(128);
+    if (out[52])
+      for (int i = 0; i < 3; i++) out[53 + i] = uns(8);
+    for (int i = 0; i < 38; i++) {
+      if (bd.get(mv_up[i])) {
+        mv_flags[i] = 1;
+        mv_vals[i] = (uint8_t)uns(7);
+      } else {
+        mv_flags[i] = 0;
+      }
+    }
+  }
+  state[0] = bd.pos;
+  state[1] = bd.range_;
+  state[2] = bd.value;
+  state[3] = bd.bit_count;
+  return 0;
+}
+
 /* ---- token serialization (serializer.cc:388-426, 596-737) ---- */
 
 } // extern "C" — C++ helpers below

@@ -55,6 +55,10 @@ def _load():
          ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 4 + [ctypes.c_int, ctypes.c_int]
         + [ctypes.c_void_p] * 12)
+    lib.vp8_parse_frame_header.restype = ctypes.c_int
+    lib.vp8_parse_frame_header.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int] + \
+        [ctypes.c_void_p] * 8
     lib.vp8_write_flagged_literals.restype = ctypes.c_int
     lib.vp8_write_flagged_literals.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -475,6 +479,37 @@ def parse_tokens_gop_async(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     retry = (frame_parts, mb_rows, mb_cols, coeff_probs_list,
              skip_all, y2_all, has_nonzero_out, threads)
     return _TokenJob(lib, handle, su, bufs, retry)
+
+
+def parse_frame_header(data, key_frame):
+    """Native whole-frame-header scalar parse.  Returns (out_i32[64],
+    tok_flags, tok_vals, mv_flags, mv_vals, state_i64[4]) or None when the
+    stream needs the Python parser (unsupported features)."""
+    from alfalfa_tpu.bitstream import tables as T
+    lib = _load()
+    out = np.zeros(64, np.int32)
+    tok_flags = np.zeros(1056, np.uint8)
+    tok_vals = np.zeros(1056, np.uint8)
+    mv_flags = np.zeros(38, np.uint8)
+    mv_vals = np.zeros(38, np.uint8)
+    state = np.zeros(4, np.int64)
+    global _HDR_PROBS
+    if _HDR_PROBS is None:
+        _HDR_PROBS = (
+            np.ascontiguousarray(T.COEFF_UPDATE_PROBS.reshape(-1), np.uint8),
+            np.ascontiguousarray(T.MV_UPDATE_PROBS.reshape(-1), np.uint8))
+    tok_up, mv_up = _HDR_PROBS
+    data = bytes(data)
+    rc = lib.vp8_parse_frame_header(
+        data, len(data), int(key_frame), out.ctypes.data, tok_up.ctypes.data,
+        tok_flags.ctypes.data, tok_vals.ctypes.data, mv_up.ctypes.data,
+        mv_flags.ctypes.data, mv_vals.ctypes.data, state.ctypes.data)
+    if rc != 0:
+        return None
+    return out, tok_flags, tok_vals, mv_flags, mv_vals, state
+
+
+_HDR_PROBS = None
 
 
 def parse_flagged_literals(bd, update_probs, n, width):
