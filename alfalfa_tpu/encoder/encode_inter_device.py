@@ -36,9 +36,14 @@ def _ps_rowperm(S):
     return perm
 
 
-def _inter_raw(R, C, realtime, interpret):
-    """The un-jitted kernel wrapper (vmap-able over the scalars arg)."""
+def _inter_raw(R, C, realtime, interpret, sparse=False):
+    """The un-jitted kernel wrapper (vmap-able over the scalars arg).
+    With ``sparse``, also returns the compact coefficient triple so the
+    D2H fetch skips the dense (R, C, 400) tile (device_fetch)."""
     from alfalfa_tpu.ops import enc_inter_pallas as EK
+    from . import device_fetch
+
+    cap = device_fetch.cap_for(R * C * 400)
 
     def f(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
           refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
@@ -48,7 +53,8 @@ def _inter_raw(R, C, realtime, interpret):
             refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
             sadcost, mvcost, realtime, interpret=interpret)
         import jax.numpy as jnp
-        return (co, md, ry.astype(jnp.uint8).reshape(R, C, 256),
+        sp = device_fetch.compact(co.reshape(-1), cap) if sparse else None
+        return (co, sp, md, ry.astype(jnp.uint8).reshape(R, C, 256),
                 ru.astype(jnp.uint8).reshape(R, C, 64),
                 rv.astype(jnp.uint8).reshape(R, C, 64))
 
@@ -56,11 +62,13 @@ def _inter_raw(R, C, realtime, interpret):
 
 
 def _inter_fn(R, C, realtime, interpret):
-    key = (R, C, realtime, interpret)
+    from . import device_fetch
+    sparse = device_fetch.enabled()
+    key = (R, C, realtime, interpret, sparse)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     import jax
-    f = _inter_raw(R, C, realtime, interpret)
+    f = _inter_raw(R, C, realtime, interpret, sparse)
     fn = jax.jit(f) if not interpret else f
     _FN_CACHE[key] = fn
     return fn
@@ -139,11 +147,15 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
     orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
     mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
 
-    co, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
+    co, sp, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
         *planes, jnp.asarray(_scalars_for(quant_indices)),
         mbc, ibc, mvc2p, pcost, sadcost, mvcost)
 
-    co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+    from . import device_fetch
+    if sp is not None:
+        co_h = device_fetch.rebuild(sp, co, R * C * 400).reshape(R, C, 400)
+    else:
+        co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
     md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
     arrays, recon = _outputs_to_frame(co_h, md_h, np.asarray(ry),
                                       np.asarray(ru), np.asarray(rv),
@@ -201,25 +213,34 @@ def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
     mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
     scalars = jnp.asarray(np.stack([_scalars_for(qi) for qi in quant_list]))
 
-    key = (R, C, realtime, interpret, n)
+    from . import device_fetch
+    sparse = device_fetch.enabled()
+    key = (R, C, realtime, interpret, n, sparse)
     fn = _FN_CACHE.get(key)
     if fn is None:
-        vf = jax.vmap(_inter_raw(R, C, realtime, interpret),
+        vf = jax.vmap(_inter_raw(R, C, realtime, interpret, sparse),
                       in_axes=(None,) * 10 + (0,) + (None,) * 6)
         fn = vf if interpret else jax.jit(vf)
         _FN_CACHE[key] = fn
 
-    co, md, ry, ru, rv = fn(*planes, scalars, mbc, ibc, mvc2p, pcost,
-                            sadcost, mvcost)
-    co_h = np.asarray(co)
+    co, sp, md, ry, ru, rv = fn(*planes, scalars, mbc, ibc, mvc2p, pcost,
+                                sadcost, mvcost)
     md_h = np.asarray(md)
     ry_h, ru_h, rv_h = np.asarray(ry), np.asarray(ru), np.asarray(rv)
+    if sp is not None:
+        idx, val, cnt = sp
+        co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]), co[i],
+                                        R * C * 400)
+                   for i in range(n)]
+    else:
+        co_all = np.asarray(co)
+        co_rows = [co_all[i].reshape(-1).astype(np.int16) for i in range(n)]
 
     results = []
     for i, (enc, qi) in enumerate(zip(encoders, quant_list)):
         header = make_inter_header(qi, None)
         arrays, recon = _outputs_to_frame(
-            co_h[i].reshape(R, C, 400).astype(np.int16),
+            co_rows[i].reshape(R, C, 400),
             md_h[i].reshape(R, C, 32).astype(np.int32),
             ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
         results.append(finish_interframe(enc, header, arrays, recon, orig,

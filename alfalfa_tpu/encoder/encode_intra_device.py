@@ -57,11 +57,14 @@ _FN_CACHE = {}
 
 def _kf_fn(R, C, interpret):
     """Jitted (skew + kernel) pipeline, cached per geometry."""
-    key = (R, C, interpret)
+    from . import device_fetch
+    sparse = device_fetch.enabled()
+    key = (R, C, interpret, sparse)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     import jax
     from alfalfa_tpu.ops import enc_intra_pallas as EK
+    cap = device_fetch.cap_for(R * C * 400)
 
     sched = RJ.skew_schedule(R, C)
     nd, Rp = sched["n_diags"], sched["R_pad"]
@@ -84,7 +87,10 @@ def _kf_fn(R, C, interpret):
         def unsk(x):
             return jnp.take(x.reshape(nd * Rp, x.shape[-1]), unskew, axis=0)
 
-        return (unsk(co), unsk(md).astype(jnp.int8),
+        co_u = unsk(co)
+        from . import device_fetch as DF
+        sp = DF.compact(co_u.reshape(-1), cap) if sparse else None
+        return (co_u, sp, unsk(md).astype(jnp.int8),
                 unsk(ry).astype(jnp.uint8), unsk(ru).astype(jnp.uint8),
                 unsk(rv).astype(jnp.uint8))
 
@@ -123,12 +129,16 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
     blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
 
-    co, md, ry, ru, rv = _kf_fn(R, C, interpret)(
+    co, sp, md, ry, ru, rv = _kf_fn(R, C, interpret)(
         jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(ou_t),
         jnp.asarray(ov_t), jnp.asarray(scalars), jnp.asarray(mbc),
         bhi, blo)
 
-    co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+    from . import device_fetch
+    if sp is not None:
+        co_h = device_fetch.rebuild(sp, co, R * C * 400).reshape(R, C, 400)
+    else:
+        co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
     md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
     ry_h = np.asarray(ry).reshape(R, C, 256)
     ru_h = np.asarray(ru).reshape(R, C, 64)

@@ -84,7 +84,11 @@ def _fn_core(R, C):
 
         coeffs = jnp.concatenate([co_y, co_u, co_v, y2q], axis=1)  # (n, 400)
         nz = jnp.any(coeffs != 0, axis=1)
-        return (coeffs.astype(jnp.int16), nz,
+        coeffs = coeffs.astype(jnp.int16)
+        from . import device_fetch as DF
+        sp = (DF.compact(coeffs.reshape(-1), DF.cap_for(R * C * 400))
+              if DF.enabled() else None)
+        return (coeffs, sp, nz,
                 _blocks_to_tiles(rec_y, R, C, 16).astype(jnp.uint8),
                 _blocks_to_tiles(rec_u, R, C, 8).astype(jnp.uint8),
                 _blocks_to_tiles(rec_v, R, C, 8).astype(jnp.uint8))
@@ -93,10 +97,12 @@ def _fn_core(R, C):
 
 
 def _fn(R, C):
-    if (R, C) in _FN_CACHE:
-        return _FN_CACHE[(R, C)]
+    from . import device_fetch
+    key = (R, C, device_fetch.enabled())
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     fn = jax.jit(_fn_core(R, C))
-    _FN_CACHE[(R, C)] = fn
+    _FN_CACHE[key] = fn
     return fn
 
 
@@ -121,14 +127,18 @@ def apply_inter_residues_device(orig, recon, arrays, q, references):
     qs = np.array([q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
                    q["uv_dc"], q["uv_ac"], 0, 0], np.int32)
 
-    co, nz, rec_y, rec_u, rec_v = _fn(R, C)(
+    co, sp, nz, rec_y, rec_u, rec_v = _fn(R, C)(
         tiles(oy, 16), tiles(ou, 8), tiles(ov, 8), ry, ru, rv,
         jnp.asarray(arrays.ref.astype(np.int32)),
         jnp.asarray(arrays.sub_mv.astype(np.int32)),
         jnp.asarray(arrays.uv_mv.astype(np.int32)),
         jnp.asarray(splitmv), jnp.asarray(qs))
 
-    co = np.asarray(co).reshape(R, C, 25, 16)
+    from . import device_fetch
+    if sp is not None:
+        co = device_fetch.rebuild(sp, co, R * C * 400).reshape(R, C, 25, 16)
+    else:
+        co = np.asarray(co).reshape(R, C, 25, 16)
     nz = np.asarray(nz).reshape(R, C)
     rec_y = np.asarray(rec_y)
     rec_u = np.asarray(rec_u)
