@@ -44,15 +44,28 @@ def _inter_raw(R, C, realtime, interpret, sparse=False):
     from . import device_fetch
 
     cap = device_fetch.cap_for(R * C * 400)
+    perm16 = _tile_perm(16)
+    perm8 = _tile_perm(8)
+    rp16 = _ps_rowperm(16)
 
-    def f(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
+    def f(oy_u8, ou_u8, ov_u8,
           refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
           sadcost, mvcost):
+        import jax.numpy as jnp
+        # one uint8 upload per plane; the kernel's three layouts
+        # (row-major tile / subblock-major / phase-split) are device-side
+        # gathers — the H2D link carries 1.2 MB instead of 5.5 per frame
+        oy_t = oy_u8.astype(jnp.int16)
+        oy_b = oy_t[:, :, perm16]
+        oy_ps = oy_t.reshape(R, C, 16, 16)[:, :, rp16, :]
+        ou_t = ou_u8.astype(jnp.int16)
+        ov_t = ov_u8.astype(jnp.int16)
+        ou_b = ou_t[:, :, perm8]
+        ov_b = ov_t[:, :, perm8]
         co, md, ry, ru, rv = EK.encode_inter_frame(
             oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
             refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
             sadcost, mvcost, realtime, interpret=interpret)
-        import jax.numpy as jnp
         sp = device_fetch.compact(co.reshape(-1), cap) if sparse else None
         return (co, sp, md, ry.astype(jnp.uint8).reshape(R, C, 256),
                 ru.astype(jnp.uint8).reshape(R, C, 64),
@@ -86,15 +99,9 @@ def _kernel_inputs(encoder, yuv, interpret):
     refs = encoder.references
     refs.last.to_host()
 
-    perm16 = _tile_perm(16)
-    perm8 = _tile_perm(8)
-    oy_t = _plane_tiles(orig.y.astype(np.int16), R, C, 16)
-    oy_b = oy_t[:, :, perm16]
-    oy_ps = oy_t.reshape(R, C, 16, 16)[:, :, _ps_rowperm(16), :]
-    ou_t = _plane_tiles(orig.u.astype(np.int16), R, C, 8)
-    ov_t = _plane_tiles(orig.v.astype(np.int16), R, C, 8)
-    ou_b = ou_t[:, :, perm8]
-    ov_b = ov_t[:, :, perm8]
+    oy_u8 = _plane_tiles(orig.y, R, C, 16)
+    ou_u8 = _plane_tiles(orig.u, R, C, 8)
+    ov_u8 = _plane_tiles(orig.v, R, C, 8)
 
     refy_p = pack_refs32(pad_refs(jnp.asarray(refs.last.y)))
     refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
@@ -112,9 +119,8 @@ def _kernel_inputs(encoder, yuv, interpret):
         encoder.state.probability_tables.mv_probs)
     mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
 
-    return orig, (jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(oy_ps),
-                  jnp.asarray(ou_t), jnp.asarray(ov_t), jnp.asarray(ou_b),
-                  jnp.asarray(ov_b), refy_p, refu_p, refv_p), \
+    return orig, (jnp.asarray(oy_u8), jnp.asarray(ou_u8),
+                  jnp.asarray(ov_u8), refy_p, refu_p, refv_p), \
         (jnp.asarray(mbc), jnp.asarray(ibc), jnp.asarray(mvc2p),
          jnp.asarray(pcost), jnp.asarray(sadcost), jnp.asarray(mvcost))
 
@@ -219,7 +225,7 @@ def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
     fn = _FN_CACHE.get(key)
     if fn is None:
         vf = jax.vmap(_inter_raw(R, C, realtime, interpret, sparse),
-                      in_axes=(None,) * 10 + (0,) + (None,) * 6)
+                      in_axes=(None,) * 6 + (0,) + (None,) * 6)
         fn = vf if interpret else jax.jit(vf)
         _FN_CACHE[key] = fn
 

@@ -76,7 +76,15 @@ def _kf_fn(R, C, interpret):
 
     unskew = jnp.asarray(sched["unskew_idx"].reshape(-1))
 
-    def f(oy_t, oy_b, ou_t, ov_t, scalars, mbc, bhi, blo):
+    perm16 = _tile_perm(16)
+
+    def f(oy_u8, ou_u8, ov_u8, scalars, mbc, bhi, blo):
+        # one uint8 upload per plane; subblock layout + int16 widen happen
+        # on device (H2D carries 1.2 MB instead of 4.6 per 720p frame)
+        oy_t = oy_u8.astype(jnp.int16)
+        oy_b = oy_t[:, :, perm16]
+        ou_t = ou_u8.astype(jnp.int16)
+        ov_t = ov_u8.astype(jnp.int16)
         sk = lambda x: RJ._skew(x, scat, nd, Rp)[RJ.DPAD:]
         co, md, ry, ru, rv = EK.encode_kf_frame(
             sk(oy_t), sk(oy_b), sk(ou_t), sk(ov_t),
@@ -114,10 +122,9 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     sched = RJ.skew_schedule(R, C)
     nd, Rp = sched["n_diags"], sched["R_pad"]
 
-    oy_t = _plane_tiles(oy.astype(np.int16), R, C, 16)
-    oy_b = oy_t[:, :, _tile_perm(16)]
-    ou_t = _plane_tiles(ou.astype(np.int16), R, C, 8)
-    ov_t = _plane_tiles(ov.astype(np.int16), R, C, 8)
+    oy_u8 = _plane_tiles(oy, R, C, 16)
+    ou_u8 = _plane_tiles(ou, R, C, 8)
+    ov_u8 = _plane_tiles(ov, R, C, 8)
 
     scalars = np.array([[q["y_dc"], q["y_ac"], q["y2_dc"], q["y2_ac"],
                          q["uv_dc"], q["uv_ac"], rate_mult, dist_mult]],
@@ -130,9 +137,8 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
 
     co, sp, md, ry, ru, rv = _kf_fn(R, C, interpret)(
-        jnp.asarray(oy_t), jnp.asarray(oy_b), jnp.asarray(ou_t),
-        jnp.asarray(ov_t), jnp.asarray(scalars), jnp.asarray(mbc),
-        bhi, blo)
+        jnp.asarray(oy_u8), jnp.asarray(ou_u8), jnp.asarray(ov_u8),
+        jnp.asarray(scalars), jnp.asarray(mbc), bhi, blo)
 
     from . import device_fetch
     if sp is not None:

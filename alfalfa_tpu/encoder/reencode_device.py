@@ -71,6 +71,10 @@ def _fn_core(R, C):
         return co, recon
 
     def f(oy_t, ou_t, ov_t, ry, ru, rv, refsel, sub_mv, uv_mv, splitmv, qs):
+        # orig tiles arrive uint8; widen on device (4x less H2D)
+        oy_t = oy_t.astype(jnp.int32)
+        ou_t = ou_t.astype(jnp.int32)
+        ov_t = ov_t.astype(jnp.int32)
         pred_y = sixtap.predict_mb_tiles(ry, refsel, sub_mv, 16)
         pred_u = sixtap.predict_mb_tiles(ru, refsel, uv_mv, 8)
         pred_v = sixtap.predict_mb_tiles(rv, refsel, uv_mv, 8)
@@ -113,8 +117,8 @@ def apply_inter_residues_device(orig, recon, arrays, q, references):
     R, C = arrays.mb_rows, arrays.mb_cols
 
     def tiles(plane, S):
-        return jnp.asarray(plane.reshape(R, S, C, S)
-                           .transpose(0, 2, 1, 3).astype(np.int32))
+        return jnp.asarray(np.ascontiguousarray(
+            plane.reshape(R, S, C, S).transpose(0, 2, 1, 3)))
 
     refs = references
     ry = jnp.asarray(np.stack([refs.last.y, refs.last.y, refs.golden.y,

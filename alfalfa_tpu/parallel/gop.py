@@ -99,9 +99,9 @@ def gop_encode_step(mesh, mb_rows, mb_cols, n_chunks, axis="gop", seed=0):
     R, C = mb_rows, mb_cols
     H, W = R * 16, C * 16
     rng = np.random.RandomState(seed)
-    oy = rng.randint(0, 256, (n_chunks, H, W)).astype(np.int16)
-    ou = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.int16)
-    ov = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.int16)
+    oy = rng.randint(0, 256, (n_chunks, H, W)).astype(np.uint8)
+    ou = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.uint8)
+    ov = rng.randint(0, 256, (n_chunks, H // 2, W // 2)).astype(np.uint8)
 
     q = {k: int(v) for k, v in
          QuantIndices(y_ac_qi=48).quantizer().items()}
@@ -118,14 +118,12 @@ def gop_encode_step(mesh, mb_rows, mb_cols, n_chunks, axis="gop", seed=0):
 
     interpret = jax.default_backend() != "tpu"
     kf = EID._kf_fn(R, C, interpret)
-    perm = EID._tile_perm(16)
 
     def one(oy1, ou1, ov1):
-        oyt = EID._plane_tiles(oy1, R, C, 16)
-        co, md, ry, ru, rv = kf(oyt, oyt[:, :, perm],
-                                EID._plane_tiles(ou1, R, C, 8),
-                                EID._plane_tiles(ov1, R, C, 8),
-                                scalars, mbc, bhi, blo)
+        co, _sp, md, ry, ru, rv = kf(EID._plane_tiles(oy1, R, C, 16),
+                                     EID._plane_tiles(ou1, R, C, 8),
+                                     EID._plane_tiles(ov1, R, C, 8),
+                                     scalars, mbc, bhi, blo)
         return co, ry
 
     def shard_fn(oy_s, ou_s, ov_s):
@@ -182,7 +180,7 @@ def gop_rebase_chain(mesh, mb_rows, mb_cols, n_frames, axis="gop"):
         def frame_body(refs, xs):
             oy1, ou1, ov1, rs, mv, uvm, sp = xs
             ry, ru, rv = refs
-            co, nz, rec_y, rec_u, rec_v = frame_fn(
+            co, _spf, nz, rec_y, rec_u, rec_v = frame_fn(
                 tiles(oy1, 16), tiles(ou1, 8), tiles(ov1, 8),
                 ry, ru, rv, rs, mv, uvm, sp, qs)
             rec = {}

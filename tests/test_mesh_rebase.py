@@ -51,7 +51,7 @@ def _serial_oracle(inputs, refs0, R, C):
     for d in range(oy.shape[0]):
         co_c, nz_c = [], []
         for f in range(oy.shape[1]):
-            co, nz, rec_y, rec_u, rec_v = frame_fn(
+            co, _sp, nz, rec_y, rec_u, rec_v = frame_fn(
                 tiles(oy[d, f], 16), tiles(ou[d, f], 8), tiles(ov[d, f], 8),
                 ry, ru, rv, jnp.asarray(refsel[d, f]),
                 jnp.asarray(smv[d, f]), jnp.asarray(uvmv[d, f]),

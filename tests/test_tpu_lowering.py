@@ -33,8 +33,8 @@ def test_kf_encode_kernel_lowers():
     kf = EID._kf_fn(R, C, False)
     z = jax.ShapeDtypeStruct
     _export(kf,
-            z((R, C, 256), jnp.int32), z((R, C, 256), jnp.int32),
-            z((R, C, 64), jnp.int32), z((R, C, 64), jnp.int32),
+            z((R, C, 256), jnp.uint8), z((R, C, 64), jnp.uint8),
+            z((R, C, 64), jnp.uint8),
             z((1, 8), jnp.int32), z((1, 8), jnp.int32),
             z((100, 10), jnp.bfloat16), z((100, 10), jnp.bfloat16))
 
@@ -49,10 +49,8 @@ def test_inter_encode_kernel_lowers(realtime):
     f = _inter_raw(R, C, realtime, False)
     z = jax.ShapeDtypeStruct
     _export(f,
-            z((R, C, 256), jnp.int16), z((R, C, 256), jnp.int16),
-            z((R, C, 16, 16), jnp.int16),
-            z((R, C, 64), jnp.int16), z((R, C, 64), jnp.int16),
-            z((R, C, 64), jnp.int16), z((R, C, 64), jnp.int16),
+            z((R, C, 256), jnp.uint8),
+            z((R, C, 64), jnp.uint8), z((R, C, 64), jnp.uint8),
             z(ry.shape, jnp.int32), z(ru.shape, jnp.int32),
             z(ru.shape, jnp.int32),
             z((16,), jnp.int32), z((8,), jnp.int32), z((16,), jnp.int32),
