@@ -604,6 +604,8 @@ int vp8_parse_tokens_mt(int threads,
  * disjoint ranges can run on separate threads (vp8_parse_tokens_gop_mt)
  * and produce bit-identical results to the serial call.
  * Returns true if any segment or escape list overflowed. */
+constexpr int kMaxG = 32;   /* widest GOP lockstep batch */
+
 static bool parse_tokens_range(
                          int g0, int g1, int G, int mb_rows, int mb_cols,
                          const uint8_t *data, const int64_t *offsets,
@@ -615,7 +617,7 @@ static bool parse_tokens_range(
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
   const int R = mb_rows, C = mb_cols;
-  FastBool decs[16][8];
+  FastBool decs[kMaxG][8];
   for (int g = g0; g < g1; g++) {
     for (int p = 0; p < nparts[g]; p++) {
       const int64_t b = offsets[part_base[g] + p];
@@ -628,7 +630,8 @@ static bool parse_tokens_range(
   int64_t *desc_count = seg_meta + 3 * G + 2;
   int64_t *vesc_count = seg_meta + 4 * G + 2;
   int64_t *last_out = seg_meta + 5 * G + 2;
-  int64_t seg_pos[16], desc_pos_g[16], vesc_pos_g[16], last_idx[16];
+  int64_t seg_pos[kMaxG], desc_pos_g[kMaxG], vesc_pos_g[kMaxG],
+      last_idx[kMaxG];
   bool overflow = false;
   const int64_t felems = (int64_t)mb_rows * mb_cols * 400;
   for (int g = g0; g < g1; g++) {
@@ -680,13 +683,13 @@ static bool parse_tokens_range(
   uint8_t *v_nz = new uint8_t[(size_t)G * R * 2 * C * 2]();
   uint8_t *y2_above = new uint8_t[(size_t)G * C]();
   uint8_t *y2_above_valid = new uint8_t[(size_t)G * C]();
-  uint8_t y2_left[16], y2_left_valid[16];
-  FastBool *bd_row[16];
+  uint8_t y2_left[kMaxG], y2_left_valid[kMaxG];
+  FastBool *bd_row[kMaxG];
   /* per-(g) per-MB scratch */
-  uint8_t live[16];     /* not skipped */
-  uint32_t y2_pend[16]; /* buffered Y2 mask awaiting ordered emission */
-  int16_t y2_tmp[16 * 16];
-  int mb_nz[16];
+  uint8_t live[kMaxG];     /* not skipped */
+  uint32_t y2_pend[kMaxG]; /* buffered Y2 mask awaiting ordered emission */
+  int16_t y2_tmp[kMaxG * 16];
+  int mb_nz[kMaxG];
 
   for (int r = 0; r < R; r++) {
     for (int g = g0; g < g1; g++) {
@@ -745,10 +748,10 @@ static bool parse_tokens_range(
        * Per-(g, MB) constants (probs base, first index, dense element
        * base, nz-plane corner) hoist out of the 16-subblock loop. */
       {
-        const uint8_t *probs_y[16];
-        int first_y[16];
-        int64_t ybase[16];      /* dense element index of Y block 0 */
-        uint8_t *nzc[16];       /* nz-plane corner (gr0, gc0) */
+        const uint8_t *probs_y[kMaxG];
+        int first_y[kMaxG];
+        int64_t ybase[kMaxG];   /* dense element index of Y block 0 */
+        uint8_t *nzc[kMaxG];    /* nz-plane corner (gr0, gc0) */
         for (int g = g0; g < g1; g++) {
           if (!live[g]) continue;
           const int y2c = y2_coded[g * R * C + mb];
@@ -838,7 +841,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
-  if (G < 1 || G > 16) return -1;
+  if (G < 1 || G > kMaxG) return -1;
   for (int g = 0; g < G; g++)
     if (nparts[g] < 1 || nparts[g] > 8) return -1;
   return parse_tokens_range(0, G, G, mb_rows, mb_cols, data, offsets,
@@ -862,7 +865,7 @@ int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
-  if (G < 1 || G > 16) return -1;
+  if (G < 1 || G > kMaxG) return -1;
   for (int g = 0; g < G; g++)
     if (nparts[g] < 1 || nparts[g] > 8) return -1;
   if (threads > G) threads = G;
@@ -872,7 +875,7 @@ int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
                               has_nonzero_out, sp_delta, sp_val, desc_pos,
                               desc_extra, vesc_pos, vesc_val, seg_meta)
                ? -2 : 0;
-  bool ov[16] = {};
+  bool ov[kMaxG] = {};
   std::vector<std::thread> ts;
   ts.reserve(threads);
   for (int t = 0; t < threads; t++) {
@@ -899,7 +902,7 @@ int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
  * valid until join returns. */
 struct GopTokenJob {
   std::vector<std::thread> ts;
-  bool ov[16];
+  bool ov[kMaxG];
 };
 
 void *vp8_parse_tokens_gop_mt_start(
@@ -912,7 +915,7 @@ void *vp8_parse_tokens_gop_mt_start(
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
-  if (G < 1 || G > 16) return nullptr;
+  if (G < 1 || G > kMaxG) return nullptr;
   for (int g = 0; g < G; g++)
     if (nparts[g] < 1 || nparts[g] > 8) return nullptr;
   if (threads > G) threads = G;
@@ -939,7 +942,7 @@ int vp8_parse_tokens_gop_mt_join(void *p) {
   GopTokenJob *job = (GopTokenJob *)p;
   for (auto &th : job->ts) th.join();
   int rc = 0;
-  for (int t = 0; t < 16; t++)
+  for (int t = 0; t < kMaxG; t++)
     if (job->ov[t]) rc = -2;
   delete job;
   return rc;

@@ -472,7 +472,7 @@ static int parse_headers_range(
     int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
   const int R = mb_rows, C = mb_cols;
   const int64_t n = (int64_t)R * C;
-  FrameHdrCtx fs[16];
+  FrameHdrCtx fs[32];
   for (int g = g0; g < g1; g++) {
     FrameHdrCtx &f = fs[g];
     const int32_t *p = params + g * 12;
@@ -556,7 +556,7 @@ int vp8_parse_mb_headers_gop(
     int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
     uint8_t *skip, uint8_t *y2_coded, int8_t *bmode,
     int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
-  if (G < 1 || G > 16) return -1;
+  if (G < 1 || G > 32) return -1;
   return parse_headers_range(0, G, mb_rows, mb_cols, data, off, states,
                              params, seg_tree_probs, y_mode_probs,
                              uv_mode_probs, kf_b_mode_probs, mv_probs,
@@ -578,7 +578,7 @@ int vp8_parse_mb_headers_gop_mt(
     int8_t *ymode, int8_t *uvmode, int8_t *ref, int16_t *segment_update,
     uint8_t *skip, uint8_t *y2_coded, int8_t *bmode,
     int16_t *sub_mv, int16_t *uv_mv, int8_t *splitmv_pid) {
-  if (G < 1 || G > 16) return -1;
+  if (G < 1 || G > 32) return -1;
   if (threads > G) threads = G;
   if (threads <= 1)
     return parse_headers_range(0, G, mb_rows, mb_cols, data, off, states,

@@ -678,7 +678,7 @@ int vp8_parse_tokens_gop_simd(
   (void)desc_extra; (void)vesc_pos; (void)vesc_val; (void)seg_meta;
   return -1;
 #else
-  if (G < 1 || G > 16) return -1;
+  if (G < 1 || G > 32) return -1;
   const int R = mb_rows, C = mb_cols;
   const int64_t n_mb = (int64_t)R * C;
   const bool dbg = getenv("ALFALFA_SIMD_DEBUG") != nullptr;
@@ -693,18 +693,18 @@ int vp8_parse_tokens_gop_simd(
    * redundant zero-fill (nz slots are written before any read within a
    * frame; slot 0 is reserved and only ever written 0) */
   struct Workspace {
-    std::vector<uint64_t> tables[16];
+    std::vector<uint64_t> tables[32];
     std::vector<uint8_t> arena;
-    Sched sched[16];
-    std::vector<uint32_t> nz[16];
-    std::vector<uint64_t> recs[16];
+    Sched sched[32];
+    std::vector<uint32_t> nz[32];
+    std::vector<uint64_t> recs[32];
     std::vector<uint32_t> rowbuf, rowbuf2;
   };
   static thread_local Workspace ws;
 
   /* DFA tables, shared between lanes with identical prob bytes */
-  const uint64_t *lane_dfa[16];
-  int table_of[16];
+  const uint64_t *lane_dfa[32];
+  int table_of[32];
   int n_tables = 0;
   for (int g = 0; g < G; g++) {
     const uint8_t *pg = coeff_probs + (size_t)g * 1056;
@@ -728,7 +728,7 @@ int vp8_parse_tokens_gop_simd(
   const int64_t total = off[G];
   const size_t need = (size_t)(total + (int64_t)16 * G + 16);
   if (ws.arena.size() < need) ws.arena.resize(need);
-  int64_t abase[16];
+  int64_t abase[32];
   {
     int64_t w = 0;
     for (int g = 0; g < G; g++) {
@@ -749,10 +749,10 @@ int vp8_parse_tokens_gop_simd(
    * engines on two cores the whole token phase parallelizes, not just
    * the bool loop */
   const int n_eng = (G + 7) / 8;
-  Lane lanes[16];
+  Lane lanes[32];
   g_engine_iters = 0;
-  char eng_ok[2] = {1, 1};
-  char pb_overflow[16] = {};
+  char eng_ok[4] = {1, 1, 1, 1};
+  char pb_overflow[32] = {};
   const int64_t felems = n_mb * 400;
 
   auto prep_one = [&](int g, std::vector<uint32_t> &rowbuf) {
@@ -827,22 +827,33 @@ int vp8_parse_tokens_gop_simd(
     for (int e = 0; e < n_eng; e++)
       ts.emplace_back(work_one, e, std::ref(e ? ws.rowbuf2 : ws.rowbuf));
     for (auto &t : ts) t.join();
-  } else if (n_eng == 2) {
-    /* one core, two engines: interleave both dependency chains in a
-     * single loop — per-iteration latency (~75 cy) dominates the uop
-     * count, so the chains overlap for ~2x throughput */
-    const int nb = G - 8;
+  } else if (n_eng > 1) {
+    /* one core, several engines: interleave two dependency chains per
+     * loop — per-iteration latency (~75 cy) dominates the uop count, so
+     * paired chains overlap for ~2x throughput */
     for (int g = 0; g < G; g++) prep_one(g, ws.rowbuf);
-    int ok = run_engine_pair(&lanes[0], 8, &lanes[8], nb);
-    if (!(ok & 1)) {
-      regrow(0);
-      eng_ok[0] = run_engine(&lanes[0], 8) ? 1 : 0;
+    for (int e = 0; e < n_eng; e += 2) {
+      const int loA = e * 8, nA = std::min(G, loA + 8) - loA;
+      if (e + 1 < n_eng) {
+        const int loB = (e + 1) * 8, nB = std::min(G, loB + 8) - loB;
+        int ok = run_engine_pair(&lanes[loA], nA, &lanes[loB], nB);
+        if (!(ok & 1)) {
+          regrow(e);
+          eng_ok[e] = run_engine(&lanes[loA], nA) ? 1 : 0;
+        }
+        if (!(ok & 2)) {
+          regrow(e + 1);
+          eng_ok[e + 1] = run_engine(&lanes[loB], nB) ? 1 : 0;
+        }
+      } else if (!run_engine(&lanes[loA], nA)) {
+        regrow(e);
+        eng_ok[e] = run_engine(&lanes[loA], nA) ? 1 : 0;
+      }
     }
-    if (!(ok & 2)) {
-      regrow(1);
-      eng_ok[1] = run_engine(&lanes[8], nb) ? 1 : 0;
-    }
-    for (int g = 0; g < G && eng_ok[0] && eng_ok[1]; g++) phase_b_one(g);
+    bool all_ok = true;
+    for (int e = 0; e < n_eng; e++) all_ok &= eng_ok[e] != 0;
+    if (all_ok)
+      for (int g = 0; g < G; g++) phase_b_one(g);
   } else {
     for (int e = 0; e < n_eng; e++) work_one(e, ws.rowbuf);
   }

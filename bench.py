@@ -244,17 +244,24 @@ def inner_main():
     best_g = G
     # lockstep width is free ExCamera parallelism: when the device step is
     # the wall, wider batches amortize it (kernel step count is batch-
-    # independent).  Sweep 2x the default width if the first run was quick
-    # enough to afford the extra geometry compile.
-    if "ALFALFA_BENCH_G" not in os.environ and t_first < 240:
-        try:
-            ours2, _ = our_fps_at(CLIP, frames, G * 2)
-            print(f"sweep: G={G} -> {ours:.2f} fps, G={G * 2} -> "
-                  f"{ours2:.2f} fps", file=sys.stderr)
-            if ours2 > ours:
-                ours, best_g = ours2, G * 2
-        except Exception as e:
-            print(f"G-sweep skipped: {e!r}", file=sys.stderr)
+    # independent).  Keep doubling the width while it helps and the time
+    # budget allows (the native parse + wavefront kernel support G <= 32).
+    if "ALFALFA_BENCH_G" not in os.environ:
+        g = G
+        spent = t_first
+        while g * 2 <= 32 and spent < 240:
+            try:
+                t0 = time.perf_counter()
+                ours2, _ = our_fps_at(CLIP, frames, g * 2)
+                spent += time.perf_counter() - t0
+                print(f"sweep: G={g} -> {ours:.2f} fps, G={g * 2} -> "
+                      f"{ours2:.2f} fps", file=sys.stderr)
+                if ours2 <= ours:
+                    break
+                ours, best_g, g = ours2, g * 2, g * 2
+            except Exception as e:
+                print(f"G-sweep stopped: {e!r}", file=sys.stderr)
+                break
     ref = oracle_fps(CLIP, frames)
     # headline first: the secondary metric may spend minutes compiling the
     # encode kernel on a cold cache

@@ -70,7 +70,7 @@ def test_simd_tokens_paired_engines(monkeypatch):
     parser, including the uneven 8+4 split."""
     path = "tests/fixtures/inter_320x240_q40.ivf"
     monkeypatch.setenv("ALFALFA_PARSE_THREADS", "1")
-    for G in (12, 16):
+    for G in (12, 16, 20, 32):   # 8+4, 8+8, pair+single, two pairs
         try:
             want = _batches(path, G, False, monkeypatch)
             got = _batches(path, G, True, monkeypatch)

@@ -71,13 +71,14 @@ def test_wavefront_kernel_bit_exact(path, frame_no):
         np.testing.assert_array_equal(v[g], want.v, f"shard {g} V")
 
 
-def test_wavefront_kernel_wide_batch():
-    """G=16: twice the default GOP-lockstep width.  The kernel's step count
-    is batch-independent (batch rides the sublane axis), so wide batches
-    are the cheap chip-throughput lever — gate that the sublane folding
-    stays bit-exact beyond the natural vreg width of 8."""
+@pytest.mark.parametrize("G", [16, 32])
+def test_wavefront_kernel_wide_batch(G):
+    """G=16/32: 2-4x the default GOP-lockstep width.  The kernel's step
+    count is batch-independent (batch rides the sublane axis), so wide
+    batches are the cheap chip-throughput lever — gate that the sublane
+    folding stays bit-exact beyond the natural vreg width of 8."""
     y, u, v, want, G = _decode_frame_batch(
-        "tests/fixtures/inter_176x144_q96.ivf", 1, G=16)
+        "tests/fixtures/inter_176x144_q96.ivf", 1, G=G)
     for g in range(G):
         np.testing.assert_array_equal(y[g], want.y, f"shard {g} Y")
         np.testing.assert_array_equal(u[g], want.u, f"shard {g} U")
