@@ -669,6 +669,40 @@ def _frame_quant_factors(header, state, segment):
     return {k: np.full((r, c), int(v), np.int32) for k, v in q.items()}
 
 
+def loopfilter_tiles(y_tiles, u_tiles, v_tiles, lf_params, mb_rows, mb_cols,
+                     on_tpu=None):
+    """Standalone whole-frame loop filter over (R, C, S*S) tile tensors;
+    returns filtered (H, W) uint8 planes.
+
+    Encoder-side use: after the host SSIM search picks a level, filter
+    the device-resident reconstruction ON DEVICE so the result can become
+    the next frame's packed reference without a host round trip.  Same
+    filter math as the decode path (_finish / lf_pallas)."""
+    R, C = mb_rows, mb_cols
+    sched = skew_schedule(R, C)
+    n_diags = int(sched["scat_idx"].shape[0])
+    L = int(sched["scat_idx"].shape[1])
+    scat = jnp.asarray(sched["scat_idx"])
+
+    def skew(x):
+        return _skew(x, scat, n_diags, L)
+
+    def strip(x):
+        return x[DPAD:]
+
+    masks = {k: jnp.asarray(sched[k]) for k in
+             ("valid", "has_row", "has_col", "last_col")}
+    d_idx = jnp.asarray(sched["d_idx"])
+    D_y = skew(y_tiles.astype(jnp.int16))
+    D_u = skew(u_tiles.astype(jnp.int16))
+    D_v = skew(v_tiles.astype(jnp.int16))
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    return _finish(D_y, D_u, D_v, lf_params, masks, skew, strip,
+                   jnp.asarray(sched["unskew_idx"].reshape(-1)), R, C,
+                   d_idx, L, on_tpu)
+
+
 def _frame_lf_params(header, arrays, state, key_frame):
     """Per-MB loop filter parameters (host-side table math)."""
     seg = state.segmentation

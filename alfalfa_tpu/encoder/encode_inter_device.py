@@ -97,15 +97,20 @@ def _kernel_inputs(encoder, yuv, interpret):
     R, C = encoder.mb_rows, encoder.mb_cols
     orig = _pad_raster(*yuv, W, H)
     refs = encoder.references
-    refs.last.to_host()
 
     oy_u8 = _plane_tiles(orig.y, R, C, 16)
     ou_u8 = _plane_tiles(orig.u, R, C, 8)
     ov_u8 = _plane_tiles(orig.v, R, C, 8)
 
-    refy_p = pack_refs32(pad_refs(jnp.asarray(refs.last.y)))
-    refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
-    refv_p = pack_refs32(pad_refs(jnp.asarray(refs.last.v)))
+    if getattr(encoder, "_dev_refs_for", None) is refs.last:
+        # the previous device encode already filtered + packed this exact
+        # reference on device (_cache_device_refs) — zero re-upload
+        refy_p, refu_p, refv_p = encoder._dev_refs
+    else:
+        refs.last.to_host()
+        refy_p = pack_refs32(pad_refs(jnp.asarray(refs.last.y)))
+        refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
+        refv_p = pack_refs32(pad_refs(jnp.asarray(refs.last.v)))
 
     costs = _tables()
     mbc = np.zeros(8, np.int32)
@@ -134,6 +139,65 @@ def _scalars_for(quant_indices):
                    q["uv_dc"], q["uv_ac"], rate_mult, dist_mult,
                    int(SAD_PER_BIT16[qi])]
     return scalars
+
+
+def _device_refs_enabled():
+    import os
+    return os.environ.get("ALFALFA_DEVICE_REFS", "1") != "0"
+
+
+_LFPACK_CACHE = {}
+
+
+def _lf_pack_fn(R, C, interpret):
+    """Jitted: loop-filter the device-resident reconstruction tiles at the
+    host-chosen level, then pad + pack the filtered planes into the MC
+    reference layout — the next frame's references never leave the
+    device (no 1.4 MB/frame re-upload + repack)."""
+    key = (R, C, interpret)
+    if key in _LFPACK_CACHE:
+        return _LFPACK_CACHE[key]
+    import jax
+    from alfalfa_tpu.decoder import reconstruct_jax as RJ
+    from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+
+    def f(ry_t, ru_t, rv_t, lf_params):
+        on_tpu = jax.default_backend() == "tpu" and not interpret
+        y, u, v = RJ.loopfilter_tiles(ry_t, ru_t, rv_t, lf_params, R, C,
+                                      on_tpu=on_tpu)
+        return (pack_refs32(pad_refs(y)), pack_refs32(pad_refs(u)),
+                pack_refs32(pad_refs(v)))
+
+    fn = f if interpret else jax.jit(f)
+    _LFPACK_CACHE[key] = fn
+    return fn
+
+
+def _cache_device_refs(encoder, header, arrays, ry_dev, ru_dev, rv_dev,
+                       interpret):
+    """After finish_interframe: filter + pack the device recon as the next
+    frame's references, keyed to the exact Raster finish installed."""
+    if not _device_refs_enabled():
+        return
+    if (header.update_segmentation is not None
+            or encoder.state.segmentation is not None):
+        return          # host pack path handles segment-adjusted filters
+    import numpy as np_
+    from alfalfa_tpu.decoder import reconstruct_jax as RJ
+    from alfalfa_tpu.state.decoder_state import (DecoderState,
+                                                 FilterAdjustments)
+    W, H = encoder.width, encoder.height
+    state_view = DecoderState(W, H, encoder.state.probability_tables,
+                              None, FilterAdjustments.create(header))
+    lf_params = RJ._frame_lf_params(header, arrays, state_view,
+                                    key_frame=False)
+    R, C = encoder.mb_rows, encoder.mb_cols
+    import jax.numpy as jnp
+    packed = _lf_pack_fn(R, C, interpret)(
+        ry_dev, ru_dev, rv_dev,
+        tuple(jnp.asarray(np_.asarray(p)) for p in lf_params))
+    encoder._dev_refs = packed
+    encoder._dev_refs_for = encoder.references.last
 
 
 def encode_interframe_device(encoder, yuv, quant_indices, update,
@@ -166,7 +230,10 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
     arrays, recon = _outputs_to_frame(co_h, md_h, np.asarray(ry),
                                       np.asarray(ru), np.asarray(rv),
                                       R, C, W, H)
-    return finish_interframe(encoder, header, arrays, recon, orig, update)
+    out = finish_interframe(encoder, header, arrays, recon, orig, update)
+    if update:
+        _cache_device_refs(encoder, header, arrays, ry, ru, rv, interpret)
+    return out
 
 
 def _outputs_to_frame(co_h, md_h, ry, ru, rv, R, C, W, H):
@@ -251,4 +318,7 @@ def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
             ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
         results.append(finish_interframe(enc, header, arrays, recon, orig,
                                          update))
+        if update:
+            _cache_device_refs(enc, header, arrays, ry[i], ru[i], rv[i],
+                               interpret)
     return results

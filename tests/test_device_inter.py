@@ -14,7 +14,7 @@ from alfalfa_tpu.encoder import Encoder
 @pytest.mark.parametrize("quality,qi", [("best", 40), ("rt", 64)])
 def test_device_interframe_bit_identical(quality, qi):
     w, h = 80, 48
-    clip = gen_clip(w, h, 3, seed=31)
+    clip = gen_clip(w, h, 4, seed=31)
     host = Encoder(w, h, device_encode=False, quality=quality)
     dev = Encoder(w, h, device_encode=True, quality=quality)
     for i, f in enumerate(clip):
@@ -22,6 +22,11 @@ def test_device_interframe_bit_identical(quality, qi):
         ph = host.encode_with_quantizer(f, qi, key_frame=kf)
         pd = dev.encode_with_quantizer(f, qi, key_frame=kf)
         assert ph == pd, f"device interframe {i} differs from host"
+        if i >= 1:
+            # the device-filtered+packed reference cache must be armed for
+            # the NEXT frame (frames >= 2 encode against it; byte-equality
+            # above proves the device loop filter matches the host's)
+            assert dev._dev_refs_for is dev.references.last
     assert host.minihash() == dev.minihash()
 
 

@@ -58,6 +58,20 @@ def test_inter_encode_kernel_lowers(realtime):
             z((256,), jnp.int32), z((4, 1024), jnp.int32))
 
 
+def test_lf_pack_lowers(monkeypatch):
+    """The encoder's device-reference path (loop-filter the recon tiles at
+    the searched level + pad/pack into the MC layout) must cross-lower
+    for TPU with the real (non-interpret) lf_pallas kernel inside."""
+    from alfalfa_tpu.encoder.encode_inter_device import _lf_pack_fn
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    f = _lf_pack_fn(R, C, False)
+    z = jax.ShapeDtypeStruct
+    lfp = tuple(z((R, C), jnp.int32) for _ in range(5)) + (z((R, C), bool),)
+    _export(lambda a, b, c, *p: f(a, b, c, p),
+            z((R, C, 256), jnp.uint8), z((R, C, 64), jnp.uint8),
+            z((R, C, 64), jnp.uint8), *lfp)
+
+
 def test_full_decode_step_lowers(monkeypatch):
     """The complete BatchedGopDecoder TPU step — compact-stream scatter,
     packed-reference Pallas MC, merged wavefront, reference
