@@ -174,9 +174,9 @@ def _lf_pack_fn(R, C, interpret):
 
 
 def _cache_device_refs(encoder, header, arrays, ry_dev, ru_dev, rv_dev,
-                       interpret):
-    """After finish_interframe: filter + pack the device recon as the next
-    frame's references, keyed to the exact Raster finish installed."""
+                       interpret, key_frame=False):
+    """After a frame's state update: filter + pack the device recon as the
+    next frame's references, keyed to the exact Raster installed."""
     if not _device_refs_enabled():
         return
     if (header.update_segmentation is not None
@@ -190,7 +190,7 @@ def _cache_device_refs(encoder, header, arrays, ry_dev, ru_dev, rv_dev,
     state_view = DecoderState(W, H, encoder.state.probability_tables,
                               None, FilterAdjustments.create(header))
     lf_params = RJ._frame_lf_params(header, arrays, state_view,
-                                    key_frame=False)
+                                    key_frame=key_frame)
     R, C = encoder.mb_rows, encoder.mb_cols
     import jax.numpy as jnp
     packed = _lf_pack_fn(R, C, interpret)(

@@ -163,4 +163,8 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
                    _untile(ry_h, R, C, 16).astype(np.uint8),
                    _untile(ru_h, R, C, 8).astype(np.uint8),
                    _untile(rv_h, R, C, 8).astype(np.uint8))
-    return arrays, recon
+    # device handles of the recon tiles: the caller can loop-filter +
+    # pack them on device as the next frame's references
+    dev_tiles = (ry.reshape(R, C, 256), ru.reshape(R, C, 64),
+                 rv.reshape(R, C, 64))
+    return arrays, recon, dev_tiles

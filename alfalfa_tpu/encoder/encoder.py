@@ -214,7 +214,7 @@ class Encoder:
             # stage 4); bit-identical to the host loop below
             from .encode_intra_device import encode_keyframe_device
             with tracing.stage("enc.kf_mb_wavefront"):
-                arrays, recon = encode_keyframe_device(
+                arrays, recon, dev_tiles = encode_keyframe_device(
                     oplanes, self.width, self.height, q, rate_mult,
                     dist_mult)
         else:
@@ -274,6 +274,10 @@ class Encoder:
             self.references.golden = filtered
             self.references.alternative = filtered
             self.last_loop_filter_level = lf_level
+            if self.device_encode and not self.two_pass:
+                from .encode_inter_device import _cache_device_refs
+                _cache_device_refs(self, header, arrays, *dev_tiles,
+                                   interpret=False, key_frame=True)
         return payload, quality
 
     def _encode_interframe(self, yuv, quant_indices, update):
