@@ -222,13 +222,17 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
         mbc, ibc, mvc2p, pcost, sadcost, mvcost)
 
     from . import device_fetch
+    import jax
     if sp is not None:
-        co_h = device_fetch.rebuild(sp, co, R * C * 400).reshape(R, C, 400)
+        # one batched D2H transfer for everything the host needs
+        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
+        co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
+            .reshape(R, C, 400)
     else:
+        md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
         co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
-    md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
-    arrays, recon = _outputs_to_frame(co_h, md_h, np.asarray(ry),
-                                      np.asarray(ru), np.asarray(rv),
+    md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
+    arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h, rv_h,
                                       R, C, W, H)
     out = finish_interframe(encoder, header, arrays, recon, orig, update)
     if update:
@@ -298,15 +302,14 @@ def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
 
     co, sp, md, ry, ru, rv = fn(*planes, scalars, mbc, ibc, mvc2p, pcost,
                                 sadcost, mvcost)
-    md_h = np.asarray(md)
-    ry_h, ru_h, rv_h = np.asarray(ry), np.asarray(ru), np.asarray(rv)
     if sp is not None:
-        idx, val, cnt = sp
+        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
+        idx, val, cnt = sp_h
         co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]), co[i],
                                         R * C * 400)
                    for i in range(n)]
     else:
-        co_all = np.asarray(co)
+        co_all, md_h, ry_h, ru_h, rv_h = jax.device_get((co, md, ry, ru, rv))
         co_rows = [co_all[i].reshape(-1).astype(np.int16) for i in range(n)]
 
     results = []

@@ -141,14 +141,18 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
         jnp.asarray(scalars), jnp.asarray(mbc), bhi, blo)
 
     from . import device_fetch
+    import jax
     if sp is not None:
-        co_h = device_fetch.rebuild(sp, co, R * C * 400).reshape(R, C, 400)
+        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
+        co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
+            .reshape(R, C, 400)
     else:
+        md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
         co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
-    md_h = np.asarray(md).reshape(R, C, 32).astype(np.int32)
-    ry_h = np.asarray(ry).reshape(R, C, 256)
-    ru_h = np.asarray(ru).reshape(R, C, 64)
-    rv_h = np.asarray(rv).reshape(R, C, 64)
+    md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
+    ry_h = np.asarray(ry_h).reshape(R, C, 256)
+    ru_h = np.asarray(ru_h).reshape(R, C, 64)
+    rv_h = np.asarray(rv_h).reshape(R, C, 64)
 
     arrays = FrameArrays(R, C)
     arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)

@@ -808,9 +808,9 @@ class BatchedGopDecoder:
         with tracing.stage("gop.parse"):
             key_frame, batch, flags, show = self.parse_frame_batch(payloads)
         with tracing.stage("gop.upload"):
-            dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
-                             else jax.device_put(v))
-                         for k, v in batch.items()}
+            # one pytree transfer: per-key device_put costs a dispatch
+            # each (10+ per step), and the tunnel charges RTT per call
+            dev_batch = jax.device_put(batch)
         with tracing.stage("gop.step_dispatch"):
             (y, u, v), self.refs = self._step(key_frame)(
                 dev_batch, self.refs)
