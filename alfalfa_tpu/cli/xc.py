@@ -20,10 +20,26 @@ import argparse
 import sys
 
 
+def _resolve_backend(backend):
+    """auto -> the jax wavefront path when a TPU is attached (vp8decode
+    on a TPU host should use the chip), scalar numpy otherwise."""
+    if backend != "auto":
+        return backend
+    try:
+        import jax
+        if jax.default_backend() == "tpu":
+            return "jax"
+    except Exception:
+        pass
+    return "numpy"
+
+
 def _player_with_state(args):
     from alfalfa_tpu.decoder import FilePlayer
     from alfalfa_tpu.decoder.decoder import Decoder
     from alfalfa_tpu.util.ivf import IVFReader
+
+    args.backend = _resolve_backend(args.backend)
 
     if not getattr(args, "state", None):
         return FilePlayer(args.input, backend=args.backend)
@@ -675,14 +691,18 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("-s", "--state", default=None, help="input decoder state")
-    p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "numpy", "jax"],
+                   help="auto = device wavefront path on a TPU host, scalar numpy otherwise")
     p.set_defaults(func=cmd_decode)
 
     p = sub.add_parser("play", help="decode IVF and display live (vp8play)")
     p.add_argument("input")
     p.add_argument("-f", "--fullscreen", action="store_true")
     p.add_argument("-s", "--state", default=None, help="input decoder state")
-    p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "numpy", "jax"],
+                   help="auto = device wavefront path on a TPU host, scalar numpy otherwise")
     p.set_defaults(func=cmd_play)
 
     p = sub.add_parser("display-jpeg",
@@ -703,7 +723,9 @@ def main(argv=None):
     p = sub.add_parser("decode-raw", help="decode IVF to raw YUV on stdout")
     p.add_argument("input")
     p.add_argument("-s", "--state", default=None, help="input decoder state")
-    p.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "numpy", "jax"],
+                   help="auto = device wavefront path on a TPU host, scalar numpy otherwise")
     p.set_defaults(func=cmd_decode_raw)
 
     p = sub.add_parser("enc", help="encode y4m/ivf to VP8 IVF")
