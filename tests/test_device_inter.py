@@ -11,9 +11,13 @@ from gen_inputs import gen_clip
 from alfalfa_tpu.encoder import Encoder
 
 
-@pytest.mark.parametrize("quality,qi", [("best", 40), ("rt", 64)])
-def test_device_interframe_bit_identical(quality, qi):
-    w, h = 80, 48
+@pytest.mark.parametrize("quality,qi,size", [
+    ("best", 40, (80, 48)),
+    ("rt", 64, (80, 48)),
+    ("rt", 48, (76, 44)),     # non-MB-multiple: partial edge MBs
+])
+def test_device_interframe_bit_identical(quality, qi, size):
+    w, h = size
     clip = gen_clip(w, h, 4, seed=31)
     host = Encoder(w, h, device_encode=False, quality=quality)
     dev = Encoder(w, h, device_encode=True, quality=quality)
