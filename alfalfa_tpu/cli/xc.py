@@ -20,26 +20,12 @@ import argparse
 import sys
 
 
-def _resolve_backend(backend):
-    """auto -> the jax wavefront path when a TPU is attached (vp8decode
-    on a TPU host should use the chip), scalar numpy otherwise."""
-    if backend != "auto":
-        return backend
-    try:
-        import jax
-        if jax.default_backend() == "tpu":
-            return "jax"
-    except Exception:
-        pass
-    return "numpy"
-
-
 def _player_with_state(args):
     from alfalfa_tpu.decoder import FilePlayer
-    from alfalfa_tpu.decoder.decoder import Decoder
+    from alfalfa_tpu.decoder.decoder import Decoder, resolve_backend
     from alfalfa_tpu.util.ivf import IVFReader
 
-    args.backend = _resolve_backend(args.backend)
+    args.backend = resolve_backend(args.backend)
 
     if not getattr(args, "state", None):
         return FilePlayer(args.input, backend=args.backend)

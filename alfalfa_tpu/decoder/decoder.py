@@ -14,13 +14,28 @@ from .parse import FrameParser
 from . import reconstruct_np
 
 
+def resolve_backend(backend):
+    """'auto' -> the jax wavefront path when a TPU is attached, the
+    scalar numpy oracle otherwise (shared by the CLI, players, and the
+    Salsify receiver)."""
+    if backend != "auto":
+        return backend
+    try:
+        import jax
+        if jax.default_backend() == "tpu":
+            return "jax"
+    except Exception:
+        pass
+    return "numpy"
+
+
 class Decoder:
     def __init__(self, width, height, state=None, references=None,
                  backend="numpy", error_concealment=False):
         self.state = state if state is not None else DecoderState.initial(width, height)
         self.references = (references if references is not None
                            else References.create(width, height))
-        self.backend = backend
+        self.backend = resolve_backend(backend)
         self.error_concealment = error_concealment
 
     @property

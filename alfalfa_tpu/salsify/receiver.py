@@ -36,7 +36,7 @@ class AverageInterPacketDelay:
 
 class SalsifyReceiver:
     def __init__(self, port, width, height, connection_id=1337,
-                 backend="numpy", on_raster=None, verbose=False,
+                 backend="auto", on_raster=None, verbose=False,
                  host="0.0.0.0"):
         self.socket = UDPSocket()
         self.socket.bind(host, port)
