@@ -238,8 +238,8 @@ def cmd_enc_rebase(args):
     for payload in pred_ivf:
         chunk = UncompressedChunk(payload, w, h)
         header, arrays, _ = FrameParser(pred_decoder.state).parse(chunk)
-        from alfalfa_tpu.decoder import reconstruct_np
-        raster = reconstruct_np.reconstruct(header, arrays, pred_decoder.state,
+        from alfalfa_tpu.decoder.decoder import reconstruct_module
+        raster = reconstruct_module().reconstruct(header, arrays, pred_decoder.state,
                                             pred_decoder.references,
                                             chunk.key_frame)
         pred_decoder._update_references(chunk.key_frame, header, raster)

@@ -29,6 +29,17 @@ def resolve_backend(backend):
     return "numpy"
 
 
+def reconstruct_module():
+    """The reconstruction module for backend 'auto' (jax wavefronts on a
+    TPU host, the scalar numpy oracle elsewhere) — for pipeline code
+    that drives FrameParser itself but wants the fast backend."""
+    if resolve_backend("auto") == "jax":
+        from . import reconstruct_jax
+        return reconstruct_jax
+    from . import reconstruct_np
+    return reconstruct_np
+
+
 class Decoder:
     def __init__(self, width, height, state=None, references=None,
                  backend="numpy", error_concealment=False):

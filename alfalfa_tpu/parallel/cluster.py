@@ -23,7 +23,7 @@ def _encode_one_chunk(args):
     from alfalfa_tpu.bitstream.header import UncompressedChunk
     from alfalfa_tpu.decoder.decoder import Decoder
     from alfalfa_tpu.decoder.parse import FrameParser
-    from alfalfa_tpu.decoder import reconstruct_np
+    from alfalfa_tpu.decoder.decoder import reconstruct_module
     from alfalfa_tpu.encoder.serializer import serialize_frame
     from alfalfa_tpu.state import serdes
 
@@ -49,7 +49,7 @@ def _encode_one_chunk(args):
             header.copy_buffer_to_alternate = None
             payload = serialize_frame(header, arrays, frame_probs, False,
                                       w, h)
-        raster = reconstruct_np.reconstruct(header, arrays, dec.state,
+        raster = reconstruct_module().reconstruct(header, arrays, dec.state,
                                             dec.references, chunk.key_frame)
         dec._update_references(chunk.key_frame, header, raster)
         out.append(payload)
@@ -68,7 +68,7 @@ def parallel_encode(frames, width, height, writer, y_ac_qi=None,
     from alfalfa_tpu.bitstream.header import UncompressedChunk
     from alfalfa_tpu.decoder.decoder import Decoder
     from alfalfa_tpu.decoder.parse import FrameParser
-    from alfalfa_tpu.decoder import reconstruct_np
+    from alfalfa_tpu.decoder.decoder import reconstruct_module
     from alfalfa_tpu.state import serdes
 
     chunks = [frames[i:i + chunk_frames]
@@ -108,7 +108,7 @@ def parallel_encode(frames, width, height, writer, y_ac_qi=None,
         for payload in payloads:
             chunk = UncompressedChunk(payload, width, height)
             header, arrays, _ = FrameParser(pdec.state).parse(chunk)
-            raster = reconstruct_np.reconstruct(header, arrays, pdec.state,
+            raster = reconstruct_module().reconstruct(header, arrays, pdec.state,
                                                 pdec.references,
                                                 chunk.key_frame)
             pdec._update_references(chunk.key_frame, header, raster)
