@@ -16,8 +16,12 @@ def _random_coeff_frame(rng, R, C, style):
     a = FrameArrays(R, C)
     a.y2_coded[:] = rng.integers(0, 2, (R, C)).astype(bool)
     if style == "dense-max":
+        # every coefficient coded, dense cat4-6 tokens; |v| <= 127 keeps
+        # the compact stream's value-escape list within its designed
+        # rarely-used capacity (the GOP fast path hands universal
+        # escapes back to the Python parser by design)
         a.coeffs[:] = rng.choice(
-            np.array([-2047, -67, -5, 4, 66, 2047], np.int16),
+            np.array([-127, -67, -5, 4, 66, 127], np.int16),
             size=a.coeffs.shape)
     elif style == "extremes":
         mask = rng.random(a.coeffs.shape) < 0.05
@@ -42,6 +46,72 @@ def _random_coeff_frame(rng, R, C, style):
     a.skip_coeff[:] = ~nz
     a.has_nonzero[:] = nz
     return a
+
+
+def _simd_supported():
+    import alfalfa_tpu.native.bitwork as bw
+    import os
+    saved = bw._simdlib
+    bw._simdlib = None
+    old = os.environ.get("ALFALFA_SIMD_TOKENS")
+    os.environ["ALFALFA_SIMD_TOKENS"] = "1"
+    try:
+        return bw._load_simd() is not None
+    finally:
+        bw._simdlib = saved
+        if old is None:
+            del os.environ["ALFALFA_SIMD_TOKENS"]
+        else:
+            os.environ["ALFALFA_SIMD_TOKENS"] = old
+
+
+@pytest.mark.skipif(not _simd_supported(), reason="no AVX-512 on this host")
+@pytest.mark.parametrize("style", ["extremes", "dense-max"])
+def test_simd_tokens_extreme_values(style, monkeypatch):
+    """The SIMD DFA's category-5/6 extra-bit chains and sign states on
+    magnitudes fixtures never produce: scalar GOP parse == SIMD parse on
+    the synthetic streams, compact output and all."""
+    import alfalfa_tpu.native.bitwork as bw
+    from alfalfa_tpu.encoder.serializer import FrameSerializer
+
+    rng = np.random.default_rng(99)
+    R, C, G = 4, 6, 3
+    probs = DecoderState.initial(C * 16, R * 16).probability_tables
+    frames = [_random_coeff_frame(rng, R, C, style) for _ in range(G)]
+    parts, skips, y2s = [], [], []
+    for a in frames:
+        fs = FrameSerializer.__new__(FrameSerializer)
+        fs.a = a
+        fs.probs = probs
+        fs.h = type("H", (), {"log2_number_of_dct_partitions": 0})()
+        parts.append(fs.serialize_tokens())
+        skips.append(a.skip_coeff.astype(np.uint8))
+        y2s.append(a.y2_coded.astype(np.uint8))
+    skip_all = np.stack(skips)
+    y2_all = np.stack(y2s)
+    probs_list = [probs.coeff_probs] * G
+
+    outs = {}
+    for simd in (False, True):
+        if simd:
+            monkeypatch.setenv("ALFALFA_SIMD_TOKENS", "1")
+            bw._simdlib = None
+            assert bw._load_simd() is not None
+        else:
+            bw._simdlib = False
+        try:
+            hnz = np.zeros((G, R, C), np.uint8)
+            cs = bw.parse_tokens_gop(parts, R, C, probs_list,
+                                     skip_all, y2_all, hnz, threads=1)
+            assert cs is not None
+            outs[simd] = (cs, hnz)
+        finally:
+            bw._simdlib = None
+    (a_cs, a_h), (b_cs, b_h) = outs[False], outs[True]
+    assert a_cs.keys() == b_cs.keys()
+    for k in a_cs:
+        np.testing.assert_array_equal(a_cs[k], b_cs[k], k)
+    np.testing.assert_array_equal(a_h, b_h)
 
 
 @pytest.mark.parametrize("style", ["sparse-small", "extremes", "dense-max"])
