@@ -164,7 +164,46 @@ def _tpu_alive(timeout=180):
         return False
 
 
+def _host_parse_probe():
+    """Tunnel-down evidence: measure the HOST half of the decode step
+    (bit-serial parse + packing) in a CPU-only child with the axon hook
+    disabled.  Returns a short string or None."""
+    code = r"""
+import time, numpy as np
+from alfalfa_tpu.util.ivf import IVFReader
+from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+ivf = IVFReader("tests/fixtures/inter_1280x720_q48.ivf")
+payloads = [ivf.frame(i) for i in range(len(ivf))]
+G = 16
+dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+for p in payloads[:2]:
+    dec.parse_frame_batch([p] * G)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    for p in payloads[2:]:
+        dec.parse_frame_batch([p] * G)
+    best = min(best, (time.perf_counter() - t0) / (len(payloads) - 2))
+print(f"{best * 1000 / G:.2f}")
+"""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                           capture_output=True, timeout=600)
+        if r.returncode == 0:
+            ms = float(r.stdout.decode().strip().splitlines()[-1])
+            return (f"host parse measured CPU-only: {ms:.2f} ms/frame at "
+                    f"G=16 lockstep (10x target needs < ~2.7 ms/frame "
+                    f"total with the device step overlapped)")
+    except Exception:
+        pass
+    return None
+
+
 def _fallback_line(note):
+    probe = _host_parse_probe()
+    if probe:
+        note = note + "; " + probe
     print(json.dumps({
         "metric": "vp8_decode_720p_fps_8gop",
         "value": 0.0,
