@@ -149,6 +149,43 @@ def inter_encode_metric(clip):
           f"reference_ms={ref_ms and round(ref_ms)}", file=sys.stderr)
 
 
+def gop_scaling_metric():
+    """Tertiary (stderr): GOP-parallel scaling efficiency, measured the
+    moment more than one device is attached (BASELINE.md target >= 80%).
+    Per-device work is one frame's reconstruction; efficiency =
+    t(1 chunk on 1 device) / t(N chunks on N devices).  Smoke-testable
+    off-hardware with ALFALFA_BENCH_SCALING=1 on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from alfalfa_tpu.parallel import gop
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        return
+    R, C = (int(x) for x in
+            os.environ.get("ALFALFA_SCALING_RC", "45,80").split(","))
+    n = len(devs)
+
+    def timed(step, batch):
+        out = step(*batch)
+        jax.block_until_ready(out[0])          # compile + settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = step(*batch)
+            _ = float(jnp.ravel(out[0])[0])    # full execution fence
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(gop.gop_decode_step(gop.make_gop_mesh(devs[:1]), R, C),
+               gop.example_frame_batch(1, R, C))
+    tn = timed(gop.gop_decode_step(gop.make_gop_mesh(devs), R, C),
+               gop.example_frame_batch(n, R, C))
+    print(f"tertiary: gop_scaling_efficiency={t1 / tn:.3f} over {n} "
+          f"devices at {C * 16}x{R * 16} (t1={t1 * 1e3:.1f}ms "
+          f"tN={tn * 1e3:.1f}ms; target >= 0.80)", file=sys.stderr)
+
+
 def _tpu_alive(timeout=180):
     """Probe jax backend init in a THROWAWAY subprocess.  When the axon
     relay is down, backend registration hangs forever inside jax.devices();
@@ -331,6 +368,13 @@ def inner_main():
         inter_encode_metric(CLIP)
     except Exception as e:
         print(f"inter secondary skipped: {e!r}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+    signal.alarm(420)
+    try:
+        gop_scaling_metric()
+    except Exception as e:
+        print(f"scaling tertiary skipped: {e!r}", file=sys.stderr)
     finally:
         signal.alarm(0)
 
