@@ -129,7 +129,11 @@ class Encoder:
         padded = _pad_raster(*yuv, self.width, self.height)
         my, mu, mv = self._mosaic(padded.y, padded.u, padded.v,
                                   sub_rows, sub_cols)
-        sub = Encoder(sub_cols * 16, sub_rows * 16, quality=self.quality)
+        # the trial encoder inherits the device path: on a TPU host the
+        # binary search's ~5 mosaic encodes are small kernel launches,
+        # not host per-MB loops (geometry compiles once, then cached)
+        sub = Encoder(sub_cols * 16, sub_rows * 16, quality=self.quality,
+                      device_encode=self.device_encode)
         if not key_frame:
             # mirror the current state against mosaic references
             last = self.references.last
