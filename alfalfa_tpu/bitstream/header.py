@@ -150,6 +150,26 @@ class QuantIndices:
             self.uv_dc or 0, self.uv_ac or 0)
 
 
+def _token_update_dict(flags, vals):
+    """{(blocktype, band, ctx, node): prob} from flat flag/value runs
+    (shared by the incremental and whole-header native parse paths)."""
+    idx = np.flatnonzero(flags)
+    if not len(idx):
+        return {}
+    shape = tables.COEFF_UPDATE_PROBS.shape
+    keys = np.stack(np.unravel_index(idx, shape), axis=1).tolist()
+    return dict(zip(map(tuple, keys), np.asarray(vals)[idx].tolist()))
+
+
+def _mv_update_dict(flags, vals):
+    """{(axis, node): effective prob} with the raw<<1-or-1 half-prob rule
+    (shared by the incremental and whole-header native parse paths)."""
+    n = tables.MV_UPDATE_PROBS.shape[1]
+    return {(int(i) // n, int(i) % n):
+            ((int(vals[i]) << 1) if vals[i] else 1)
+            for i in np.flatnonzero(flags)}
+
+
 def parse_token_prob_update(bd):
     """Sparse coefficient-probability updates: {(blocktype, band, ctx, node): prob}."""
     up = tables.COEFF_UPDATE_PROBS
@@ -159,10 +179,7 @@ def parse_token_prob_update(bd):
             from alfalfa_tpu.native import bitwork
             flags, vals = bitwork.parse_flagged_literals(
                 bd, up.reshape(-1), up.size, 8)
-            import numpy as _np
-            idx = _np.flatnonzero(flags)
-            keys = _np.stack(_np.unravel_index(idx, up.shape), axis=1).tolist()
-            return dict(zip(map(tuple, keys), vals[idx].tolist()))
+            return _token_update_dict(flags, vals)
         except (ImportError, AttributeError, OSError, RuntimeError):
             pass  # no native toolchain: fall through to the Python loop
     updates = {}
@@ -212,11 +229,7 @@ def parse_mv_prob_update(bd):
             from alfalfa_tpu.native import bitwork
             flags, vals = bitwork.parse_flagged_literals(
                 bd, up.reshape(-1), up.size, 7)
-            import numpy as _np
-            n = up.shape[1]
-            return {(int(i) // n, int(i) % n):
-                    ((int(vals[i]) << 1) if vals[i] else 1)
-                    for i in _np.flatnonzero(flags)}
+            return _mv_update_dict(flags, vals)
         except (ImportError, AttributeError, OSError, RuntimeError):
             pass  # no native toolchain: fall through to the Python loop
     updates = {}
@@ -459,11 +472,7 @@ def parse_frame_header_fast(first_partition, key_frame):
         lfu = ModeRefLFDeltaUpdate([v(20 + i) for i in range(4)],
                                    [v(24 + i) for i in range(4)])
     qi = QuantIndices(o[29], v(30), v(31), v(32), v(33), v(34))
-    ti = np.flatnonzero(tf)
-    tok = {}
-    if len(ti):
-        keys = np.stack(np.unravel_index(ti, (4, 8, 3, 11)), axis=1).tolist()
-        tok = dict(zip(map(tuple, keys), tv[ti].tolist()))
+    tok = _token_update_dict(tf, tv)
 
     if key_frame:
         h = KeyFrameHeader()
@@ -485,12 +494,7 @@ def parse_frame_header_fast(first_partition, key_frame):
                               else None)
         h.intra_chroma_prob = ([o[53 + i] for i in range(3)] if o[52]
                                else None)
-        mi = np.flatnonzero(mf)
-        if len(mi):
-            n = tables.MV_UPDATE_PROBS.shape[1]
-            h.mv_prob_update = {(int(i) // n, int(i) % n):
-                                ((int(mvv[i]) << 1) if mvv[i] else 1)
-                                for i in mi}
+        h.mv_prob_update = _mv_update_dict(mf, mvv)
     h.update_segmentation = seg
     h.filter_type = bool(o[15])
     h.loop_filter_level = o[16]

@@ -14,19 +14,48 @@ from .parse import FrameParser
 from . import reconstruct_np
 
 
+_AUTO_BACKEND = None
+
+
 def resolve_backend(backend):
     """'auto' -> the jax wavefront path when a TPU is attached, the
     scalar numpy oracle otherwise (shared by the CLI, players, and the
-    Salsify receiver)."""
+    Salsify receiver).
+
+    The TPU check runs in a THROWAWAY subprocess under a timeout: when
+    the device tunnel/relay is down, jax backend initialization hangs
+    forever in-process (the exact failure bench.py's watchdog guards
+    against), and 'auto' must degrade to numpy instead of hanging every
+    decode entry point.  Cached per process; override with
+    ALFALFA_BACKEND=numpy|jax."""
     if backend != "auto":
         return backend
+    import os
+    env = os.environ.get("ALFALFA_BACKEND")
+    if env in ("numpy", "jax"):
+        return env
+    global _AUTO_BACKEND
+    if _AUTO_BACKEND is None:
+        _AUTO_BACKEND = _probe_tpu_backend()
+    return _AUTO_BACKEND
+
+
+def _probe_tpu_backend():
+    import os
+    import subprocess
+    import sys
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "tpu" not in plats and "axon" not in plats:
+        return "numpy"          # explicitly CPU/GPU-pinned: no probe
     try:
-        import jax
-        if jax.default_backend() == "tpu":
-            return "jax"
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if jax.default_backend() == 'tpu' else 3)"],
+            timeout=30, capture_output=True)
+        return "jax" if r.returncode == 0 else "numpy"
     except Exception:
-        pass
-    return "numpy"
+        return "numpy"
 
 
 def reconstruct_module():

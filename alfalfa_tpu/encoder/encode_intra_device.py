@@ -111,7 +111,10 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
                            interpret=False):
     """Encode all keyframe macroblocks on device.
 
-    oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon).
+    oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon,
+    dev_tiles) where dev_tiles are the device-resident recon tile
+    handles ((R,C,256), (R,C,64), (R,C,64) uint8) for the caller's
+    device-reference cache (_cache_device_refs).
     """
     import jax
     if not interpret and jax.default_backend() != "tpu":

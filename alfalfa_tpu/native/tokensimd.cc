@@ -698,7 +698,7 @@ int vp8_parse_tokens_gop_simd(
     Sched sched[32];
     std::vector<uint32_t> nz[32];
     std::vector<uint64_t> recs[32];
-    std::vector<uint32_t> rowbuf, rowbuf2;
+    std::vector<uint32_t> rowbuf[4];    /* one scratch per engine thread */
   };
   static thread_local Workspace ws;
 
@@ -825,13 +825,13 @@ int vp8_parse_tokens_gop_simd(
   if (threads > 1 && n_eng > 1) {
     std::vector<std::thread> ts;
     for (int e = 0; e < n_eng; e++)
-      ts.emplace_back(work_one, e, std::ref(e ? ws.rowbuf2 : ws.rowbuf));
+      ts.emplace_back(work_one, e, std::ref(ws.rowbuf[e]));
     for (auto &t : ts) t.join();
   } else if (n_eng > 1) {
     /* one core, several engines: interleave two dependency chains per
      * loop — per-iteration latency (~75 cy) dominates the uop count, so
      * paired chains overlap for ~2x throughput */
-    for (int g = 0; g < G; g++) prep_one(g, ws.rowbuf);
+    for (int g = 0; g < G; g++) prep_one(g, ws.rowbuf[0]);
     for (int e = 0; e < n_eng; e += 2) {
       const int loA = e * 8, nA = std::min(G, loA + 8) - loA;
       if (e + 1 < n_eng) {
@@ -855,7 +855,7 @@ int vp8_parse_tokens_gop_simd(
     if (all_ok)
       for (int g = 0; g < G; g++) phase_b_one(g);
   } else {
-    for (int e = 0; e < n_eng; e++) work_one(e, ws.rowbuf);
+    for (int e = 0; e < n_eng; e++) work_one(e, ws.rowbuf[0]);
   }
   for (int e = 0; e < n_eng; e++)
     if (!eng_ok[e]) return -1;

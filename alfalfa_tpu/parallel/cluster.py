@@ -23,7 +23,10 @@ def _encode_one_chunk(args):
     from alfalfa_tpu.bitstream.header import UncompressedChunk
     from alfalfa_tpu.decoder.decoder import Decoder
     from alfalfa_tpu.decoder.parse import FrameParser
-    from alfalfa_tpu.decoder.decoder import reconstruct_module
+    # workers are CPU-parallel by design: never initialize a (single-
+    # client) TPU backend inside the pool — the scalar oracle is the
+    # correct reconstruction here
+    from alfalfa_tpu.decoder import reconstruct_np
     from alfalfa_tpu.encoder.serializer import serialize_frame
     from alfalfa_tpu.state import serdes
 
@@ -49,7 +52,7 @@ def _encode_one_chunk(args):
             header.copy_buffer_to_alternate = None
             payload = serialize_frame(header, arrays, frame_probs, False,
                                       w, h)
-        raster = reconstruct_module().reconstruct(header, arrays, dec.state,
+        raster = reconstruct_np.reconstruct(header, arrays, dec.state,
                                             dec.references, chunk.key_frame)
         dec._update_references(chunk.key_frame, header, raster)
         out.append(payload)

@@ -154,7 +154,9 @@ def gop_scaling_metric():
     moment more than one device is attached (BASELINE.md target >= 80%).
     Per-device work is one frame's reconstruction; efficiency =
     t(1 chunk on 1 device) / t(N chunks on N devices).  Smoke-testable
-    off-hardware with ALFALFA_BENCH_SCALING=1 on the virtual CPU mesh."""
+    off-hardware on the virtual CPU mesh (JAX_PLATFORMS=cpu +
+    xla_force_host_platform_device_count; ALFALFA_SCALING_RC shrinks
+    the geometry)."""
     import jax
     import jax.numpy as jnp
     from alfalfa_tpu.parallel import gop

@@ -82,14 +82,16 @@ def test_simd_tokens_paired_engines(monkeypatch):
 
 
 @pytest.mark.skipif(not _supported(), reason="no AVX-512 on this host")
-def test_simd_tokens_wide_batch(monkeypatch):
-    """G > 8 splits into two 8-lane engines fanned over threads — the
-    wide-lockstep (ALFALFA_BENCH_G=16) configuration."""
+@pytest.mark.parametrize("G,threads", [(12, 2), (32, 4)])
+def test_simd_tokens_wide_batch(G, threads, monkeypatch):
+    """G > 8 splits into 8-lane engines fanned over threads — the
+    wide-lockstep (ALFALFA_BENCH_G) configuration.  G=32/threads=4
+    covers every engine worker owning its own schedule scratch."""
     path = "tests/fixtures/inter_176x144_q96.ivf"
-    monkeypatch.setenv("ALFALFA_PARSE_THREADS", "2")
+    monkeypatch.setenv("ALFALFA_PARSE_THREADS", str(threads))
     try:
-        want = _batches(path, 12, False, monkeypatch)
-        got = _batches(path, 12, True, monkeypatch)
+        want = _batches(path, G, False, monkeypatch)
+        got = _batches(path, G, True, monkeypatch)
     finally:
         bw._simdlib = None
     for f, (a, b) in enumerate(zip(want, got)):
