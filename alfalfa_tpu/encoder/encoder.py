@@ -316,16 +316,48 @@ class Encoder:
             min_lf = max(0, self.last_loop_filter_level - 1)
             max_lf = min(63, self.last_loop_filter_level + 1)
 
-        best = (-1.0, 0, None)
         oy = orig.display()[0]
-        for level in range(min_lf, max_lf + 1):
+
+        def evaluate(level):
+            # per-thread header copy: the native filter + SSIM release the
+            # GIL, so candidate levels run concurrently on multicore hosts
+            import copy as _copy
+            h = _copy.copy(header)
+            h.loop_filter_level = level
             candidate = recon.copy()
-            header.loop_filter_level = level
-            R._loopfilter_frame(header, arrays, state, candidate, key_frame)
-            s = ssim(candidate.display()[0], oy)
-            if s > best[0]:
-                best = (s, level, candidate)
-            else:
-                break
+            R._loopfilter_frame(h, arrays, state, candidate, key_frame)
+            return ssim(candidate.display()[0], oy), candidate
+
+        # evaluate in core-sized chunks, applying the reference's
+        # break-on-first-SSIM-drop sequentially over the results — the
+        # picked level is identical to the serial climb (encoder.cc:488)
+        import concurrent.futures
+        import os as _os
+        levels = list(range(min_lf, max_lf + 1))
+        K = max(1, min(len(levels),
+                       int(_os.environ.get("ALFALFA_LF_THREADS", 0))
+                       or _os.cpu_count() or 1, 8))
+        best = (-1.0, 0, None)
+        if K == 1:
+            for level in levels:
+                s, candidate = evaluate(level)
+                if s > best[0]:
+                    best = (s, level, candidate)
+                else:
+                    break
+        else:
+            with concurrent.futures.ThreadPoolExecutor(K) as ex:
+                stop = False
+                for base in range(0, len(levels), K):
+                    chunk = levels[base:base + K]
+                    for level, (s, candidate) in zip(chunk,
+                                                     ex.map(evaluate, chunk)):
+                        if s > best[0]:
+                            best = (s, level, candidate)
+                        else:
+                            stop = True
+                            break
+                    if stop:
+                        break
         _, level, filtered = best
         return level, filtered

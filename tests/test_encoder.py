@@ -72,3 +72,24 @@ def test_minimum_ssim_search(tmp_path):
             writer.append_frame(enc.encode_with_minimum_ssim(f, 0.80))
     for raster, f in zip(FilePlayer(path), clip):
         assert ssim(raster.display()[0], f[0]) >= 0.80 - 0.005
+
+
+def test_lf_search_threads_identical(monkeypatch):
+    """The loop-filter search's parallel candidate evaluation must pick
+    the exact level (and bytes) of the serial climb — the chunked
+    break-on-first-drop replays the reference's decision sequence."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent / "fixtures"))
+    from gen_inputs import gen_clip
+    from alfalfa_tpu.encoder import Encoder
+
+    w, h = 96, 64
+    clip = gen_clip(w, h, 3, seed=5)
+    outs = {}
+    for k in ("1", "4"):
+        monkeypatch.setenv("ALFALFA_LF_THREADS", k)
+        enc = Encoder(w, h)
+        outs[k] = [enc.encode_with_quantizer(f, 52, key_frame=i == 0)
+                   for i, f in enumerate(clip)]
+    assert outs["1"] == outs["4"]
