@@ -360,13 +360,13 @@ def finish_interframe(encoder, header, arrays, recon, orig, update):
     # temporary state view for the loop filter search
     lf_state = DecoderState(W, H, frame_probs,
                             encoder.state.segmentation, None)
-    lf_level, filtered = encoder._search_loopfilter(header, arrays, lf_state,
-                                                    recon, orig, False)
+    lf_level, filtered, lf_ssim = encoder._search_loopfilter(
+        header, arrays, lf_state, recon, orig, False)
     header.loop_filter_level = lf_level
 
     from .serializer import serialize_frame
     payload = serialize_frame(header, arrays, frame_probs, False, W, H)
-    quality = ssim(filtered.display()[0], orig.display()[0])
+    quality = lf_ssim     # the search already scored the winning candidate
 
     if update:
         # update_decoder_state (encode_inter.cc:154-170)

@@ -261,14 +261,14 @@ class Encoder:
         frame_probs.coeff_prob_update(header)
 
         with tracing.stage("enc.lf_search"):
-            lf_level, filtered = self._search_loopfilter(
+            lf_level, filtered, lf_ssim = self._search_loopfilter(
                 header, arrays, new_state, recon, orig, True)
         header.loop_filter_level = lf_level
 
         with tracing.stage("enc.serialize"):
             payload = serialize_frame(header, arrays, frame_probs,
                                       True, self.width, self.height)
-        quality = ssim(*(filtered.display()[0], orig.display()[0]))
+        quality = lf_ssim    # the search already scored the winner
 
         if update:
             self.state = new_state
@@ -298,8 +298,8 @@ class Encoder:
 
     def _search_loopfilter(self, header, arrays, state, recon, orig, key_frame):
         """Hill-climb the loop filter level by SSIM vs the original; returns
-        (level, filtered_raster). Starts near the last frame's level in
-        realtime mode; full climb from 0 otherwise."""
+        (level, filtered_raster, ssim). Starts near the last frame's level
+        in realtime mode; full climb from 0 otherwise."""
         # the reference emits mode_lf_adjustments with explicit zero updates
         from alfalfa_tpu.bitstream.header import ModeRefLFDeltaUpdate
         header.mode_lf_adjustments_enabled = True
@@ -359,5 +359,5 @@ class Encoder:
                             break
                     if stop:
                         break
-        _, level, filtered = best
-        return level, filtered
+        s, level, filtered = best
+        return level, filtered, s
