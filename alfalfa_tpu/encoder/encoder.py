@@ -252,18 +252,22 @@ class Encoder:
         new_state = DecoderState.from_keyframe_header(header, self.width, self.height)
 
         # per-frame coefficient probability optimization (encoder.cc:418-439)
+        # — the native counting overlaps the loop-filter search (the
+        # filter never reads the probability tables)
+        from concurrent.futures import ThreadPoolExecutor
         from .serializer import count_token_branches, optimize_token_probs
-        with tracing.stage("enc.token_counts"):
-            counts = count_token_branches(arrays)
+        with ThreadPoolExecutor(1) as ex:
+            counts_f = ex.submit(count_token_branches, arrays)
+            with tracing.stage("enc.lf_search"):
+                lf_level, filtered, lf_ssim = self._search_loopfilter(
+                    header, arrays, new_state, recon, orig, True)
+            header.loop_filter_level = lf_level
+            with tracing.stage("enc.token_counts"):
+                counts = counts_f.result()
         header.token_prob_update = optimize_token_probs(
             counts, new_state.probability_tables.coeff_probs)
         frame_probs = new_state.probability_tables.copy()
         frame_probs.coeff_prob_update(header)
-
-        with tracing.stage("enc.lf_search"):
-            lf_level, filtered, lf_ssim = self._search_loopfilter(
-                header, arrays, new_state, recon, orig, True)
-        header.loop_filter_level = lf_level
 
         with tracing.stage("enc.serialize"):
             payload = serialize_frame(header, arrays, frame_probs,
