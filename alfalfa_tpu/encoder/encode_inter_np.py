@@ -355,15 +355,14 @@ def finish_interframe(encoder, header, arrays, recon, orig, update):
     # filter search — the filter only reads segmentation/adjustments,
     # never the probability tables, so the state view can carry the
     # baseline tables
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(1) as ex:
-        counts_f = ex.submit(count_token_branches, arrays)
-        lf_state = DecoderState(W, H, encoder.state.probability_tables,
-                                encoder.state.segmentation, None)
-        lf_level, filtered, lf_ssim = encoder._search_loopfilter(
-            header, arrays, lf_state, recon, orig, False)
-        header.loop_filter_level = lf_level
-        counts = counts_f.result()
+    from .encoder import worker_pool
+    counts_f = worker_pool().submit(count_token_branches, arrays)
+    lf_state = DecoderState(W, H, encoder.state.probability_tables,
+                            encoder.state.segmentation, None)
+    lf_level, filtered, lf_ssim = encoder._search_loopfilter(
+        header, arrays, lf_state, recon, orig, False)
+    header.loop_filter_level = lf_level
+    counts = counts_f.result()
     header.token_prob_update = optimize_token_probs(
         counts, encoder.state.probability_tables.coeff_probs)
     frame_probs = encoder.state.probability_tables.copy()

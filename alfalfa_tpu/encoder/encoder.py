@@ -35,6 +35,28 @@ def calc_prob(false_count, total):
     return max(1, min(255, 256 * false_count // total))
 
 
+_POOL = None
+
+
+def worker_pool():
+    """Shared thread pool for the encode tail's native overlaps (loop
+    filter candidates, token counting) — created once, not per frame."""
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _POOL = ThreadPoolExecutor(8)
+    return _POOL
+
+
+def _lf_threads():
+    import os
+    try:
+        k = int(os.environ.get("ALFALFA_LF_THREADS", "") or 0)
+    except ValueError:
+        k = 0
+    return k or os.cpu_count() or 1
+
+
 class Encoder:
     def __init__(self, width, height, quality="best", two_pass=False,
                  device_encode=None):
@@ -254,16 +276,14 @@ class Encoder:
         # per-frame coefficient probability optimization (encoder.cc:418-439)
         # — the native counting overlaps the loop-filter search (the
         # filter never reads the probability tables)
-        from concurrent.futures import ThreadPoolExecutor
         from .serializer import count_token_branches, optimize_token_probs
-        with ThreadPoolExecutor(1) as ex:
-            counts_f = ex.submit(count_token_branches, arrays)
-            with tracing.stage("enc.lf_search"):
-                lf_level, filtered, lf_ssim = self._search_loopfilter(
-                    header, arrays, new_state, recon, orig, True)
-            header.loop_filter_level = lf_level
-            with tracing.stage("enc.token_counts"):
-                counts = counts_f.result()
+        counts_f = worker_pool().submit(count_token_branches, arrays)
+        with tracing.stage("enc.lf_search"):
+            lf_level, filtered, lf_ssim = self._search_loopfilter(
+                header, arrays, new_state, recon, orig, True)
+        header.loop_filter_level = lf_level
+        with tracing.stage("enc.token_counts_join"):
+            counts = counts_f.result()
         header.token_prob_update = optimize_token_probs(
             counts, new_state.probability_tables.coeff_probs)
         frame_probs = new_state.probability_tables.copy()
@@ -335,12 +355,8 @@ class Encoder:
         # evaluate in core-sized chunks, applying the reference's
         # break-on-first-SSIM-drop sequentially over the results — the
         # picked level is identical to the serial climb (encoder.cc:488)
-        import concurrent.futures
-        import os as _os
         levels = list(range(min_lf, max_lf + 1))
-        K = max(1, min(len(levels),
-                       int(_os.environ.get("ALFALFA_LF_THREADS", 0))
-                       or _os.cpu_count() or 1, 8))
+        K = max(1, min(len(levels), _lf_threads(), 8))
         best = (-1.0, 0, None)
         if K == 1:
             for level in levels:
@@ -350,18 +366,18 @@ class Encoder:
                 else:
                     break
         else:
-            with concurrent.futures.ThreadPoolExecutor(K) as ex:
-                stop = False
-                for base in range(0, len(levels), K):
-                    chunk = levels[base:base + K]
-                    for level, (s, candidate) in zip(chunk,
-                                                     ex.map(evaluate, chunk)):
-                        if s > best[0]:
-                            best = (s, level, candidate)
-                        else:
-                            stop = True
-                            break
-                    if stop:
+            ex = worker_pool()
+            stop = False
+            for base in range(0, len(levels), K):
+                chunk = levels[base:base + K]
+                for level, (s, candidate) in zip(chunk,
+                                                 ex.map(evaluate, chunk)):
+                    if s > best[0]:
+                        best = (s, level, candidate)
+                    else:
+                        stop = True
                         break
+                if stop:
+                    break
         s, level, filtered = best
         return level, filtered, s

@@ -11,8 +11,11 @@ import functools
 import hashlib
 import os
 import subprocess
+import threading
 
 FLAGS = ("-O3", "-march=native", "-shared", "-fPIC", "-pthread")
+
+_LOCK = threading.Lock()
 
 
 @functools.lru_cache()
@@ -35,12 +38,20 @@ def _host_tag():
 
 
 def load_library(src_path):
-    """Compile (if needed) and dlopen the library for ``src_path``."""
+    """Compile (if needed) and dlopen the library for ``src_path``.
+
+    Thread- and process-safe: first use can come from parallel encoder
+    threads (or pool workers), so the compile goes to a private temp
+    file and lands with an atomic rename; the in-process lock keeps two
+    threads from compiling the same source twice."""
     here = os.path.dirname(os.path.abspath(src_path))
     base = os.path.splitext(os.path.basename(src_path))[0]
     so = os.path.join(here, "lib%s.%s.so" % (base, _host_tag()))
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src_path)):
-        subprocess.run(["g++", *FLAGS, "-o", so, src_path],
-                       check=True, capture_output=True)
+    with _LOCK:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src_path)):
+            tmp = "%s.tmp.%d" % (so, os.getpid())
+            subprocess.run(["g++", *FLAGS, "-o", tmp, src_path],
+                           check=True, capture_output=True)
+            os.replace(tmp, so)
     return ctypes.CDLL(so)

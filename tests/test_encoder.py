@@ -78,12 +78,6 @@ def test_lf_search_threads_identical(monkeypatch):
     """The loop-filter search's parallel candidate evaluation must pick
     the exact level (and bytes) of the serial climb — the chunked
     break-on-first-drop replays the reference's decision sequence."""
-    import sys
-    from pathlib import Path
-    sys.path.insert(0, str(Path(__file__).parent / "fixtures"))
-    from gen_inputs import gen_clip
-    from alfalfa_tpu.encoder import Encoder
-
     w, h = 96, 64
     clip = gen_clip(w, h, 3, seed=5)
     outs = {}
