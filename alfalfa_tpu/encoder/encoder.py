@@ -75,6 +75,7 @@ class Encoder:
         self.device_encode = device_encode
         self.last_loop_filter_level = None
         self.last_y_ac_qi = None  # seeds the target-size search window
+        self.last_ssim = None     # reference encode_stats_.ssim parity
 
     # -- public API -----------------------------------------------------------
 
@@ -84,9 +85,10 @@ class Encoder:
         if key_frame is None:
             key_frame = self.frame_no == 0
         qi = QuantIndices(y_ac_qi=int(y_ac_qi))
-        payload, _ssim = self._encode_frame(yuv, qi, key_frame, update=True)
+        payload, quality = self._encode_frame(yuv, qi, key_frame, update=True)
         self.frame_no += 1
         self.last_y_ac_qi = int(y_ac_qi)
+        self.last_ssim = quality
         return payload
 
     def encode_with_target_size(self, yuv, target_size, key_frame=None):
@@ -192,10 +194,11 @@ class Encoder:
                 hi = qi - 1
             else:
                 lo = qi + 1
-        payload, _ = self._encode_frame(yuv, QuantIndices(y_ac_qi=best_qi),
-                                        key_frame, update=True)
+        payload, quality = self._encode_frame(
+            yuv, QuantIndices(y_ac_qi=best_qi), key_frame, update=True)
         self.frame_no += 1
         self.last_y_ac_qi = best_qi
+        self.last_ssim = quality
         return payload
 
     def fork(self):

@@ -117,9 +117,10 @@ def do_encode_jobs_fused(jobs):
         encoders, raster, [QuantIndices(y_ac_qi=int(q)) for q in qis])
     ms = int((time.monotonic() - t0) * 1000)
     outs = []
-    for (name, _r, enc, qq), (payload, _ssim) in zip(jobs, results):
+    for (name, _r, enc, qq), (payload, q_ssim) in zip(jobs, results):
         enc.frame_no += 1
         enc.last_y_ac_qi = int(qq)
+        enc.last_ssim = q_ssim
         outs.append(EncodeOutput(enc, payload, source_minihash, ms, name,
                                  int(qq)))
     return outs
@@ -346,9 +347,13 @@ class SalsifySender:
             from alfalfa_tpu.util.procinfo import memory_usage
             print(f"<mem = {memory_usage()}>", file=sys.stderr)
             self._next_mem_report = time.monotonic() + 5.0
+        # per-frame line incl. the encode SSIM (sender.cc:627-637)
+        q_ssim = getattr(output.encoder, "last_ssim", None)
         self._log(f"frame {self.frame_no}: {output.job_name} "
-                  f"(q={output.y_ac_qi}) = {ff.fragments_in_this_frame} "
-                  f"fragments, {output.encode_time_ms} ms "
+                  f"(q={output.y_ac_qi}, "
+                  f"ssim={-1.0 if q_ssim is None else q_ssim:.4f}) = "
+                  f"{ff.fragments_in_this_frame} fragments, "
+                  f"{output.encode_time_ms} ms "
                   f"{{{output.source_minihash:#x} -> {target_minihash:#x}}}")
         self.frame_no += 1
         self.frames_sent += 1
