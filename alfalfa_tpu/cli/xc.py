@@ -656,6 +656,31 @@ def cmd_dissect(args):
         print(f"frame #{i}: {kind}, {len(payload)} bytes")
         if not chunk.show_frame:
             print("(hidden frame)")
+        if not chunk.key_frame:
+            # InterFrame::stats parity (reference frame.cc:350-373)
+            import numpy as _np
+            total = arrays.ref.size
+            inter_n = int((arrays.ref != T.CURRENT_FRAME).sum())
+            print(f"\tPercentage Inter Coded: {inter_n * 100 / total}%")
+            if inter_n:
+                pct = [int((arrays.ref == rf).sum()) * 100 / inter_n
+                       for rf in (T.LAST_FRAME, T.GOLDEN_FRAME,
+                                  T.ALTREF_FRAME)]
+                print(f"\tLast: {pct[0]}% Golden: {pct[1]}% "
+                      f"Alternate: {pct[2]}%")
+            updates = []
+            if header.refresh_last:
+                updates.append("last")
+            if header.refresh_golden_frame:
+                updates.append("golden")
+            if header.refresh_alternate_frame:
+                updates.append("alternate")
+            if header.copy_buffer_to_golden:
+                updates.append(f"golden<-copy{header.copy_buffer_to_golden}")
+            if header.copy_buffer_to_alternate:
+                updates.append(
+                    f"alternate<-copy{header.copy_buffer_to_alternate}")
+            print(f"\tReference Updates: {', '.join(updates) or 'none'}")
         if args.probability_tables:
             print_prob_tables(header)
         print_frame_header(header, chunk.key_frame)
