@@ -424,7 +424,7 @@ def cmd_decode_bundle(args):
     for path in paths:
         ivf = IVFReader(path)
         if decoder is None:
-            decoder = Decoder(ivf.width, ivf.height)
+            decoder = Decoder(ivf.width, ivf.height, backend="auto")
             writer = Y4MWriter(args.output, ivf.width, ivf.height,
                                ivf.frame_rate, ivf.time_scale)
         if not decoder.minihash_match(ivf.expected_decoder_minihash):
