@@ -28,11 +28,9 @@ for p in payloads:
     t0 = time.perf_counter()
     key_frame, batch, flags, show = dec.parse_frame_batch([p] * G)
     t1 = time.perf_counter()
-    dev_batch = {k: (v if v is None or isinstance(v, (dict, tuple))
-                     else jax.device_put(v)) for k, v in batch.items()}
-    for v in dev_batch.values():
-        if hasattr(v, 'block_until_ready'):
-            v.block_until_ready()
+    dev_batch = jax.device_put(batch)      # one pytree transfer, as decode does
+    jax.block_until_ready(
+        [v for v in jax.tree.leaves(dev_batch)])
     t2 = time.perf_counter()
     (y, u, v), dec.refs = dec._step(key_frame)(dev_batch, dec.refs)
     jax.block_until_ready(y)
