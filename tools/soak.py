@@ -36,6 +36,7 @@ def one_trial(rng, tmpdir, i):
     mode = str(rng.choice(["qp", "qp", "qp", "ssim", "target", "twopass"]))
     seed = int(rng.integers(0, 1 << 30))
     desc = f"trial {i}: {w}x{h} f={frames} qi={qi} {quality} {mode} seed={seed}"
+    print("  starting " + desc, flush=True)   # survives a native crash
 
     clip = gen_clip(w, h, frames, seed=seed)
     enc = Encoder(w, h, quality=quality, two_pass=(mode == "twopass"))
