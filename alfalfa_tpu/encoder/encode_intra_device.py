@@ -55,11 +55,11 @@ def _untile(tiles, R, C, S):
 _FN_CACHE = {}
 
 
-def _kf_fn(R, C, interpret):
+def _kf_fn(R, C, interpret, trellis=False):
     """Jitted (skew + kernel) pipeline, cached per geometry."""
     from . import device_fetch
     sparse = device_fetch.enabled()
-    key = (R, C, interpret, sparse)
+    key = (R, C, interpret, sparse, trellis)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     import jax
@@ -78,7 +78,7 @@ def _kf_fn(R, C, interpret):
 
     perm16 = _tile_perm(16)
 
-    def f(oy_u8, ou_u8, ov_u8, scalars, mbc, bhi, blo):
+    def f(oy_u8, ou_u8, ov_u8, scalars, mbc, bhi, blo, tcpm=None):
         # one uint8 upload per plane; subblock layout + int16 widen happen
         # on device (H2D carries 1.2 MB instead of 4.6 per 720p frame)
         oy_t = oy_u8.astype(jnp.int16)
@@ -88,7 +88,8 @@ def _kf_fn(R, C, interpret):
         sk = lambda x: RJ._skew(x, scat, nd, Rp)[RJ.DPAD:]
         co, md, ry, ru, rv = EK.encode_kf_frame(
             sk(oy_t), sk(oy_b), sk(ou_t), sk(ov_t),
-            prm, scalars, mbc, bhi, blo, interpret=interpret)
+            prm, scalars, mbc, bhi, blo, interpret=interpret,
+            token_costs=tcpm)
 
         # unskew on device and shrink dtypes: the tunnel D2H fetch is the
         # expensive part, so only the (R*C) valid tiles come back
@@ -108,13 +109,17 @@ def _kf_fn(R, C, interpret):
 
 
 def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
-                           interpret=False):
+                           interpret=False, trellis_probs=None):
     """Encode all keyframe macroblocks on device.
 
     oplanes: (y, u, v) padded uint8 planes.  Returns (arrays, recon,
     dev_tiles) where dev_tiles are the device-resident recon tile
     handles ((R,C,256), (R,C,64), (R,C,64) uint8) for the caller's
     device-reference cache (_cache_device_refs).
+
+    trellis_probs: when set (the frame's coefficient probability tables),
+    every quantization runs the --two-pass trellis DP on device —
+    equivalent to the host second pass (encoder.py pass_i == 1).
     """
     import jax
     if not interpret and jax.default_backend() != "tpu":
@@ -139,9 +144,17 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
     blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
 
-    co, sp, md, ry, ru, rv = _kf_fn(R, C, interpret)(
-        jnp.asarray(oy_u8), jnp.asarray(ou_u8), jnp.asarray(ov_u8),
-        jnp.asarray(scalars), jnp.asarray(mbc), bhi, blo)
+    args = (jnp.asarray(oy_u8), jnp.asarray(ou_u8), jnp.asarray(ov_u8),
+            jnp.asarray(scalars), jnp.asarray(mbc), bhi, blo)
+    if trellis_probs is not None:
+        from alfalfa_tpu.ops import trellis_pallas as TRP
+        tcpm = TRP.token_costs_pm(trellis_probs)
+        order = (T.BLOCK_Y_WITHOUT_Y2, T.BLOCK_Y_AFTER_Y2,
+                 T.BLOCK_UV, T.BLOCK_Y2)
+        tct = np.concatenate([tcpm[bt] for bt in order], axis=0)
+        args = args + (jnp.asarray(tct),)
+    co, sp, md, ry, ru, rv = _kf_fn(
+        R, C, interpret, trellis=trellis_probs is not None)(*args)
 
     from . import device_fetch
     import jax

@@ -238,14 +238,19 @@ class Encoder:
 
         from alfalfa_tpu.util import tracing
         oplanes = (orig.y, orig.u, orig.v)
-        if self.device_encode and not self.two_pass:
+        if self.device_encode:
             # the whole MB wavefront runs on-chip (SURVEY section 7.2
-            # stage 4); bit-identical to the host loop below
+            # stage 4); bit-identical to the host loop below.  Two-pass:
+            # the host first pass is recomputed from scratch by the
+            # second (its arrays/recon are discarded), so the device
+            # path runs ONE trellis-quantizing kernel pass.
             from .encode_intra_device import encode_keyframe_device
+            tp = (self.state.probability_tables.coeff_probs
+                  if self.two_pass else None)
             with tracing.stage("enc.kf_mb_wavefront"):
                 arrays, recon, dev_tiles = encode_keyframe_device(
                     oplanes, self.width, self.height, q, rate_mult,
-                    dist_mult)
+                    dist_mult, trellis_probs=tp)
         else:
             passes = 2 if self.two_pass else 1
             for pass_i in range(passes):
@@ -305,7 +310,7 @@ class Encoder:
             self.references.golden = filtered
             self.references.alternative = filtered
             self.last_loop_filter_level = lf_level
-            if self.device_encode and not self.two_pass:
+            if self.device_encode:
                 from .encode_inter_device import _cache_device_refs
                 _cache_device_refs(self, header, arrays, *dev_tiles,
                                    interpret=False, key_frame=True)

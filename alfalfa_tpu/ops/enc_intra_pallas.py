@@ -26,14 +26,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from alfalfa_tpu.bitstream import tables as TB
 from alfalfa_tpu.ops.intra_pallas import (_sb_predict_all, _lane, _bcast,
                                           _shift_down, _tile_col, B_PRED)
 from alfalfa_tpu.ops import enc_transforms_pallas as ET
+from alfalfa_tpu.ops import trellis_pallas as TRP
 
 DPAD = 3
 NUM_B_MODES = 10
 # whole-mode -> implied b-mode (parse.py _IMPLIED_BMODE; DC,V,H,TM)
 _IMPLIED = (0, 2, 3, 1)
+
+_ZZ = tuple(int(v) for v in TB.ZIGZAG)
+_INVZZ = tuple(_ZZ.index(j) for j in range(16))
+
+
+def _zz_pm(x):
+    """Natural 16-lane block -> position-major (nb=1) by static concat."""
+    return jnp.concatenate([x[:, z:z + 1] for z in _ZZ], axis=1)
+
+
+def _zz_nat(x):
+    """Position-major (nb=1) -> natural 16-lane block."""
+    return jnp.concatenate([x[:, i:i + 1] for i in _INVZZ], axis=1)
+
+
+def _set_lane(acc, b, val, n):
+    """acc with lane b replaced by (Rp, 1) val (n total lanes)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return jnp.where(li == b, val, acc)
 
 
 def _t2b_perm(S):
@@ -108,11 +129,17 @@ def _onehot_cost(above, left, hi_ref, lo_ref):
     return hi.astype(jnp.int32) * 256 + lo.astype(jnp.int32)
 
 
-def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
-                t2b_ref, b2t_ref, t2b8_ref, b2t8_ref,
-                oyt_ref, oyb_ref, out_ref, ovt_ref,
-                co_ref, md_ref, ry_ref, ru_ref, rv_ref,
-                ring_y, ring_u, ring_v, ring_bm):
+def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
+                blo_ref, t2b_ref, b2t_ref, t2b8_ref, b2t8_ref, *rest):
+    if trellis:
+        (tct_ref, pmy_ref, pmyi_ref, pmuv_ref, pmuvi_ref,
+         oyt_ref, oyb_ref, out_ref, ovt_ref,
+         co_ref, md_ref, ry_ref, ru_ref, rv_ref,
+         ring_y, ring_u, ring_v, ring_bm, ring_tnz) = rest
+    else:
+        (oyt_ref, oyb_ref, out_ref, ovt_ref,
+         co_ref, md_ref, ry_ref, ru_ref, rv_ref,
+         ring_y, ring_u, ring_v, ring_bm) = rest
     d = pl.program_id(0)
     Rp = oyt_ref.shape[1]
 
@@ -155,6 +182,31 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
     abm = jnp.where(hrow, abv_bm, 0)
     lbm = jnp.where(hcol, left_bm, 0)
 
+    if trellis:
+        # token-cost rows (host order: [Y_noY2, Y_afterY2, UV, Y2]) and
+        # the neighbors' post-trellis nonzero context ring.  Ring lanes:
+        # 0-3 y right col, 4-7 y bottom row, 8-9 u right, 10-11 u bottom,
+        # 12-13 v right, 14-15 v bottom, 16/17 y2 column nz/valid,
+        # 18/19 y2 row nz/valid.
+        tc_all = tct_ref[...].astype(jnp.int32)
+        tc_y0, tc_y1 = tc_all[0:16], tc_all[16:32]
+        tc_uv, tc_y2 = tc_all[32:48], tc_all[48:64]
+        tnz_abv = _shift_down(ring_tnz[s2].astype(jnp.int32))
+        tnz_left = ring_tnz[s1].astype(jnp.int32)
+        hrow_i = hrow.astype(jnp.int32)
+        hcol_i = hcol.astype(jnp.int32)
+        # y contexts: above MB bottom row / left MB right column, gated
+        ynz_abv4 = tnz_abv[:, 4:8] * hrow_i
+        ynz_left4 = tnz_left[:, 0:4] * hcol_i
+        unz_abv = tnz_abv[:, 10:12] * hrow_i
+        unz_left = tnz_left[:, 8:10] * hcol_i
+        vnz_abv = tnz_abv[:, 14:16] * hrow_i
+        vnz_left = tnz_left[:, 12:14] * hcol_i
+        y2_col_in = tnz_abv[:, 16:17] * hrow_i
+        y2_col_val = tnz_abv[:, 17:18] * hrow_i
+        y2_row_in = tnz_left[:, 18:19] * hcol_i
+        y2_row_val = tnz_left[:, 19:20] * hcol_i
+
     # ---- B_PRED candidate: 16 subblocks, reconstruction in the loop,
     # as a lax.scan over the four subblock BANDS (same position-uniform
     # trick as the decode wavefront's _bpred_tile: with prev_bottom
@@ -173,17 +225,23 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
         [_lane(lbm, 4 * b + 3) for b in range(4)], axis=1)
 
     def bpred_band(_i, carry):
-        (prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a, dist_a,
-         lc_roll, al_roll, lbm_roll, oyb_roll) = carry
+        if trellis:
+            (prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a,
+             dist_a, lc_roll, al_roll, lbm_roll, oyb_roll,
+             prev_nz, lnz_roll, out_nzc) = carry
+        else:
+            (prev_bottom, prev_bm, out_recon, out_co, out_bm, rate_a,
+             dist_a, lc_roll, al_roll, lbm_roll, oyb_roll) = carry
         lcb = lc_roll[:, 0:4]
         al_first = al_roll[:, 0:1]
         lbm_first = lbm_roll[:, 0:1]
         osb_band = oyb_roll[:, 0:64]
         above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
         rows = [jnp.zeros((Rp, 16), jnp.int32)] * 4
-        bm_list, co_list = [], []
+        bm_list, co_list, nz_list = [], [], []
         block_prev = None
         left_m = lbm_first
+        last_nz = None
         for sc in range(4):
             above4 = above20[:, sc * 4:sc * 4 + 4]
             ar = above20[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
@@ -223,7 +281,21 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
             for m in range(1, NUM_B_MODES):
                 pred_sel = jnp.where(best_m == m, preds[m], pred_sel)
 
-            qc = ET.quantize(ET.fdct(osb - pred_sel), q_ydc, q_yac)
+            co_nat = ET.fdct(osb - pred_sel)
+            if trellis:
+                # entry context: post-trellis nonzero of up (previous
+                # band, carried) / left (previous subblock or left MB)
+                up_nz = prev_nz[:, sc:sc + 1]
+                left_nz = lnz_roll[:, 0:1] if sc == 0 else last_nz
+                ctxb = up_nz + left_nz
+                qpm, nzb = TRP.trellis_quantize_pm(
+                    _zz_pm(co_nat), tc_y0, 0, ctxb, q_ydc, q_yac,
+                    rmult, dmult, 1)
+                qc = _zz_nat(qpm)
+                last_nz = nzb.astype(jnp.int32)
+                nz_list.append(last_nz)
+            else:
+                qc = ET.quantize(co_nat, q_ydc, q_yac)
             co_list.append(qc)
             res = ET.idct(ET.dequantize(qc, q_ydc, q_yac))
             blk = jnp.clip(pred_sel + res, 0, 255)
@@ -242,19 +314,30 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
             [out_co[:, 64:], jnp.concatenate(co_list, axis=1)], axis=1)
         out_bm = jnp.concatenate([out_bm[:, 4:], band_bm], axis=1)
         roll = lambda x, n: jnp.concatenate([x[:, n:], x[:, :n]], axis=1)
-        return (rows[3], band_bm, out_recon, out_co, out_bm,
+        base = (rows[3], band_bm, out_recon, out_co, out_bm,
                 rate_a, dist_a, roll(lc_roll, 4), roll(al_roll, 1),
                 roll(lbm_roll, 1), roll(oyb_roll, 64))
+        if trellis:
+            band_nz = jnp.concatenate(nz_list, axis=1)       # (Rp, 4)
+            out_nzc = jnp.concatenate(
+                [out_nzc[:, 1:], band_nz[:, 3:4]], axis=1)
+            return base + (band_nz, roll(lnz_roll, 1), out_nzc)
+        return base
 
     z256 = jnp.zeros((Rp, 256), jnp.int32)
-    (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate, bpred_dist,
-     _, _, _, _) = jax.lax.fori_loop(
-        0, 4, bpred_band,
-        (a16, abm[:, 12:16], z256, z256,
-         jnp.zeros((Rp, 16), jnp.int32),
-         jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED],
-         jnp.zeros((Rp, 1), jnp.int32),
-         lcol, al_roll0, lbm_roll0, oy_b))
+    init = (a16, abm[:, 12:16], z256, z256,
+            jnp.zeros((Rp, 16), jnp.int32),
+            jnp.zeros((Rp, 1), jnp.int32) + mbc_ref[0, B_PRED],
+            jnp.zeros((Rp, 1), jnp.int32),
+            lcol, al_roll0, lbm_roll0, oy_b)
+    if trellis:
+        init = init + (ynz_abv4, ynz_left4, jnp.zeros((Rp, 4), jnp.int32))
+        (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate,
+         bpred_dist, _, _, _, _, bp_bnz, _, bp_colnz) = jax.lax.fori_loop(
+            0, 4, bpred_band, init)
+    else:
+        (_, _, bpred_recon, bpred_co, bpred_bm, bpred_rate, bpred_dist,
+         _, _, _, _) = jax.lax.fori_loop(0, 4, bpred_band, init)
     bpred_cost = _rdcost(bpred_rate, bpred_dist, rmult, dmult)
 
     # ---- whole-MB modes ----
@@ -281,8 +364,51 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
     is_dc = (li % 16) == 0
     walsh = jnp.concatenate([_lane(wco_full, 16 * b) for b in range(16)],
                             axis=1)
-    wco_ac = ET.quantize(jnp.where(is_dc, 0, wco_full), q_ydc, q_yac)
-    y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
+    if trellis:
+        def sel3(ctx, v0, v1, v2):
+            return jnp.where(ctx == 0, v0, jnp.where(ctx == 1, v1, v2))
+
+        # ---- whole-mode luma: one DP over all 16 subblocks, both
+        # start-level walk-forwards and all three entry-context costs
+        # precomputed, the per-subblock choice resolved afterwards in
+        # raster order (the context only selects between the two
+        # precomputed outputs) ----
+        wpm = TRP.permute_wide(jnp.where(is_dc, 0, wco_full), pmy_ref[...])
+        finalW, storesW = TRP.trellis_nodes(
+            wpm, tc_y1, 1, q_ydc, q_yac, rmult, dmult, 16)
+        zc = jnp.zeros((Rp, 16), jnp.int32)
+        outW0, nzW0 = TRP.trellis_walk(storesW, zc, 1, 16)
+        outW1, nzW1 = TRP.trellis_walk(storesW, zc + 1, 1, 16)
+        cw = [TRP.final_costs(finalW, tc_y1[1:2], zc + c, rmult, dmult)
+              for c in range(3)]
+        nzW0i, nzW1i = nzW0.astype(jnp.int32), nzW1.astype(jnp.int32)
+        chW, nzW = zc, zc
+        for b in range(16):
+            sr_, sc_ = b // 4, b % 4
+            up_nz = nzW[:, b - 4:b - 3] if sr_ else ynz_abv4[:, sc_:sc_ + 1]
+            lf_nz = nzW[:, b - 1:b] if sc_ else ynz_left4[:, sr_:sr_ + 1]
+            ctx = up_nz + lf_nz
+            c0 = sel3(ctx, cw[0][0][:, b:b + 1], cw[1][0][:, b:b + 1],
+                      cw[2][0][:, b:b + 1])
+            c1 = sel3(ctx, cw[0][1][:, b:b + 1], cw[1][1][:, b:b + 1],
+                      cw[2][1][:, b:b + 1])
+            chb = (c1 < c0).astype(jnp.int32)
+            nzb = jnp.where(chb == 1, nzW1i[:, b:b + 1], nzW0i[:, b:b + 1])
+            chW = _set_lane(chW, b, chb, 16)
+            nzW = _set_lane(nzW, b, nzb, 16)
+        wout_pm = jnp.where(jnp.tile(chW, (1, 16)) == 1, outW1, outW0)
+        wco_ac = TRP.permute_wide(wout_pm, pmyi_ref[...])
+
+        # ---- Y2: context from the column/row chains threaded through
+        # the rings (B_PRED MBs propagate, whole-mode MBs set) ----
+        y2ctx = y2_col_in * y2_col_val + y2_row_in * y2_row_val
+        y2pm, y2nzb = TRP.trellis_quantize_pm(
+            _zz_pm(ET.fwht(walsh)), tc_y2, 0, y2ctx, q_y2dc, q_y2ac,
+            rmult, dmult, 1)
+        y2q = _zz_nat(y2pm)
+    else:
+        wco_ac = ET.quantize(jnp.where(is_dc, 0, wco_full), q_ydc, q_yac)
+        y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
     # decoder-identical reconstruction: dequant ACs, Y2 iWHT DC terms
     yd = ET.dequantize(wco_ac, q_ydc, q_yac)
     dc_rec = ET.iwht(ET.dequantize(y2q, q_y2dc, q_y2ac))   # (Rp, 16)
@@ -330,16 +456,64 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
             pu_sel = jnp.where(better, pu[m], pu_sel)
             pv_sel = jnp.where(better, pv[m], pv_sel)
 
-    def chroma_code(ot, psel):
-        pb = _permute(psel, t2b8_ref[...])
-        ob = _permute(ot, t2b8_ref[...])
-        qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
-        res = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
-        rec = _permute(jnp.clip(pb + res, 0, 255), b2t8_ref[...])
-        return qc, rec
+    if trellis:
+        # ---- chroma: one DP over the 8 subblocks of both planes; the
+        # two planes' 2x2 context chains are independent ----
+        pbu = _permute(pu_sel, t2b8_ref[...])
+        obu = _permute(ou_t, t2b8_ref[...])
+        pbv = _permute(pv_sel, t2b8_ref[...])
+        obv = _permute(ov_t, t2b8_ref[...])
+        uv_nat = jnp.concatenate(
+            [ET.fdct(obu - pbu), ET.fdct(obv - pbv)], axis=1)
+        uvpm = TRP.permute_wide(uv_nat, pmuv_ref[...])
+        finalU, storesU = TRP.trellis_nodes(
+            uvpm, tc_uv, 0, q_uvdc, q_uvac, rmult, dmult, 8)
+        z8 = jnp.zeros((Rp, 8), jnp.int32)
+        outU0, nzU0 = TRP.trellis_walk(storesU, z8, 0, 8)
+        outU1, nzU1 = TRP.trellis_walk(storesU, z8 + 1, 0, 8)
+        cu = [TRP.final_costs(finalU, tc_uv[0:1], z8 + c, rmult, dmult)
+              for c in range(3)]
+        nzU0i, nzU1i = nzU0.astype(jnp.int32), nzU1.astype(jnp.int32)
+        chU, nzU = z8, z8
+        for pos in range(4):
+            sr_, sc_ = pos // 2, pos % 2
+            for p in range(2):
+                b = p * 4 + pos
+                abv = (unz_abv, vnz_abv)[p]
+                lft = (unz_left, vnz_left)[p]
+                up_nz = nzU[:, b - 2:b - 1] if sr_ else abv[:, sc_:sc_ + 1]
+                lf_nz = nzU[:, b - 1:b] if sc_ else lft[:, sr_:sr_ + 1]
+                ctx = up_nz + lf_nz
+                c0 = sel3(ctx, cu[0][0][:, b:b + 1], cu[1][0][:, b:b + 1],
+                          cu[2][0][:, b:b + 1])
+                c1 = sel3(ctx, cu[0][1][:, b:b + 1], cu[1][1][:, b:b + 1],
+                          cu[2][1][:, b:b + 1])
+                chb = (c1 < c0).astype(jnp.int32)
+                nzb = jnp.where(chb == 1, nzU1i[:, b:b + 1],
+                                nzU0i[:, b:b + 1])
+                chU = _set_lane(chU, b, chb, 8)
+                nzU = _set_lane(nzU, b, nzb, 8)
+        uvout_pm = jnp.where(jnp.tile(chU, (1, 16)) == 1, outU1, outU0)
+        uv_q = TRP.permute_wide(uvout_pm, pmuvi_ref[...])
+        co_u, co_v = uv_q[:, 0:64], uv_q[:, 64:128]
 
-    co_u, recon_u = chroma_code(ou_t, pu_sel)
-    co_v, recon_v = chroma_code(ov_t, pv_sel)
+        def chroma_recon(qc, pb):
+            res = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+            return _permute(jnp.clip(pb + res, 0, 255), b2t8_ref[...])
+
+        recon_u = chroma_recon(co_u, pbu)
+        recon_v = chroma_recon(co_v, pbv)
+    else:
+        def chroma_code(ot, psel):
+            pb = _permute(psel, t2b8_ref[...])
+            ob = _permute(ot, t2b8_ref[...])
+            qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
+            res = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+            rec = _permute(jnp.clip(pb + res, 0, 255), b2t8_ref[...])
+            return qc, rec
+
+        co_u, recon_u = chroma_code(ou_t, pu_sel)
+        co_v, recon_v = chroma_code(ov_t, pv_sel)
 
     # ---- outputs ----
     coeffs = jnp.concatenate([co_y, co_u, co_v, co_y2[:, 0:16]], axis=1)
@@ -357,10 +531,30 @@ def _enc_kernel(nd, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref, blo_ref,
     ring_u[d & 3] = recon_u.astype(jnp.int16)
     ring_v[d & 3] = recon_v.astype(jnp.int16)
     ring_bm[d & 3] = bm_out.astype(jnp.int16)
+    if trellis:
+        # post-trellis nonzero context ring for the down/right neighbors
+        wm_col = jnp.concatenate(
+            [nzW[:, 3:4], nzW[:, 7:8], nzW[:, 11:12], nzW[:, 15:16]],
+            axis=1)
+        ycol = jnp.where(use_b, bp_colnz, wm_col)
+        yrow = jnp.where(use_b, bp_bnz, nzW[:, 12:16])
+        y2nz_i = y2nzb.astype(jnp.int32)
+        one = jnp.ones((Rp, 1), jnp.int32)
+        col_nz = jnp.where(use_b, y2_col_in, y2nz_i)
+        col_val = jnp.where(use_b, y2_col_val, one)
+        row_nz = jnp.where(use_b, y2_row_in, y2nz_i)
+        row_val = jnp.where(use_b, y2_row_val, one)
+        ur = jnp.concatenate([nzU[:, 1:2], nzU[:, 3:4]], axis=1)
+        vr = jnp.concatenate([nzU[:, 5:6], nzU[:, 7:8]], axis=1)
+        tnz = jnp.concatenate(
+            [ycol, yrow, ur, nzU[:, 2:4], vr, nzU[:, 6:8],
+             col_nz, col_val, row_nz, row_val,
+             jnp.zeros((Rp, 12), jnp.int32)], axis=1)
+        ring_tnz[d & 3] = tnz.astype(jnp.int16)
 
 
 def encode_kf_frame(oy_t, oy_b, ou_t, ov_t, prm, scalars, mb_costs,
-                    bcost_hi, bcost_lo, interpret=False):
+                    bcost_hi, bcost_lo, interpret=False, token_costs=None):
     """Run the keyframe intra-encode wavefront.
 
     oy_t/oy_b: (nd, Rp, 256) int16 skewed original luma (tile / block
@@ -369,18 +563,35 @@ def encode_kf_frame(oy_t, oy_b, ou_t, ov_t, prm, scalars, mb_costs,
     [y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac, rate_mult, dist_mult];
     mb_costs: (1, 8) int32 keyframe mbmode costs; bcost_hi/lo: (100, 10)
     bf16 split keyframe b-mode cost table.
+    token_costs: optional (64, 36) int32 position-major trellis token
+    costs (rows [Y_noY2, Y_afterY2, UV, Y2] x 16) — when given, every
+    quantization runs the two-pass trellis DP (--two-pass second pass).
     Returns (coeffs (nd,Rp,400) i16, md (nd,Rp,32) i16,
              recon_y (nd,Rp,256) i16, recon_u, recon_v).
     """
     nd, Rp, _ = oy_t.shape
+    trellis = token_costs is not None
     t2b, b2t = _t2b_perm(16)
     t2b8, b2t8 = _t2b_perm(8)
     stream = lambda P: pl.BlockSpec((1, Rp, P), lambda d: (d, 0, 0),
                                     memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda d: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    tr_specs, tr_args = [], []
+    scratch = [pltpu.VMEM((4, Rp, 256), jnp.int16),
+               pltpu.VMEM((4, Rp, 64), jnp.int16),
+               pltpu.VMEM((4, Rp, 64), jnp.int16),
+               pltpu.VMEM((4, Rp, 16), jnp.int16)]
+    if trellis:
+        pmy, pmyi = TRP.pm_perm(16)
+        pmuv, pmuvi = TRP.pm_perm(8)
+        tr_specs = [const((64, 36)), const((256, 256)), const((256, 256)),
+                    const((128, 128)), const((128, 128))]
+        tr_args = [jnp.asarray(token_costs, jnp.int32), pmy, pmyi,
+                   pmuv, pmuvi]
+        scratch = scratch + [pltpu.VMEM((4, Rp, 32), jnp.int16)]
     return pl.pallas_call(
-        functools.partial(_enc_kernel, nd),
+        functools.partial(_enc_kernel, nd, trellis),
         grid=(nd,),
         in_specs=[stream(8),
                   pl.BlockSpec((1, 8), lambda d: (0, 0),
@@ -391,8 +602,8 @@ def encode_kf_frame(oy_t, oy_b, ou_t, ov_t, prm, scalars, mb_costs,
                                memory_space=pltpu.SMEM),
                   const((100, 10)), const((100, 10)),
                   const((256, 256)), const((256, 256)),
-                  const((64, 64)), const((64, 64)),
-                  stream(256), stream(256), stream(64), stream(64)],
+                  const((64, 64)), const((64, 64))] + tr_specs +
+                 [stream(256), stream(256), stream(64), stream(64)],
         out_specs=(stream(400), stream(32), stream(256), stream(64),
                    stream(64)),
         out_shape=(jax.ShapeDtypeStruct((nd, Rp, 400), jnp.int16),
@@ -400,12 +611,9 @@ def encode_kf_frame(oy_t, oy_b, ou_t, ov_t, prm, scalars, mb_costs,
                    jax.ShapeDtypeStruct((nd, Rp, 256), jnp.int16),
                    jax.ShapeDtypeStruct((nd, Rp, 64), jnp.int16),
                    jax.ShapeDtypeStruct((nd, Rp, 64), jnp.int16)),
-        scratch_shapes=[pltpu.VMEM((4, Rp, 256), jnp.int16),
-                        pltpu.VMEM((4, Rp, 64), jnp.int16),
-                        pltpu.VMEM((4, Rp, 64), jnp.int16),
-                        pltpu.VMEM((4, Rp, 16), jnp.int16)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(prm.astype(jnp.int16), scalars, mb_costs,
       jnp.zeros((1, 8), jnp.int32),  # placeholder uv costs (unused)
       bcost_hi, bcost_lo, t2b, b2t, t2b8, b2t8,
-      oy_t, oy_b, ou_t, ov_t)
+      *tr_args, oy_t, oy_b, ou_t, ov_t)

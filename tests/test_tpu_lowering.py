@@ -99,3 +99,18 @@ def test_full_decode_step_lowers(monkeypatch):
                        for k, v in batch.items()}
         refs_avals = jax.tree.map(aval, dec_tpu.refs)
         jax.export.export(step, platforms=["tpu"])(batch_avals, refs_avals)
+
+
+def test_kf_trellis_kernel_lowers():
+    """The --two-pass trellis variant (nested DP fori_loops inside the
+    band loop, rolled-carry walk-forwards, select-chain lookups) must
+    lower to Mosaic."""
+    from alfalfa_tpu.encoder import encode_intra_device as EID
+    kf = EID._kf_fn(R, C, False, trellis=True)
+    z = jax.ShapeDtypeStruct
+    _export(kf,
+            z((R, C, 256), jnp.uint8), z((R, C, 64), jnp.uint8),
+            z((R, C, 64), jnp.uint8),
+            z((1, 8), jnp.int32), z((1, 8), jnp.int32),
+            z((100, 10), jnp.bfloat16), z((100, 10), jnp.bfloat16),
+            z((64, 36), jnp.int32))
