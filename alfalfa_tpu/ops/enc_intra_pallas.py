@@ -188,9 +188,8 @@ def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
         # 0-3 y right col, 4-7 y bottom row, 8-9 u right, 10-11 u bottom,
         # 12-13 v right, 14-15 v bottom, 16/17 y2 column nz/valid,
         # 18/19 y2 row nz/valid.
-        tc_all = tct_ref[...].astype(jnp.int32)
-        tc_y0, tc_y1 = tc_all[0:16], tc_all[16:32]
-        tc_uv, tc_y2 = tc_all[32:48], tc_all[48:64]
+        # tct_ref is SMEM (64, 36): rows [Y_noY2 0:16, Y_afterY2 16:32,
+        # UV 32:48, Y2 48:64]; trellis lookups are dynamic scalar reads
         tnz_abv = _shift_down(ring_tnz[s2].astype(jnp.int32))
         tnz_left = ring_tnz[s1].astype(jnp.int32)
         hrow_i = hrow.astype(jnp.int32)
@@ -289,7 +288,7 @@ def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
                 left_nz = lnz_roll[:, 0:1] if sc == 0 else last_nz
                 ctxb = up_nz + left_nz
                 qpm, nzb = TRP.trellis_quantize_pm(
-                    _zz_pm(co_nat), tc_y0, 0, ctxb, q_ydc, q_yac,
+                    _zz_pm(co_nat), tct_ref, 0, 0, ctxb, q_ydc, q_yac,
                     rmult, dmult, 1)
                 qc = _zz_nat(qpm)
                 last_nz = nzb.astype(jnp.int32)
@@ -375,11 +374,11 @@ def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
         # precomputed outputs) ----
         wpm = TRP.permute_wide(jnp.where(is_dc, 0, wco_full), pmy_ref[...])
         finalW, storesW = TRP.trellis_nodes(
-            wpm, tc_y1, 1, q_ydc, q_yac, rmult, dmult, 16)
+            wpm, tct_ref, 16, 1, q_ydc, q_yac, rmult, dmult, 16)
         zc = jnp.zeros((Rp, 16), jnp.int32)
         outW0, nzW0 = TRP.trellis_walk(storesW, zc, 1, 16)
         outW1, nzW1 = TRP.trellis_walk(storesW, zc + 1, 1, 16)
-        cw = [TRP.final_costs(finalW, tc_y1[1:2], zc + c, rmult, dmult)
+        cw = [TRP.final_costs(finalW, tct_ref, 17, zc + c, rmult, dmult)
               for c in range(3)]
         nzW0i, nzW1i = nzW0.astype(jnp.int32), nzW1.astype(jnp.int32)
         chW, nzW = zc, zc
@@ -403,8 +402,8 @@ def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
         # the rings (B_PRED MBs propagate, whole-mode MBs set) ----
         y2ctx = y2_col_in * y2_col_val + y2_row_in * y2_row_val
         y2pm, y2nzb = TRP.trellis_quantize_pm(
-            _zz_pm(ET.fwht(walsh)), tc_y2, 0, y2ctx, q_y2dc, q_y2ac,
-            rmult, dmult, 1)
+            _zz_pm(ET.fwht(walsh)), tct_ref, 48, 0, y2ctx, q_y2dc,
+            q_y2ac, rmult, dmult, 1)
         y2q = _zz_nat(y2pm)
     else:
         wco_ac = ET.quantize(jnp.where(is_dc, 0, wco_full), q_ydc, q_yac)
@@ -467,11 +466,11 @@ def _enc_kernel(nd, trellis, prm_ref, sc_ref, mbc_ref, uvc_ref, bhi_ref,
             [ET.fdct(obu - pbu), ET.fdct(obv - pbv)], axis=1)
         uvpm = TRP.permute_wide(uv_nat, pmuv_ref[...])
         finalU, storesU = TRP.trellis_nodes(
-            uvpm, tc_uv, 0, q_uvdc, q_uvac, rmult, dmult, 8)
+            uvpm, tct_ref, 32, 0, q_uvdc, q_uvac, rmult, dmult, 8)
         z8 = jnp.zeros((Rp, 8), jnp.int32)
         outU0, nzU0 = TRP.trellis_walk(storesU, z8, 0, 8)
         outU1, nzU1 = TRP.trellis_walk(storesU, z8 + 1, 0, 8)
-        cu = [TRP.final_costs(finalU, tc_uv[0:1], z8 + c, rmult, dmult)
+        cu = [TRP.final_costs(finalU, tct_ref, 32, z8 + c, rmult, dmult)
               for c in range(3)]
         nzU0i, nzU1i = nzU0.astype(jnp.int32), nzU1.astype(jnp.int32)
         chU, nzU = z8, z8
@@ -585,7 +584,9 @@ def encode_kf_frame(oy_t, oy_b, ou_t, ov_t, prm, scalars, mb_costs,
     if trellis:
         pmy, pmyi = TRP.pm_perm(16)
         pmuv, pmuvi = TRP.pm_perm(8)
-        tr_specs = [const((64, 36)), const((256, 256)), const((256, 256)),
+        tr_specs = [pl.BlockSpec((64, 36), lambda d: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    const((256, 256)), const((256, 256)),
                     const((128, 128)), const((128, 128))]
         tr_args = [jnp.asarray(token_costs, jnp.int32), pmy, pmyi,
                    pmuv, pmuvi]

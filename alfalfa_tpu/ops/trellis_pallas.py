@@ -138,33 +138,33 @@ def value_cost(cand, mag, tok):
     return jnp.where(mag == 0, 0, cost)
 
 
-def _lookup36(row, idx36):
-    """Per-lane lookup of a lane-uniform 36-entry cost row.
-    row: (1, 36); idx36: (Rp, nb) in [0, 36)."""
+def _lookup36(tc_ref, row_i, idx36):
+    """Per-lane lookup of row ``row_i`` of the SMEM token-cost table.
+    tc_ref: SMEM (64, 36) int32; row_i: scalar (may be traced);
+    idx36: (Rp, nb) in [0, 36).
+
+    Dynamic scalar SMEM reads + scalar->vector splats are the only
+    Mosaic-lowerable shape for this: a VMEM (1, 36) row would need a
+    (1, 1) -> (Rp, nb) sublane+lane vector broadcast per entry, which
+    v5e libtpu rejects ("Broadcast in both sublanes and lanes") —
+    caught on real hardware, invisible to offline cross-lowering."""
     res = jnp.zeros(idx36.shape, jnp.int32)
     for t in range(36):
-        res = jnp.where(idx36 == t, row[0:1, t:t + 1].astype(jnp.int32),
-                        res)
+        res = jnp.where(idx36 == t, tc_ref[row_i, t], res)
     return res
-
-
-def _select_row(tc_val, i):
-    """Dynamically select row i of a (16, 36) value by a traced scalar."""
-    row = tc_val[0:1]
-    for r in range(1, 16):
-        row = jnp.where(i == r, tc_val[r:r + 1], row)
-    return row
 
 
 def _roll_right(x, n):
     return jnp.concatenate([x[:, -n:], x[:, :-n]], axis=1)
 
 
-def trellis_nodes(unq_pm, tc_val, first_index, dcf, acf, rmult, dmult, nb):
+def trellis_nodes(unq_pm, tc_ref, base, first_index, dcf, acf, rmult,
+                  dmult, nb):
     """Backward 2-level Viterbi (encoder/trellis.py trellis_quantize DP).
 
     unq_pm: (Rp, 16*nb) int32 position-major unquantized coefficients.
-    tc_val: (16, 36) token-cost rows for this block type (value, int32).
+    tc_ref: SMEM (64, 36) int32 token-cost table; base: static row
+    offset of this block type's 16 rows (0/16/32/48).
     first_index: 0 or 1 (static).  dcf/acf/rmult/dmult: traced scalars.
 
     Returns (final, stores):
@@ -197,7 +197,8 @@ def trellis_nodes(unq_pm, tc_val, first_index, dcf, acf, rmult, dmult, nb):
         qmag = _trunc_div(ao, factor)
         sgn = jnp.where(o < 0, -1, 1)
         active = (idx < cl) & (idx >= first_index)
-        row_next = _select_row(tc_val, idx + 1)   # garbage at idx=15 (masked)
+        # row at idx+1, clamped (garbage at idx=15, masked below)
+        row_next = base + jnp.minimum(idx + 1, 15)
 
         def node_for(shift):
             mag = jnp.maximum(qmag - shift, 0)
@@ -210,7 +211,8 @@ def trellis_nodes(unq_pm, tc_val, first_index, dcf, acf, rmult, dmult, nb):
             for rn, dn, tn in ((rate0, dist0, tok0), (rate1, dist1, tok1)):
                 d_ = dn + sse
                 add = jnp.where(idx < 15,
-                                _lookup36(row_next, cls * 12 + tn), 0)
+                                _lookup36(tc_ref, row_next,
+                                          cls * 12 + tn), 0)
                 r_ = rn + add
                 rd.append((r_, d_, _rdcost(r_, d_, rmult, dmult)))
             b1 = rd[1][2] < rd[0][2]
@@ -258,22 +260,22 @@ def trellis_nodes(unq_pm, tc_val, first_index, dcf, acf, rmult, dmult, nb):
     return final, stores
 
 
-def final_costs(final, tcf_row, ctx, rmult, dmult):
+def final_costs(final, tc_ref, row_i, ctx, rmult, dmult):
     """Charge the first token's cost under entry context ``ctx`` and
-    return (cost_level0, cost_level1).  tcf_row: (1, 36) value = the
-    token-cost row at first_index; ctx: (Rp, nb) in {0, 1, 2}."""
+    return (cost_level0, cost_level1).  row_i: the SMEM table row index
+    at first_index (base + first_index); ctx: (Rp, nb) in {0, 1, 2}."""
     rate0, dist0, tok0, rate1, dist1, tok1 = final
-    c0 = _rdcost(rate0 + _lookup36(tcf_row, ctx * 12 + tok0), dist0,
+    c0 = _rdcost(rate0 + _lookup36(tc_ref, row_i, ctx * 12 + tok0), dist0,
                  rmult, dmult)
-    c1 = _rdcost(rate1 + _lookup36(tcf_row, ctx * 12 + tok1), dist1,
+    c1 = _rdcost(rate1 + _lookup36(tc_ref, row_i, ctx * 12 + tok1), dist1,
                  rmult, dmult)
     return c0, c1
 
 
-def choose_level(final, tcf_row, ctx, rmult, dmult):
+def choose_level(final, tc_ref, row_i, ctx, rmult, dmult):
     """Start-level argmin under a known entry context (ties -> level 0,
     matching np.argmin)."""
-    c0, c1 = final_costs(final, tcf_row, ctx, rmult, dmult)
+    c0, c1 = final_costs(final, tc_ref, row_i, ctx, rmult, dmult)
     return (c1 < c0).astype(jnp.int32)
 
 
@@ -287,8 +289,11 @@ def trellis_walk(stores, choice, first_index, nb):
     sc0, st0, sn0, sc1, st1, sn1 = stores
     Rp = sc0.shape[0]
     out0 = jnp.zeros((Rp, 16 * nb), jnp.int32)
-    nz0 = jnp.zeros((Rp, nb), jnp.bool_)
-    act0 = jnp.ones((Rp, nb), jnp.bool_)
+    # active/nz ride the carry as int32: Mosaic cannot legalize an
+    # scf.for whose carry holds i1 vectors (hardware-only failure,
+    # invisible to interpret mode and offline cross-lowering)
+    nz0 = jnp.zeros((Rp, nb), jnp.int32)
+    act0 = jnp.ones((Rp, nb), jnp.int32)
 
     def body(idx, carry):
         active, ch, out, nz, rc0, rt0, rn0, rc1, rt1, rn1 = carry
@@ -298,12 +303,12 @@ def trellis_walk(stores, choice, first_index, nb):
         cf = jnp.where(is1, w(rc1), w(rc0))
         nx = jnp.where(is1, w(rn1), w(rn0))
         stepped = idx >= first_index      # traced scalar bool
-        live = active & (tok != EOB)
+        live = (active != 0) & (tok != EOB)
         emit = jnp.where(stepped, jnp.where(live, cf, 0), 0)
         out = jnp.concatenate([out[:, nb:], emit], axis=1)
-        nz = nz | (emit != 0)
+        nz = nz | (emit != 0).astype(jnp.int32)
         ch = jnp.where(stepped, jnp.where(live, nx, ch), ch)
-        active = jnp.where(stepped, live, active)
+        active = jnp.where(stepped, live.astype(jnp.int32), active)
         return (active, ch, out, nz,
                 _roll_right(rc0, nb), _roll_right(rt0, nb),
                 _roll_right(rn0, nb), _roll_right(rc1, nb),
@@ -311,15 +316,15 @@ def trellis_walk(stores, choice, first_index, nb):
 
     res = jax.lax.fori_loop(0, 16, body, (
         act0, choice, out0, nz0, sc0, st0, sn0, sc1, st1, sn1))
-    return res[2], res[3]
+    return res[2], res[3] != 0
 
 
-def trellis_quantize_pm(unq_pm, tc_val, first_index, ctx, dcf, acf,
+def trellis_quantize_pm(unq_pm, tc_ref, base, first_index, ctx, dcf, acf,
                         rmult, dmult, nb):
     """Known-context convenience: DP + level choice + walk-forward.
     Returns (out_pm, nz)."""
-    final, stores = trellis_nodes(unq_pm, tc_val, first_index, dcf, acf,
-                                  rmult, dmult, nb)
-    fi = first_index
-    choice = choose_level(final, tc_val[fi:fi + 1], ctx, rmult, dmult)
+    final, stores = trellis_nodes(unq_pm, tc_ref, base, first_index,
+                                  dcf, acf, rmult, dmult, nb)
+    choice = choose_level(final, tc_ref, base + first_index, ctx,
+                          rmult, dmult)
     return trellis_walk(stores, choice, first_index, nb)

@@ -43,9 +43,9 @@ def _from_pm(out_pm, nb):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_quantize(first_index, nb):
+def _jit_quantize(first_index, nb, base):
     return jax.jit(functools.partial(
-        TP.trellis_quantize_pm, first_index=first_index, nb=nb))
+        TP.trellis_quantize_pm, base=base, first_index=first_index, nb=nb))
 
 
 def _gen_blocks(rng, n):
@@ -88,9 +88,9 @@ def test_dp_matches_host(q_ac, first_index):
         if first_index:
             blocks[:, 0] = 0
         unq_pm = jnp.asarray(_to_pm(blocks, nb))
-        tc_val = jnp.asarray(tcpm[bt])
+        tc_val = jnp.asarray(tcpm.reshape(64, 36))
         for ctx in (0, 1, 2):
-            out_pm, nz = _jit_quantize(first_index, nb)(
+            out_pm, nz = _jit_quantize(first_index, nb, 16 * bt)(
                 unq_pm, tc_val, ctx=jnp.full((1, nb), ctx),
                 dcf=dcf, acf=acf, rmult=rmult, dmult=dmult)
             got = _from_pm(np.asarray(out_pm), nb)
@@ -115,16 +115,16 @@ def test_deferred_context_resolution():
     nb = 8
     blocks = _gen_blocks(rng, nb)
     unq_pm = jnp.asarray(_to_pm(blocks, nb))
-    tc_val = jnp.asarray(tcpm[0])
+    tc_val = jnp.asarray(tcpm.reshape(64, 36))
 
-    final, stores = TP.trellis_nodes(unq_pm, tc_val, 0, dcf, acf,
+    final, stores = TP.trellis_nodes(unq_pm, tc_val, 0, 0, dcf, acf,
                                      rmult, dmult, nb)
     outs = [TP.trellis_walk(stores, jnp.full((1, nb), l), 0, nb)
             for l in (0, 1)]
     for ctx in (0, 1, 2):
-        choice = TP.choose_level(final, tc_val[0:1],
+        choice = TP.choose_level(final, tc_val, 0,
                                  jnp.full((1, nb), ctx), rmult, dmult)
-        ref_out, ref_nz = _jit_quantize(0, nb)(
+        ref_out, ref_nz = _jit_quantize(0, nb, 0)(
             unq_pm, tc_val, ctx=jnp.full((1, nb), ctx),
             dcf=dcf, acf=acf, rmult=rmult, dmult=dmult)
         sel = np.asarray(choice)[0]
