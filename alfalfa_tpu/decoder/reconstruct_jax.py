@@ -703,42 +703,9 @@ def loopfilter_tiles(y_tiles, u_tiles, v_tiles, lf_params, mb_rows, mb_cols,
                    d_idx, L, on_tpu)
 
 
-def _frame_lf_params(header, arrays, state, key_frame):
-    """Per-MB loop filter parameters (host-side table math)."""
-    seg = state.segmentation
-    fa = state.filter_adjustments
-    R, C = arrays.mb_rows, arrays.mb_cols
-
-    if not header.loop_filter_level:
-        z = np.zeros((R, C), np.int32)
-        return (z, z, z, z, z, np.zeros((R, C), bool))
-
-    if seg is not None:
-        base = seg.filter_adjustments[arrays.segment].astype(np.int32) + \
-            (0 if seg.absolute else header.loop_filter_level)
-    else:
-        base = np.full((R, C), header.loop_filter_level, np.int32)
-
-    if fa is not None:
-        ref = arrays.ref.astype(np.int32)
-        ymode = arrays.ymode.astype(np.int32)
-        base = base + fa.ref_adjustments[ref].astype(np.int32)
-        mode_adj = np.where(
-            ref == T.CURRENT_FRAME,
-            np.where(ymode == T.B_PRED, fa.mode_adjustments[0], 0),
-            np.where(ymode == T.ZEROMV, fa.mode_adjustments[1],
-                     np.where(ymode == T.SPLITMV, fa.mode_adjustments[3],
-                              fa.mode_adjustments[2]))).astype(np.int32)
-        base = base + mode_adj
-
-    # MBs with level <= 0 are skipped entirely (macroblock.cc:632-634)
-    apply = base > 0
-    p = lf_ops.loopfilter_params(base, header.sharpness_level, key_frame)
-    level = np.where(apply, p["level"], 0).astype(np.int32)
-    skip_sb = arrays.y2_coded & ~arrays.has_nonzero
-    return (level, p["interior"].astype(np.int32),
-            p["mb_limit"].astype(np.int32), p["sb_limit"].astype(np.int32),
-            p["hev"].astype(np.int32), skip_sb)
+# moved to lf_params.py (jax-free; the scalar path + sanitize fuzz driver
+# must not pull jax in); kept under the old name for existing callers
+from alfalfa_tpu.decoder.lf_params import frame_lf_params as _frame_lf_params  # noqa: E402
 
 
 def reconstruct(header, arrays, state, references, key_frame):

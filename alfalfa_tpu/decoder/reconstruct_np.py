@@ -628,9 +628,9 @@ def _loopfilter_frame(header, arrays, state, raster, key_frame):
     # native path: same scalar kernels in C (native/lfkernel.cc)
     from alfalfa_tpu.native import lfkernel
     if lfkernel.available():
-        from alfalfa_tpu.decoder.reconstruct_jax import _frame_lf_params
+        from alfalfa_tpu.decoder.lf_params import frame_lf_params
         (level, interior, mb_limit, sb_limit, hev,
-         skip_sb) = _frame_lf_params(header, arrays, state, key_frame)
+         skip_sb) = frame_lf_params(header, arrays, state, key_frame)
         lfkernel.loopfilter_frame(raster.y, raster.u, raster.v, level,
                                   interior, mb_limit, sb_limit, hev, skip_sb)
         return

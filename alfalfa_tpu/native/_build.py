@@ -15,6 +15,16 @@ import threading
 
 FLAGS = ("-O3", "-march=native", "-shared", "-fPIC", "-pthread")
 
+# ASAN/UBSAN build mode — the analogue of the reference's
+# `./configure --enable-debug` sanitizer build that distcheck runs under
+# (/root/reference/configure.ac:29-47, Makefile.am:2).  The native layer
+# parses untrusted bitstreams with manual index arithmetic, so
+# tests/test_sanitizers.py re-runs the fuzz suites against these builds
+# in a subprocess with libasan preloaded (ALFALFA_SANITIZE=1).
+if os.environ.get("ALFALFA_SANITIZE") == "1":
+    FLAGS = ("-O1", "-g", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-fsanitize=address,undefined", "-fno-sanitize-recover=all")
+
 _LOCK = threading.Lock()
 
 

@@ -168,6 +168,54 @@ def _ssum(x):
     return jnp.sum(x.astype(jnp.int32))
 
 
+# Mosaic cannot lower a vector load/store whose sublane (dim -2) start is
+# not provably 8-aligned ("cannot statically prove that index in dimension
+# 0 is a multiple of 8" — the r3 on-chip compile failure).  Every dynamic
+# single-row access in this kernel therefore goes through an aligned
+# 8-row block plus an iota select (load) or blend (read-modify-write
+# store); tools/probe_dynrow.py gates both idioms on real hardware.
+# Callers guarantee the backing dim is padded to a multiple of 8.
+
+def _vrow(ref, idx):
+    """(1, lanes) int32 row of a 2-D VMEM ref at a DYNAMIC sublane index."""
+    base = pl.multiple_of((idx >> 3) << 3, 8)
+    blk = ref[pl.ds(base, 8), :].astype(jnp.int32)
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == idx - base
+    return jnp.sum(jnp.where(sel, blk, 0), axis=0, keepdims=True)
+
+
+def _vrow_s(ref, c):
+    """Row c of a (1, Cp, lanes) streamed block as (1, lanes) int32."""
+    base = pl.multiple_of((c >> 3) << 3, 8)
+    blk = ref[0, pl.ds(base, 8), :].astype(jnp.int32)
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == c - base
+    return jnp.sum(jnp.where(sel, blk, 0), axis=0, keepdims=True)
+
+
+def _vrow_ps(ref, c):
+    """Row c of a (1, Cp, 16, 16) streamed block as (16, 16) int32."""
+    base = pl.multiple_of((c >> 3) << 3, 8)
+    blk = ref[0, pl.ds(base, 8)].astype(jnp.int32)
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == c - base
+    return jnp.sum(jnp.where(sel, blk, 0), axis=0)
+
+
+def _vrow_store(ref, idx, row):
+    """Store (1, lanes) row to a 2-D ref at a DYNAMIC sublane index."""
+    base = pl.multiple_of((idx >> 3) << 3, 8)
+    blk = ref[pl.ds(base, 8), :]
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == idx - base
+    ref[pl.ds(base, 8), :] = jnp.where(sel, row.astype(ref.dtype), blk)
+
+
+def _vrow_store_s(ref, c, row):
+    """Store (1, lanes) row to a (1, Cp, lanes) streamed block at row c."""
+    base = pl.multiple_of((c >> 3) << 3, 8)
+    blk = ref[0, pl.ds(base, 8), :]
+    sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == c - base
+    ref[0, pl.ds(base, 8), :] = jnp.where(sel, row.astype(ref.dtype), blk)
+
+
 def _var_scalar(diff):
     """Reference variance (sse - s*s//n) as a scalar; diff (S, S) int32.
     s*s would overflow int32, so use the exact hi/lo split."""
@@ -221,11 +269,11 @@ def _inter_kernel(R, C, W, H, realtime,
                   rec_y, rec_u, rec_v, ring):
     r = pl.program_id(0)
 
-    q_ydc, q_yac = sc_ref[0], sc_ref[1]
-    q_y2dc, q_y2ac = sc_ref[2], sc_ref[3]
-    q_uvdc, q_uvac = sc_ref[4], sc_ref[5]
-    rmult, dmult = sc_ref[6], sc_ref[7]
-    sad_weight = sc_ref[8]
+    q_ydc, q_yac = sc_ref[0, 0], sc_ref[0, 1]
+    q_y2dc, q_y2ac = sc_ref[0, 2], sc_ref[0, 3]
+    q_uvdc, q_uvac = sc_ref[0, 4], sc_ref[0, 5]
+    rmult, dmult = sc_ref[0, 6], sc_ref[0, 7]
+    sad_weight = sc_ref[0, 8]
 
     def mb_body(c, _):
         # ---------------- census (scalar; parse.py mv_census) ----------
@@ -296,32 +344,30 @@ def _inter_kernel(R, C, W, H, realtime,
         p1 = mvc2p_ref[s1, 1]
         p2 = mvc2p_ref[s2, 2]
         p3 = mvc2p_ref[jnp.int32(0), 3]     # splitmv never produced
-        c_zero = pcost_ref[p0]
-        c_nearest = pcost_ref[255 - p0] + pcost_ref[p1]
-        c_near = pcost_ref[255 - p0] + pcost_ref[255 - p1] + pcost_ref[p2]
-        c_new = (pcost_ref[255 - p0] + pcost_ref[255 - p1]
-                 + pcost_ref[255 - p2] + pcost_ref[p3])
+        c_zero = pcost_ref[0, p0]
+        c_nearest = pcost_ref[0, 255 - p0] + pcost_ref[0, p1]
+        c_near = (pcost_ref[0, 255 - p0] + pcost_ref[0, 255 - p1]
+                  + pcost_ref[0, p2])
+        c_new = (pcost_ref[0, 255 - p0] + pcost_ref[0, 255 - p1]
+                 + pcost_ref[0, 255 - p2] + pcost_ref[0, p3])
 
         brx, bry = _clamp_mv(best_vx, best_vy, r, c, R, C)
 
         # ---------------- intra whole-mode screening -------------------
         hrow = r > 0
         hcol = c > 0
-        above_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
-            .astype(jnp.int32)
-        left_t = rec_y[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
-            .astype(jnp.int32)
-        al_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C
-                           + jnp.maximum(c - 1, 0), 1), :] \
-            .astype(jnp.int32)
+        above_t = _vrow(rec_y, jnp.maximum(r - 1, 0) * C + c)
+        left_t = _vrow(rec_y, r * C + jnp.maximum(c - 1, 0))
+        al_t = _vrow(rec_y, jnp.maximum(r - 1, 0) * C
+                     + jnp.maximum(c - 1, 0))
         a16 = jnp.where(hrow, above_t[:, 240:256], 127)
         lcol16 = _tile_col16(left_t)
         lcol = jnp.where(hcol, lcol16, 129)
         e0 = jnp.where(hrow & hcol, al_t[:, 255:256],
                        jnp.where(hrow, 129, 127))
-        oy_t = oyt_ref[0, c][None, :].astype(jnp.int32)     # (1, 256)
-        oy_b = oyb_ref[0, c][None, :].astype(jnp.int32)
-        oy_ps = oyps_ref[0, c].astype(jnp.int32)            # (16, 16)
+        oy_t = _vrow_s(oyt_ref, c)                          # (1, 256)
+        oy_b = _vrow_s(oyb_ref, c)
+        oy_ps = _vrow_ps(oyps_ref, c)                       # (16, 16)
 
         wpreds = _whole16(a16, lcol, e0, hrow, hcol)
         best_cost = INF
@@ -329,7 +375,7 @@ def _inter_kernel(R, C, W, H, realtime,
         wpred_sel = wpreds[0]
         for m in range(4):
             var = _var_scalar_lane(oy_t - wpreds[m])
-            cost = _rdc(mbc_ref[m], var, rmult, dmult)
+            cost = _rdc(mbc_ref[0, m], var, rmult, dmult)
             better = cost < best_cost
             best_wmode = jnp.where(better, m, best_wmode)
             wpred_sel = jnp.where(better, wpreds[m], wpred_sel)
@@ -380,7 +426,7 @@ def _inter_kernel(R, C, W, H, realtime,
                           -255, 255)
             cy = jnp.clip(jax.lax.shift_right_arithmetic(mvy, 2),
                           -255, 255)
-            rate = (sadc_ref[jnp.abs(cy)] + sadc_ref[jnp.abs(cx)])
+            rate = (sadc_ref[0, jnp.abs(cy)] + sadc_ref[0, jnp.abs(cx)])
             rate = (rate * sad_weight + 128) >> 8
             cost = ((128 + rate) >> 8) + dist
             return jnp.where(oob, INF, cost), mvx, mvy
@@ -477,10 +523,8 @@ def _inter_kernel(R, C, W, H, realtime,
                 rec = _permute(jnp.clip(pb + resd, 0, 255), b2t8_ref[...])
                 return qc, rec
 
-            co_u, rec_u_t = chroma_code(oub_ref[0, c][None, :]
-                                        .astype(jnp.int32), pu_t)
-            co_v, rec_v_t = chroma_code(ovb_ref[0, c][None, :]
-                                        .astype(jnp.int32), pv_t)
+            co_u, rec_u_t = chroma_code(_vrow_s(oub_ref, c), pu_t)
+            co_v, rec_v_t = chroma_code(_vrow_s(ovb_ref, c), pv_t)
             return (co_ac, co_u, co_v, y2q[:, 0:16], jnp.int32(1),
                     bmode, jnp.zeros((1, 16), jnp.int32),
                     jnp.int32(0),          # uvmode unused for inter
@@ -490,9 +534,8 @@ def _inter_kernel(R, C, W, H, realtime,
             # full intra MB with interframe costs (encode_intra_np
             # encode_intra_mb(interframe=True)); B_PRED costs are the
             # non-contextual inter_bmode_costs
-            ar_t = rec_y[pl.ds(jnp.maximum(r - 1, 0) * C
-                               + jnp.minimum(c + 1, C - 1), 1), :] \
-                .astype(jnp.int32)
+            ar_t = _vrow(rec_y, jnp.maximum(r - 1, 0) * C
+                         + jnp.minimum(c + 1, C - 1))
             has_ar = hrow & (c < C - 1)
             ar4 = jnp.where(has_ar, ar_t[:, 240:244],
                             jnp.where(hrow, _bcast(a16[:, 15:16], 4), 127))
@@ -536,7 +579,7 @@ def _inter_kernel(R, C, W, H, realtime,
                     psel = preds[0]
                     for m in range(NUM_B_MODES):
                         sse = _ssum((osb - preds[m]) ** 2)
-                        rate = ibc_ref[m]
+                        rate = ibc_ref[0, m]
                         cost = _rdc(rate, sse, rmult, dmult)
                         bet = cost < bcost_sb
                         bm = jnp.where(bet, m, bm)
@@ -578,7 +621,8 @@ def _inter_kernel(R, C, W, H, realtime,
              bpred_dist, _, _, _) = jax.lax.fori_loop(
                 0, 4, bpred_band,
                 (a16, z256, z256, jnp.zeros((1, 16), jnp.int32),
-                 mbc_ref[B_PRED] * jnp.ones((), jnp.int32), jnp.int32(0),
+                 mbc_ref[0, B_PRED] * jnp.ones((), jnp.int32),
+                 jnp.int32(0),
                  lcol, al_roll0, oy_b))
             bpred_cost = _rdc(bpred_rate, bpred_dist, rmult, dmult)
 
@@ -616,20 +660,14 @@ def _inter_kernel(R, C, W, H, realtime,
             rec_t = jnp.where(use_b, bpred_recon, wrecon)
 
             # chroma intra by SSE
-            abv_u = rec_u[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
-                .astype(jnp.int32)
-            lft_u = rec_u[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
-                .astype(jnp.int32)
-            alu = rec_u[pl.ds(jnp.maximum(r - 1, 0) * C
-                              + jnp.maximum(c - 1, 0), 1), :] \
-                .astype(jnp.int32)
-            abv_v = rec_v[pl.ds(jnp.maximum(r - 1, 0) * C + c, 1), :] \
-                .astype(jnp.int32)
-            lft_v = rec_v[pl.ds(r * C + jnp.maximum(c - 1, 0), 1), :] \
-                .astype(jnp.int32)
-            alv = rec_v[pl.ds(jnp.maximum(r - 1, 0) * C
-                              + jnp.maximum(c - 1, 0), 1), :] \
-                .astype(jnp.int32)
+            abv_u = _vrow(rec_u, jnp.maximum(r - 1, 0) * C + c)
+            lft_u = _vrow(rec_u, r * C + jnp.maximum(c - 1, 0))
+            alu = _vrow(rec_u, jnp.maximum(r - 1, 0) * C
+                        + jnp.maximum(c - 1, 0))
+            abv_v = _vrow(rec_v, jnp.maximum(r - 1, 0) * C + c)
+            lft_v = _vrow(rec_v, r * C + jnp.maximum(c - 1, 0))
+            alv = _vrow(rec_v, jnp.maximum(r - 1, 0) * C
+                        + jnp.maximum(c - 1, 0))
             a8u = jnp.where(hrow, abv_u[:, 56:64], 127)
             e0u = jnp.where(hrow & hcol, alu[:, 63:64],
                             jnp.where(hrow, 129, 127))
@@ -640,8 +678,8 @@ def _inter_kernel(R, C, W, H, realtime,
             clv = jnp.where(hcol, _tile_col8(lft_v), 129)
             pu = _whole8(a8u, clu, e0u, hrow, hcol)
             pv = _whole8(a8v, clv, e0v, hrow, hcol)
-            ou_t = out_ref[0, c][None, :].astype(jnp.int32)
-            ov_t = ovt_ref[0, c][None, :].astype(jnp.int32)
+            ou_t = _vrow_s(out_ref, c)
+            ov_t = _vrow_s(ovt_ref, c)
             ucost = INF
             uvmode = jnp.int32(0)
             pu_sel, pv_sel = pu[0], pv[0]
@@ -661,10 +699,8 @@ def _inter_kernel(R, C, W, H, realtime,
                 rec = _permute(jnp.clip(pb + resd, 0, 255), b2t8_ref[...])
                 return qc, rec
 
-            co_u, rec_u_t = chroma_code(oub_ref[0, c][None, :]
-                                        .astype(jnp.int32), pu_sel)
-            co_v, rec_v_t = chroma_code(ovb_ref[0, c][None, :]
-                                        .astype(jnp.int32), pv_sel)
+            co_u, rec_u_t = chroma_code(_vrow_s(oub_ref, c), pu_sel)
+            co_v, rec_v_t = chroma_code(_vrow_s(ovb_ref, c), pv_sel)
             return (co_y, co_u, co_v, co_y2, jnp.int32(0),
                     ymode, bm_out, uvmode,
                     rec_t, rec_u_t, rec_v_t, jnp.int32(0), jnp.int32(0))
@@ -678,19 +714,19 @@ def _inter_kernel(R, C, W, H, realtime,
         nz = jnp.any(coeffs != 0)
 
         # ---------------- outputs + state ------------------------------
-        co_ref[0, c] = coeffs[0].astype(jnp.int16)
+        _vrow_store_s(co_ref, c, coeffs)
         md_row = jnp.concatenate([
             jnp.stack([out_mode, uvmode,
                        jnp.where(inter_wins, 1, 0),
                        nz.astype(jnp.int32), bmvx, bmvy, cmx, cmy])[None],
             bm_out[0][None], jnp.zeros((1, 8), jnp.int32)], axis=1)
-        md_ref[0, c] = md_row[0].astype(jnp.int16)
-        ry_ref[0, c] = rec_t[0].astype(jnp.int16)
-        ru_ref[0, c] = rec_u_t[0].astype(jnp.int16)
-        rv_ref[0, c] = rec_v_t[0].astype(jnp.int16)
-        rec_y[pl.ds(r * C + c, 1), :] = rec_t.astype(jnp.int16)
-        rec_u[pl.ds(r * C + c, 1), :] = rec_u_t.astype(jnp.int16)
-        rec_v[pl.ds(r * C + c, 1), :] = rec_v_t.astype(jnp.int16)
+        _vrow_store_s(md_ref, c, md_row)
+        _vrow_store_s(ry_ref, c, rec_t)
+        _vrow_store_s(ru_ref, c, rec_u_t)
+        _vrow_store_s(rv_ref, c, rec_v_t)
+        _vrow_store(rec_y, r * C + c, rec_t)
+        _vrow_store(rec_u, r * C + c, rec_u_t)
+        _vrow_store(rec_v, r * C + c, rec_v_t)
         ring[cr, c, 0] = jnp.where(inter_wins, bmvx, 0)
         ring[cr, c, 1] = jnp.where(inter_wins, bmvy, 0)
         ring[cr, c, 2] = jnp.where(inter_wins, 1, 0)
@@ -771,6 +807,17 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
     """
     R, C = oy_t.shape[:2]
     H, W = R * 16, C * 16
+    # pad the MB-column axis (the kernel's dynamic sublane axis) to a
+    # multiple of 8 so every aligned 8-row block in _vrow/_vrow_store
+    # stays in bounds; same for the (R*C, lanes) recon scratch rows
+    Cp = ((C + 7) // 8) * 8
+    RC8 = ((R * C + 7) // 8) * 8
+
+    def padc(x):
+        return jnp.pad(x, ((0, 0), (0, Cp - C)) + ((0, 0),) * (x.ndim - 2))
+
+    oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b = (
+        padc(a) for a in (oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b))
     t2b = jnp.asarray(_t2b_perm_np(16), jnp.bfloat16)
     b2t = jnp.asarray(_t2b_perm_np(16).T, jnp.bfloat16)
     t2b8 = jnp.asarray(_t2b_perm_np(8), jnp.bfloat16)
@@ -789,38 +836,45 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
     Hp4y, Wpy = refy_p.shape
     Hp4c, Wpc = refu_p.shape
 
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_inter_kernel, R, C, W, H, bool(realtime)),
         grid=(R,),
-        in_specs=[smem((16,)), smem((8,)), smem((16,)), smem((6, 4)),
-                  smem((256,)), smem((256,)), smem((4, 1024)), smem((8, 6)),
+        # SMEM inputs are all >= 2-D: under the fused-QP vmap the batch
+        # axis lands in front and Mosaic only accepts batched blocks whose
+        # last two dims equal the array dims (1-D blocks fail to lower)
+        in_specs=[smem((1, 16)), smem((1, 8)), smem((1, 16)), smem((6, 4)),
+                  smem((1, 256)), smem((1, 256)), smem((4, 1024)),
+                  smem((8, 6)),
                   const((Hp4y, Wpy)), const((Hp4c, Wpc)),
                   const((Hp4c, Wpc)),
                   const((256, 256)), const((256, 256)),
                   const((64, 64)), const((64, 64)),
                   const((16, 256)), const((16, 256)),
                   const((8, 64)), const((8, 64)),
-                  stream(C, 256), stream(C, 256), stream(C, 16, 16),
-                  stream(C, 64), stream(C, 64), stream(C, 64),
-                  stream(C, 64)],
-        out_specs=(stream(C, 400), stream(C, 32), stream(C, 256),
-                   stream(C, 64), stream(C, 64)),
-        out_shape=(jax.ShapeDtypeStruct((R, C, 400), jnp.int16),
-                   jax.ShapeDtypeStruct((R, C, 32), jnp.int16),
-                   jax.ShapeDtypeStruct((R, C, 256), jnp.int16),
-                   jax.ShapeDtypeStruct((R, C, 64), jnp.int16),
-                   jax.ShapeDtypeStruct((R, C, 64), jnp.int16)),
-        scratch_shapes=[pltpu.VMEM((R * C, 256), jnp.int16),
-                        pltpu.VMEM((R * C, 64), jnp.int16),
-                        pltpu.VMEM((R * C, 64), jnp.int16),
+                  stream(Cp, 256), stream(Cp, 256), stream(Cp, 16, 16),
+                  stream(Cp, 64), stream(Cp, 64), stream(Cp, 64),
+                  stream(Cp, 64)],
+        out_specs=(stream(Cp, 400), stream(Cp, 32), stream(Cp, 256),
+                   stream(Cp, 64), stream(Cp, 64)),
+        out_shape=(jax.ShapeDtypeStruct((R, Cp, 400), jnp.int16),
+                   jax.ShapeDtypeStruct((R, Cp, 32), jnp.int16),
+                   jax.ShapeDtypeStruct((R, Cp, 256), jnp.int16),
+                   jax.ShapeDtypeStruct((R, Cp, 64), jnp.int16),
+                   jax.ShapeDtypeStruct((R, Cp, 64), jnp.int16)),
+        scratch_shapes=[pltpu.VMEM((RC8, 256), jnp.int16),
+                        pltpu.VMEM((RC8, 64), jnp.int16),
+                        pltpu.VMEM((RC8, 64), jnp.int16),
                         pltpu.SMEM((2, C, 4), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(scalars, jnp.int32), jnp.asarray(mb_costs, jnp.int32),
-      jnp.asarray(ib_costs, jnp.int32), jnp.asarray(mvc2p, jnp.int32),
-      jnp.asarray(pcost, jnp.int32), jnp.asarray(sadcost, jnp.int32),
+    )(jnp.asarray(scalars, jnp.int32)[None],
+      jnp.asarray(mb_costs, jnp.int32)[None],
+      jnp.asarray(ib_costs, jnp.int32)[None], jnp.asarray(mvc2p, jnp.int32),
+      jnp.asarray(pcost, jnp.int32)[None],
+      jnp.asarray(sadcost, jnp.int32)[None],
       jnp.asarray(mvcost, jnp.int32),
       jnp.asarray(np.asarray(SIXTAP_TABLE, np.int32)),
       refy_p, refu_p, refv_p, t2b, b2t, t2b8, b2t8,
       jnp.asarray(psB, jnp.bfloat16), jnp.asarray(psM, jnp.float32),
       jnp.asarray(psB8, jnp.bfloat16), jnp.asarray(psM8, jnp.float32),
       oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b)
+    return tuple(o[:, :C] for o in outs)

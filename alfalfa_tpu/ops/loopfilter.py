@@ -121,25 +121,5 @@ def filter_mb_window(window, size, limit, blimit_mb, blimit_sb, thresh,
     return window
 
 
-def loopfilter_params(filter_level, sharpness, key_frame):
-    """Vectorized limit derivation (loopfilter.cc:82-128).
-
-    filter_level: int array (pre-adjustment sum, may be out of range).
-    Returns dict of int32 arrays: level, interior, mb_limit, sb_limit, hev.
-    """
-    import numpy as np
-    fl = np.clip(filter_level, 0, 63).astype(np.int32)
-    interior = fl.copy()
-    if sharpness:
-        interior >>= 2 if sharpness > 4 else 1
-        interior = np.minimum(interior, 9 - sharpness)
-    interior = np.maximum(interior, 1)
-    return {
-        "level": fl,
-        "interior": interior,
-        "mb_limit": (fl + 2) * 2 + interior,
-        "sb_limit": fl * 2 + interior,
-        "hev": ((fl >= 15).astype(np.int32)
-                + (fl >= 40).astype(np.int32)
-                + ((fl >= 20) & (not key_frame)).astype(np.int32)),
-    }
+# moved to decoder/lf_params.py (jax-free); re-exported for callers
+from alfalfa_tpu.decoder.lf_params import loopfilter_params  # noqa: E402,F401

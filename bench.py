@@ -25,39 +25,69 @@ TRIALS = 3
 
 
 def oracle_fps(clip, frames):
+    """Reference decoder frames/s with the fixed per-run overhead
+    (process spawn + IVF open + first-frame work) measured on a
+    single-frame cut of the same stream and subtracted, so the headline
+    divides by DECODE time, not process time (VERDICT r3 item 9)."""
     if not os.path.exists(ORACLE):
         try:
             subprocess.run(["make", "-C", os.path.join(REPO, "oracle"),
                             "-j", str(os.cpu_count() or 4)],
                            check=True, capture_output=True, timeout=900)
         except Exception:
-            return None
+            return None, None
+    one = "/tmp/bench_oracle_1f.ivf"
+    from alfalfa_tpu.util.ivf import IVFReader, IVFWriter
+    rd = IVFReader(clip)
+    with IVFWriter(one, width=rd.width, height=rd.height) as wr:
+        wr.append_frame(rd.frame(0))
     subprocess.run([ORACLE, clip], stdout=subprocess.DEVNULL, check=True)
     best = float("inf")
+    overhead = float("inf")
     for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        for _ in range(G):
+            subprocess.run([ORACLE, one], stdout=subprocess.DEVNULL,
+                           check=True)
+        overhead = min(overhead, time.perf_counter() - t0)
         t0 = time.perf_counter()
         for _ in range(G):
             subprocess.run([ORACLE, clip], stdout=subprocess.DEVNULL,
                            check=True)
         best = min(best, time.perf_counter() - t0)
-    return G * frames / best
+    return (G * (frames - 1) / max(best - overhead, 1e-9),
+            overhead * 1000 / G)
 
 
 def our_fps(clip, frames):
+    import hashlib
     import numpy as np
     import jax
     from alfalfa_tpu.util.ivf import IVFReader
     from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+    from alfalfa_tpu.state.decoder_state import Raster
 
     ivf = IVFReader(clip)
     payloads = [ivf.frame(i) for i in range(len(ivf))]
 
-    # warmup (compiles the keyframe + interframe steps)
+    # warmup (compiles the keyframe + interframe steps), doubling as the
+    # bit-exactness gate: SHA-1(on-chip decoded YUV) must equal the
+    # oracle manifest hash — the reference's decoding.test contract —
+    # before any throughput number is printed (VERDICT r3 item 2)
+    with open(os.path.join(REPO, "tests", "fixtures",
+                           "manifest.json")) as fh:
+        want = json.load(fh)[os.path.basename(clip)]["yuv_sha1"]
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    digests = [hashlib.sha1() for _ in range(G)]
     for p in payloads:
-        (y, u, v), _ = dec.decode_frame_batch([p] * G)
+        (y, u, v), show = dec.decode_frame_batch([p] * G)
+        ya, ua, va = np.asarray(y), np.asarray(u), np.asarray(v)
+        for g in range(G):
+            if show[g]:
+                digests[g].update(Raster(ivf.width, ivf.height, ya[g],
+                                         ua[g], va[g]).dump_bytes())
     jax.block_until_ready(y)
-    check = int(np.asarray(y[0]).astype(np.uint32).sum())
+    check = all(d.hexdigest() == want for d in digests)
 
     REPS = 3  # steady-state throughput: amortize per-clip overheads
     best = float("inf")
@@ -317,7 +347,7 @@ def inner_main():
 
     frames = IVFReader(CLIP).frame_count
     t_first = time.perf_counter()
-    ours, _check = our_fps(CLIP, frames)
+    ours, bit_exact = our_fps(CLIP, frames)
     t_first = time.perf_counter() - t_first
     best_g = G
     # lockstep width is free ExCamera parallelism: when the device step is
@@ -330,17 +360,18 @@ def inner_main():
         while g * 2 <= 32 and spent < 240:
             try:
                 t0 = time.perf_counter()
-                ours2, _ = our_fps_at(CLIP, frames, g * 2)
+                ours2, exact2 = our_fps_at(CLIP, frames, g * 2)
                 spent += time.perf_counter() - t0
                 print(f"sweep: G={g} -> {ours:.2f} fps, G={g * 2} -> "
-                      f"{ours2:.2f} fps", file=sys.stderr)
-                if ours2 <= ours:
+                      f"{ours2:.2f} fps (bit_exact={exact2})",
+                      file=sys.stderr)
+                if ours2 <= ours or not exact2:
                     break
-                ours, best_g, g = ours2, g * 2, g * 2
+                ours, best_g, g, bit_exact = ours2, g * 2, g * 2, exact2
             except Exception as e:
                 print(f"G-sweep stopped: {e!r}", file=sys.stderr)
                 break
-    ref = oracle_fps(CLIP, frames)
+    ref, ref_overhead_ms = oracle_fps(CLIP, frames)
     # headline first: the secondary metric may spend minutes compiling the
     # encode kernel on a cold cache
     print(json.dumps({
@@ -349,6 +380,11 @@ def inner_main():
         "unit": "frames/s",
         "vs_baseline": round(ours / ref, 3) if ref else None,
         "gops_in_lockstep": best_g,
+        "bit_exact": bit_exact,
+        "baseline_note": ("reference fps is decode-only: per-run spawn/IO "
+                          f"overhead {ref_overhead_ms:.0f} ms measured on a "
+                          "1-frame cut and subtracted"
+                          if ref_overhead_ms is not None else None),
     }), flush=True)
     # secondary metric under a hard budget: a cold Mosaic cache can spend
     # minutes compiling the encode kernel, and the headline must not hang
