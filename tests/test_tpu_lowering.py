@@ -114,3 +114,50 @@ def test_kf_trellis_kernel_lowers():
             z((1, 8), jnp.int32), z((1, 8), jnp.int32),
             z((100, 10), jnp.bfloat16), z((100, 10), jnp.bfloat16),
             z((64, 36), jnp.int32))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("G", [8, 16, 32])
+def test_wavefront_kernel_lowers_bench_geometry(G):
+    """The exact 720p bench geometries (R=45, C=80, the bench.py G-sweep
+    widths) must cross-lower for TPU — the r3 G-sweep died on chip with a
+    Mosaic dynamic-sublane failure the QCIF gate could not see (VERDICT r3
+    item 1b).  jax.export does not run the Mosaic backend compile, but it
+    does pin the trace-level kernel shape; the backend-compile gate is the
+    bench itself (bit_exact) plus tools/probe_dynrow.py on hardware."""
+    from alfalfa_tpu.ops import wavefront_pallas as WP
+    Rb, Cb = 45, 80
+    Rp = 48
+    # reconstruct_core_batch folds at most ~1024 sublanes per invocation
+    gs = min(G, max(1, 1024 // Rp))
+    GRp = gs * Rp
+    nd = 2 * (Rb - 1) + Cb
+    z = lambda p: jax.ShapeDtypeStruct((nd, GRp, p), jnp.int16)
+    _export(lambda *a: WP.wavefront_frame_batch(*a, interpret=False),
+            z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
+            z(8))
+
+
+@pytest.mark.slow
+def test_full_decode_step_lowers_720p(monkeypatch):
+    """End-to-end BatchedGopDecoder TPU step at the bench geometry
+    (1280x720, G=8): compact-stream scatter, packed-ref Pallas MC, merged
+    wavefront, reference refresh — all must cross-lower."""
+    import numpy as np
+    from alfalfa_tpu.util.ivf import IVFReader
+    from alfalfa_tpu.parallel.gop import BatchedGopDecoder
+
+    ivf = IVFReader("tests/fixtures/inter_1280x720_q48.ivf")
+    G = 8
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    for fno in (0, 1):
+        kf, batch, _flags, _show = dec.parse_frame_batch(
+            [ivf.frame(fno)] * G)
+        step = dec._step(kf, on_tpu=True)
+        aval = lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                              np.asarray(x).dtype)
+        batch_avals = {k: (None if v is None else aval(v))
+                       for k, v in batch.items()}
+        refs_avals = jax.tree.map(aval, dec.refs)
+        jax.export.export(step, platforms=["tpu"])(batch_avals, refs_avals)
