@@ -161,6 +161,91 @@ def _token_update_dict(flags, vals):
     return dict(zip(map(tuple, keys), np.asarray(vals)[idx].tolist()))
 
 
+class _LazyTokenUpdates(dict):
+    """Parsed coefficient-prob updates, materialized into {(i,j,k,l): v}
+    only when a consumer actually touches the dict.  The hot decode path
+    (ProbabilityTables.coeff_prob_update, GOP-batched header parse) uses
+    the flat ``(flags, vals)`` arrays directly — building 200+ tuple keys
+    per frame header was ~0.3 ms/frame of the 720p parse wall.
+
+    Caveat: C-level dict fast paths that bypass the overridden methods
+    (e.g. comparing two *unfilled* instances) see the unmaterialized
+    storage; every consumer in-tree goes through items()/[]/in, which
+    all materialize first."""
+    __slots__ = ("flat", "_filled")
+
+    def __init__(self, flags, vals):
+        super().__init__()
+        self.flat = (np.asarray(flags, np.uint8), np.asarray(vals, np.uint8))
+        self._filled = False
+
+    def _fill(self):
+        if not self._filled:
+            self._filled = True
+            super().update(_token_update_dict(*self.flat))
+
+    def __getitem__(self, k):
+        self._fill()
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self._fill()
+        return super().__contains__(k)
+
+    def __iter__(self):
+        self._fill()
+        return super().__iter__()
+
+    def __len__(self):
+        self._fill()
+        return super().__len__()
+
+    def __eq__(self, other):
+        self._fill()
+        if isinstance(other, _LazyTokenUpdates):
+            other._fill()
+        return super().__eq__(other)
+
+    __hash__ = None
+
+    def items(self):
+        self._fill()
+        return super().items()
+
+    def keys(self):
+        self._fill()
+        return super().keys()
+
+    def values(self):
+        self._fill()
+        return super().values()
+
+    def get(self, k, default=None):
+        self._fill()
+        return super().get(k, default)
+
+    # mutation drops the flat fast path so dict and arrays never diverge
+    def __setitem__(self, k, v):
+        self._fill()
+        self.flat = None
+        super().__setitem__(k, v)
+
+    def update(self, *a, **kw):
+        self._fill()
+        self.flat = None
+        super().update(*a, **kw)
+
+    def pop(self, *a):
+        self._fill()
+        self.flat = None
+        return super().pop(*a)
+
+    def clear(self):
+        self._filled = True
+        self.flat = None
+        super().clear()
+
+
 def _mv_update_dict(flags, vals):
     """{(axis, node): effective prob} with the raw<<1-or-1 half-prob rule
     (shared by the incremental and whole-header native parse paths)."""
@@ -179,7 +264,7 @@ def parse_token_prob_update(bd):
             from alfalfa_tpu.native import bitwork
             flags, vals = bitwork.parse_flagged_literals(
                 bd, up.reshape(-1), up.size, 8)
-            return _token_update_dict(flags, vals)
+            return _LazyTokenUpdates(flags, vals)
         except (ImportError, AttributeError, OSError, RuntimeError):
             pass  # no native toolchain: fall through to the Python loop
     updates = {}
@@ -197,11 +282,16 @@ def write_token_prob_update(be, updates):
     try:
         from alfalfa_tpu.native import bitwork
         import numpy as _np
-        flags = _np.zeros(up.shape, _np.uint8)
-        vals = _np.zeros(up.shape, _np.uint8)
-        for key, v in updates.items():
-            flags[key] = 1
-            vals[key] = v
+        flat = getattr(updates, "flat", None)
+        if flat is not None:
+            flags = _np.ascontiguousarray(flat[0]).reshape(up.shape)
+            vals = _np.ascontiguousarray(flat[1]).reshape(up.shape)
+        else:
+            flags = _np.zeros(up.shape, _np.uint8)
+            vals = _np.zeros(up.shape, _np.uint8)
+            for key, v in updates.items():
+                flags[key] = 1
+                vals[key] = v
         if bitwork.write_flagged_literals(be, up.reshape(-1),
                                           flags.reshape(-1),
                                           vals.reshape(-1), 8):
@@ -472,7 +562,7 @@ def parse_frame_header_fast(first_partition, key_frame):
         lfu = ModeRefLFDeltaUpdate([v(20 + i) for i in range(4)],
                                    [v(24 + i) for i in range(4)])
     qi = QuantIndices(o[29], v(30), v(31), v(32), v(33), v(34))
-    tok = _token_update_dict(tf, tv)
+    tok = _LazyTokenUpdates(tf, tv)
 
     if key_frame:
         h = KeyFrameHeader()

@@ -2,8 +2,14 @@
 import ctypes
 import os
 import subprocess
+import time
 
 import numpy as np
+
+# per-(G, R, C) engine-calibration samples: the auto token-engine choice
+# (scalar interleaved loop vs 8-lane AVX-512 DFA) is measured on real
+# steps, not guessed from core counts (parse_tokens_gop)
+_ENGINE_CALIB = {}
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bitwork.cc")
@@ -165,6 +171,10 @@ def _load_simd():
     # core on Skylake-SP, more on cores with fast vpmullq/gathers)
     mode = os.environ.get("ALFALFA_SIMD_TOKENS", "auto")
     if mode == "0" or (mode != "1" and (os.cpu_count() or 1) > 2):
+        # > 2 cores: the scalar MT fan-out over the G independent chains
+        # beats one 8-lane thread; no need to even build the engine.  On
+        # 1-2 core hosts the winner is host-specific — parse_tokens_gop_
+        # async calibrates the two engines against each other at runtime.
         _simdlib = False
         return None
     try:
@@ -348,13 +358,34 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     G = su["G"]
     dense_g = mb_rows * mb_cols * 25 * 16
     simd = _load_simd() if su["off1"] is not None else None
+    if simd is not None and os.environ.get("ALFALFA_SIMD_TOKENS",
+                                           "auto") != "1":
+        # auto mode (1-2 core host): the scalar interleaved loop and the
+        # 8-lane AVX-512 engine trade wins with the exact core (gather /
+        # vpmullq latency, cache size) and batch width — time each engine
+        # on two real steps and lock in the per-(G,R,C) winner.  Both are
+        # bit-identical, so this is purely a throughput decision.
+        hist = _ENGINE_CALIB.setdefault((G, mb_rows, mb_cols),
+                                        {"scalar": [], "simd": []})
+        if len(hist["scalar"]) < 2:
+            simd = None                          # scalar turn
+        elif len(hist["simd"]) >= 2 and \
+                min(hist["scalar"]) <= min(hist["simd"]):
+            simd = None                          # scalar won
+    else:
+        hist = None
     for scale in _scales:
         bufs = _gop_buffers(su, dense_g, scale)
         rc = None
+        ran = "scalar"
+        t0 = time.perf_counter()
         if simd is not None:
+            ran = "simd"
             rc = _simd_call(simd, threads, su, bufs, mb_rows, mb_cols)
             if rc == -1:        # engine declined: scalar path below
                 rc = None
+                ran = "scalar"
+                t0 = time.perf_counter()
         if rc is None:
             args = _gop_args(su, bufs, mb_rows, mb_cols)
             if threads > 1:
@@ -365,6 +396,9 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
             continue
         if rc != 0:
             return None
+        if hist is not None and scale == _scales[0]:
+            # record only clean first-try runs so samples are comparable
+            hist[ran].append(time.perf_counter() - t0)
         return _gop_compact(G, dense_g, bufs)
     return None
 

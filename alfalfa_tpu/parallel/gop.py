@@ -9,6 +9,7 @@ exchanged with XLA collectives over ICI.
 """
 from functools import partial
 import os
+import time
 
 import numpy as np
 import jax
@@ -260,6 +261,25 @@ from alfalfa_tpu.bitstream import tables as _T
 
 
 _STEP_CACHE = {}
+_REF_INIT_CACHE = {}
+
+
+def _init_packed_refs(G, H, W):
+    """Zero-initialized device reference stacks in MC layout, as ONE
+    jitted dispatch (cached per geometry)."""
+    key = (G, H, W)
+    fn = _REF_INIT_CACHE.get(key)
+    if fn is None:
+        from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+
+        def build():
+            return {p: pack_refs32(pad_refs(jnp.zeros((G, 4, h, w),
+                                                      jnp.uint8)))
+                    for p, h, w in (("y", H, W), ("u", H // 2, W // 2),
+                                    ("v", H // 2, W // 2))}
+        fn = jax.jit(build)
+        _REF_INIT_CACHE[key] = fn
+    return fn()
 _QF_KEYS = ("y_dc", "y_ac", "y2_dc", "y2_ac", "uv_dc", "uv_ac")
 
 
@@ -303,13 +323,10 @@ class BatchedGopDecoder:
             # vertically byte-packed, ref-slot-stacked (G, 4, Hp//4, Wp)
             # int32 = [x, last, golden, alt] (slot 0 = intra, never read)
             # — kills the per-step stack+pad and the packed MC kernel's
-            # in-kernel u8->i32 conversion (sixtap_pallas.pack_refs32)
-            from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
-            self.refs = {
-                p: pack_refs32(pad_refs(jnp.zeros((n_gops, 4, h, w),
-                                                  jnp.uint8)))
-                for p, h, w in (("y", H, W), ("u", H // 2, W // 2),
-                                ("v", H // 2, W // 2))}
+            # in-kernel u8->i32 conversion (sixtap_pallas.pack_refs32).
+            # One jitted call (cached per geometry): built eagerly this is
+            # ~30 op dispatches, each charged a round trip by the tunnel.
+            self.refs = _init_packed_refs(n_gops, H, W)
         else:
             z_y = jnp.zeros((n_gops, H, W), jnp.uint8)
             z_uv = jnp.zeros((n_gops, H // 2, W // 2), jnp.uint8)
@@ -329,22 +346,26 @@ class BatchedGopDecoder:
         batch (MB headers, then tokens), with the G independent range-
         decoder chains interleaved so they overlap in the out-of-order
         core — the host-side mirror of the TPU's GOP-lockstep decode."""
+        from alfalfa_tpu.util import tracing
         G, R, C = self.G, self.mb_rows, self.mb_cols
-        chunks = [UncompressedChunk(payloads[g], self.width, self.height)
-                  for g in range(G)]
-        key_frames = {c.key_frame for c in chunks}
-        if len(key_frames) != 1:
-            raise ValueError("GOPs must be frame-type aligned")
-        key_frame = key_frames.pop()
+        with tracing.stage("parse.headers"):
+            chunks = [UncompressedChunk(payloads[g], self.width,
+                                        self.height) for g in range(G)]
+            key_frames = {c.key_frame for c in chunks}
+            if len(key_frames) != 1:
+                raise ValueError("GOPs must be frame-type aligned")
+            key_frame = key_frames.pop()
 
-        parsers = [FrameParser(self.states[g], sparse_tokens=True,
-                               defer_tokens=True) for g in range(G)]
-        hdr = [parsers[g].parse_header_phase(chunks[g]) for g in range(G)]
+            parsers = [FrameParser(self.states[g], sparse_tokens=True,
+                                   defer_tokens=True) for g in range(G)]
+            hdr = [parsers[g].parse_header_phase(chunks[g])
+                   for g in range(G)]
 
         clean = all(c.corruption_level == 0 for c in chunks)
 
         # MB headers: one interleaved native call over the batch; the
         # outputs land in (G, ...) slabs the device packing uses directly
+        _t_mb = time.perf_counter()
         S = None
         if clean:
             try:
@@ -398,6 +419,8 @@ class BatchedGopDecoder:
         # wall) and everything below that doesn't need coefficients — MV /
         # quantizer / loop-filter packing — overlaps with them; the join
         # sits right before the coefficient-stream packing
+        tracing.add("parse.mb_headers", time.perf_counter() - _t_mb)
+        _t_tok = time.perf_counter()
         token_job = None
         hnz = None
         if clean:
@@ -414,6 +437,9 @@ class BatchedGopDecoder:
                     threads=_parse_threads(G))
             except (ImportError, AttributeError, OSError):
                 token_job = None
+
+        tracing.add("parse.tok_start", time.perf_counter() - _t_tok)
+        _t_pack = time.perf_counter()
 
         def bucket(n, floor):
             # coarse pow4 buckets: shape variety costs minutes of XLA
@@ -555,7 +581,11 @@ class BatchedGopDecoder:
         # join the token threads (they ran during all the packing above);
         # fall back to the Python token parser if the native path was
         # unavailable or failed
+        tracing.add("parse.pack", time.perf_counter() - _t_pack)
+        _t_join = time.perf_counter()
         batch_blocks = token_job.join() if token_job is not None else None
+        tracing.add("parse.tok_join", time.perf_counter() - _t_join)
+        _t_coeff = time.perf_counter()
         if batch_blocks is not None:
             S["has_nonzero"] = hnz
             for g, p in enumerate(per):
@@ -629,6 +659,7 @@ class BatchedGopDecoder:
             buf8=buf8, buf16=buf16,
         )
         show = [p[2].show_frame for p in per]
+        tracing.add("parse.coeff_pack", time.perf_counter() - _t_coeff)
         return key_frame, batch, None if key_frame else True, show
 
     # -- device side -----------------------------------------------------------
@@ -815,6 +846,34 @@ class BatchedGopDecoder:
             (y, u, v), self.refs = self._step(key_frame)(
                 dev_batch, self.refs)
         return (y, u, v), show
+
+    def decode_stream(self, payload_batches):
+        """Pipelined decode: yields ((y, u, v), show) per frame position.
+
+        The host-side bit-serial parse of frame i+1 never depends on the
+        device (reference state rides inside the jit chain), so the upload
+        + step dispatch of frame i runs on a worker thread while the main
+        thread parses i+1 — wall time per step becomes
+        max(parse, upload+dispatch) instead of their sum.  On a 1-core
+        host the worker's device_put mostly waits on the interconnect
+        with the GIL released, so the overlap is real."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def submit(key_frame, batch, show):
+            dev_batch = jax.device_put(batch)
+            out, self.refs = self._step(key_frame)(dev_batch, self.refs)
+            return out, show
+
+        with ThreadPoolExecutor(1) as ex:
+            pending = None
+            for payloads in payload_batches:
+                key_frame, batch, _flags, show = \
+                    self.parse_frame_batch(payloads)
+                if pending is not None:
+                    yield pending.result()
+                pending = ex.submit(submit, key_frame, batch, show)
+            if pending is not None:
+                yield pending.result()
 
 
 def decode_gops(gop_payloads, width, height):

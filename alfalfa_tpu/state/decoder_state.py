@@ -39,7 +39,16 @@ class ProbabilityTables:
                                  self.uv_mode_probs.copy(), self.mv_probs.copy())
 
     def coeff_prob_update(self, header):
-        for (i, j, k, l), v in header.token_prob_update.items():
+        upd = header.token_prob_update
+        flat = getattr(upd, "flat", None)
+        if flat is not None:
+            # fast-parse path: one vectorized masked store instead of a
+            # python dict walk (flags/vals in COEFF_UPDATE_PROBS order)
+            flags, vals = flat
+            np.copyto(self.coeff_probs.reshape(-1), vals,
+                      where=flags.astype(bool))
+            return
+        for (i, j, k, l), v in upd.items():
             self.coeff_probs[i, j, k, l] = v
 
     def update(self, header):

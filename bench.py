@@ -95,8 +95,11 @@ def our_fps(clip, frames):
         t0 = time.perf_counter()
         for _ in range(REPS):
             dec = BatchedGopDecoder(ivf.width, ivf.height, G)
-            for p in payloads:
-                (y, u, v), _ = dec.decode_frame_batch([p] * G)
+            # pipelined decode: upload + step dispatch of frame i overlap
+            # the host parse of frame i+1 (parallel/gop.decode_stream)
+            for (y, u, v), _ in dec.decode_stream([p] * G
+                                                  for p in payloads):
+                pass
         import numpy as _np
         import jax.numpy as jnp
         _ = float(jnp.ravel(y)[0])  # force full execution over the tunnel

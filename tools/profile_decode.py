@@ -9,7 +9,7 @@ from alfalfa_tpu.util.ivf import IVFReader
 from alfalfa_tpu.parallel.gop import BatchedGopDecoder
 
 CLIP = "tests/fixtures/inter_1280x720_q48.ivf"
-G = 8
+G = int(__import__("os").environ.get("G","8"))
 
 ivf = IVFReader(CLIP)
 payloads = [ivf.frame(i) for i in range(len(ivf))]
