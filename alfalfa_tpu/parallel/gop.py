@@ -264,6 +264,44 @@ _STEP_CACHE = {}
 _REF_INIT_CACHE = {}
 
 
+def _pack_upload(batch):
+    """Flatten the parse-output pytree into ONE uint8 buffer + a static
+    spec.  The interconnect charges per-transfer overhead (measured ~3 ms
+    per leaf at the median over the axon tunnel — 10 leaves cost 34 ms
+    where the same bytes in one buffer cost 4.7), so the step uploads a
+    single buffer and the jit slices/bitcasts the segments back out.
+    Segment shapes are already bucketed, so the spec (the jit cache key)
+    takes few distinct values."""
+    parts = []
+    spec = []
+    off = 0
+    for k in sorted(batch):
+        v = batch[k]
+        if v is None:
+            continue
+        a = np.ascontiguousarray(v)
+        flat = a.view(np.uint8).reshape(-1)
+        spec.append((k, a.dtype.str, a.shape, off, flat.size))
+        parts.append(flat)
+        off += flat.size
+    return np.concatenate(parts), tuple(spec)
+
+
+def _unpack_upload(mega, spec):
+    """Inverse of _pack_upload, traced inside the step jit."""
+    out = {}
+    for k, dstr, shape, off, size in spec:
+        dt = np.dtype(dstr)
+        seg = jax.lax.slice(mega, (off,), (off + size,))
+        if dt.itemsize > 1:
+            seg = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), jnp.dtype(dt))
+        elif dt != np.uint8:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))
+        out[k] = seg.reshape(shape)
+    return out
+
+
 def _init_packed_refs(G, H, W):
     """Zero-initialized device reference stacks in MC layout, as ONE
     jitted dispatch (cached per geometry)."""
@@ -664,12 +702,12 @@ class BatchedGopDecoder:
 
     # -- device side -----------------------------------------------------------
 
-    def _step(self, key_frame, on_tpu=None):
+    def _step(self, key_frame, on_tpu=None, spec=None):
         # module-level cache: new decoder instances at the same geometry
         # must reuse the compiled step
         if on_tpu is None:
             on_tpu = jax.default_backend() == "tpu"
-        key = (self.mb_rows, self.mb_cols, self.G, key_frame, on_tpu)
+        key = (self.mb_rows, self.mb_cols, self.G, key_frame, on_tpu, spec)
         if key in _STEP_CACHE:
             return _STEP_CACHE[key]
         R, C = self.mb_rows, self.mb_cols
@@ -828,7 +866,12 @@ class BatchedGopDecoder:
                 new_refs[plane] = (last, gold, alt)
             return (y, u, v), new_refs
 
-        jitted = jax.jit(step)
+        if spec is not None:
+            def packed_step(mega, refs):
+                return step(_unpack_upload(mega, spec), refs)
+            jitted = jax.jit(packed_step)
+        else:
+            jitted = jax.jit(step)
         _STEP_CACHE[key] = jitted
         return jitted
 
@@ -839,11 +882,13 @@ class BatchedGopDecoder:
         with tracing.stage("gop.parse"):
             key_frame, batch, flags, show = self.parse_frame_batch(payloads)
         with tracing.stage("gop.upload"):
-            # one pytree transfer: per-key device_put costs a dispatch
-            # each (10+ per step), and the tunnel charges RTT per call
-            dev_batch = jax.device_put(batch)
+            # ONE buffer transfer: per-leaf device_put pays per-transfer
+            # overhead (~3 ms each at the tunnel median); the jit
+            # re-slices the segments (_pack_upload)
+            mega, spec = _pack_upload(batch)
+            dev_batch = jax.device_put(mega)
         with tracing.stage("gop.step_dispatch"):
-            (y, u, v), self.refs = self._step(key_frame)(
+            (y, u, v), self.refs = self._step(key_frame, spec=spec)(
                 dev_batch, self.refs)
         return (y, u, v), show
 
@@ -860,8 +905,13 @@ class BatchedGopDecoder:
         from concurrent.futures import ThreadPoolExecutor
 
         def submit(key_frame, batch, show):
-            dev_batch = jax.device_put(batch)
-            out, self.refs = self._step(key_frame)(dev_batch, self.refs)
+            # pack + upload + dispatch all on the worker: the big memcpy
+            # and the transfer wait both release the GIL, so they overlap
+            # the main thread's parse of the next frame
+            mega, spec = _pack_upload(batch)
+            dev_batch = jax.device_put(mega)
+            out, self.refs = self._step(key_frame, spec=spec)(
+                dev_batch, self.refs)
             return out, show
 
         with ThreadPoolExecutor(1) as ex:

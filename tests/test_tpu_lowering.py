@@ -151,13 +151,13 @@ def test_full_decode_step_lowers_720p(monkeypatch):
     G = 8
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    from alfalfa_tpu.parallel.gop import _pack_upload
     for fno in (0, 1):
         kf, batch, _flags, _show = dec.parse_frame_batch(
             [ivf.frame(fno)] * G)
-        step = dec._step(kf, on_tpu=True)
+        mega, spec = _pack_upload(batch)
+        step = dec._step(kf, on_tpu=True, spec=spec)
         aval = lambda x: jax.ShapeDtypeStruct(np.shape(x),
                                               np.asarray(x).dtype)
-        batch_avals = {k: (None if v is None else aval(v))
-                       for k, v in batch.items()}
         refs_avals = jax.tree.map(aval, dec.refs)
-        jax.export.export(step, platforms=["tpu"])(batch_avals, refs_avals)
+        jax.export.export(step, platforms=["tpu"])(aval(mega), refs_avals)
