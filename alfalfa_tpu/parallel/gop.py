@@ -302,6 +302,47 @@ def _unpack_upload(mega, spec):
     return out
 
 
+_COEFF_KEYS = ("coeff_delta", "coeff_val8", "desc_pos", "desc_extra",
+               "vesc_pos", "vesc_val")
+
+
+def _scatter_coeffs(G, R, C, coeff_delta, coeff_val8, desc_pos, desc_extra,
+                    vesc_pos, vesc_val):
+    """Compact coefficient stream -> dense (G, R, C, 25, 16) int16:
+    indices by prefix sum, then a sorted-unique scatter (pad deltas of 1
+    walk into the scratch slots past the dense layout)."""
+    ne = G * R * C * 25 * 16
+    pad_n = coeff_delta.shape[0]
+    delta = coeff_delta.astype(jnp.int32).at[desc_pos].add(
+        desc_extra, mode="drop")
+    cidx = jnp.cumsum(delta) - 1
+    cval = coeff_val8.astype(jnp.int16).at[vesc_pos].set(
+        vesc_val, mode="drop")
+    return jnp.zeros((ne + pad_n,), jnp.int16).at[cidx].set(
+        cval, unique_indices=True, indices_are_sorted=True)[:ne] \
+        .reshape(G, R, C, 25, 16)
+
+
+_SCATTER_CACHE = {}
+
+
+def _scatter_fn(G, R, C, spec):
+    """Jitted coefficient scatter over a packed upload segment.  Kept as
+    its OWN dispatch so the capacity buckets (which vary with content)
+    never key a recompile of the big decode step — only this small
+    scatter, which XLA compiles in well under a second."""
+    key = (G, R, C, spec)
+    fn = _SCATTER_CACHE.get(key)
+    if fn is None:
+        def run(mega):
+            d = _unpack_upload(mega, spec)
+            return _scatter_coeffs(G, R, C,
+                                   *(d[k] for k in _COEFF_KEYS))
+        fn = jax.jit(run)
+        _SCATTER_CACHE[key] = fn
+    return fn
+
+
 def _init_packed_refs(G, H, W):
     """Zero-initialized device reference stacks in MC layout, as ONE
     jitted dispatch (cached per geometry)."""
@@ -589,8 +630,12 @@ class BatchedGopDecoder:
 
         # pack the small per-MB maps into two buffers: each device_put is
         # a separate tunnel dispatch, and ~15 of them cost more than the
-        # bytes themselves
-        buf8 = np.empty((G, R, C, 22), np.int8)
+        # bytes themselves.  Interframes carry bmode as SPARSE escapes
+        # (B_PRED MBs only, like SPLITMV sub-MVs) — dense bmode was 16 of
+        # buf8's 22 bytes/MB, ~0.9 MB/step at 720p G=16; keyframes keep
+        # the dense layout (most MBs are B_PRED there).
+        nb8 = 22 if key_frame else 6
+        buf8 = np.empty((G, R, C, nb8), np.int8)
         for g, pp in enumerate(per):
             buf8[g, :, :, 0] = pp[1].segment
         buf8[:, :, :, 1] = S["y2_coded"]
@@ -598,7 +643,20 @@ class BatchedGopDecoder:
         buf8[:, :, :, 3] = S["ymode"]
         buf8[:, :, :, 4] = S["uvmode"]
         buf8[:, :, :, 5] = S["ref"]
-        buf8[:, :, :, 6:22] = S["bmode"].reshape(G, R, C, 16)
+        bmode_idx = bmode_val = None
+        if key_frame:
+            buf8[:, :, :, 6:22] = S["bmode"].reshape(G, R, C, 16)
+        else:
+            bflat = S["bmode"].reshape(-1, 16)
+            bp = np.flatnonzero(S["ymode"].reshape(-1) == 4)   # B_PRED
+            cap_b = bucket(len(bp), 64)
+            bmode_idx = np.zeros(cap_b, np.int32)
+            bmode_val = np.zeros((cap_b, 16), np.int8)
+            bmode_idx[:len(bp)] = bp
+            bmode_val[:len(bp)] = bflat[bp]
+            pad_b = bp[0] if len(bp) else 0
+            bmode_idx[len(bp):] = pad_b
+            bmode_val[len(bp):] = bflat[pad_b]
 
         if key_frame:
             fl = np.zeros((5, G), np.int16)
@@ -671,7 +729,17 @@ class BatchedGopDecoder:
                 b <<= 1
             return b
 
-        cap = bucket2(n_nz, 1 << 15)
+        def bucket125(n, floor):
+            # geometric 1.25x buckets, 4K-element aligned: the coefficient
+            # scatter runs as its own small jit (BatchedGopDecoder._scatter)
+            # so shape variants compile cheaply; pow2 buckets wasted up to
+            # half the largest upload segment in transfer bytes
+            b = floor
+            while b < n:
+                b = ((b + (b >> 2)) + 4095) & ~4095
+            return b
+
+        cap = bucket125(n_nz, 1 << 15)
         # pad deltas of 1 keep the reconstructed indices ascending and
         # unique, walking into the scratch slots past the dense layout
         coeff_delta = np.ones(cap, np.uint16)
@@ -696,6 +764,9 @@ class BatchedGopDecoder:
             split_idx=split_idx, split_val=split_val,
             buf8=buf8, buf16=buf16,
         )
+        if bmode_idx is not None:
+            batch["bmode_idx"] = bmode_idx
+            batch["bmode_val"] = bmode_val
         show = [p[2].show_frame for p in per]
         tracing.add("parse.coeff_pack", time.perf_counter() - _t_coeff)
         return key_frame, batch, None if key_frame else True, show
@@ -771,21 +842,21 @@ class BatchedGopDecoder:
             ymode = i32(buf8[:, :, :, 3])
             uvmode = i32(buf8[:, :, :, 4])
             refsel = i32(buf8[:, :, :, 5])
-            bmode = i32(buf8[:, :, :, 6:22]).reshape(G, R, C, 4, 4)
+            if buf8.shape[-1] == 22:
+                bmode = i32(buf8[:, :, :, 6:22]).reshape(G, R, C, 4, 4)
+            else:
+                # interframe: sparse B_PRED escapes (value for non-B_PRED
+                # MBs is never read; 0 keeps the kernel selects in range)
+                bmode = jnp.zeros((n_mb, 16), jnp.int32).at[
+                    batch["bmode_idx"]].set(i32(batch["bmode_val"])) \
+                    .reshape(G, R, C, 4, 4)
 
-            # compact coefficient stream -> indices by prefix sum, then a
-            # sorted-unique scatter (pad deltas of 1 walk into the scratch
-            # slots past the dense layout)
-            ne = n_mb * 25 * 16
-            pad_n = batch["coeff_delta"].shape[0]
-            delta = batch["coeff_delta"].astype(jnp.int32).at[
-                batch["desc_pos"]].add(batch["desc_extra"], mode="drop")
-            cidx = jnp.cumsum(delta) - 1
-            cval = batch["coeff_val8"].astype(jnp.int16).at[
-                batch["vesc_pos"]].set(batch["vesc_val"], mode="drop")
-            coeffs = jnp.zeros((ne + pad_n,), jnp.int16).at[cidx].set(
-                cval, unique_indices=True, indices_are_sorted=True)[:ne] \
-                .astype(jnp.int32).reshape(G, R, C, 25, 16)
+            if "coeffs16" in batch:
+                coeffs = batch["coeffs16"].astype(jnp.int32)
+            else:
+                coeffs = _scatter_coeffs(
+                    G, R, C, *(batch[k] for k in _COEFF_KEYS)) \
+                    .astype(jnp.int32)
 
             sub_mv = jnp.broadcast_to(
                 mv0[:, :, :, None, None, :],
@@ -867,8 +938,13 @@ class BatchedGopDecoder:
             return (y, u, v), new_refs
 
         if spec is not None:
-            def packed_step(mega, refs):
-                return step(_unpack_upload(mega, spec), refs)
+            # packed entry: the coefficient scatter ran as its own
+            # dispatch (_scatter_fn); everything else arrives as ONE
+            # uint8 buffer
+            def packed_step(mega, coeffs16, refs):
+                d = _unpack_upload(mega, spec)
+                d["coeffs16"] = coeffs16
+                return step(d, refs)
             jitted = jax.jit(packed_step)
         else:
             jitted = jax.jit(step)
@@ -882,14 +958,19 @@ class BatchedGopDecoder:
         with tracing.stage("gop.parse"):
             key_frame, batch, flags, show = self.parse_frame_batch(payloads)
         with tracing.stage("gop.upload"):
-            # ONE buffer transfer: per-leaf device_put pays per-transfer
-            # overhead (~3 ms each at the tunnel median); the jit
-            # re-slices the segments (_pack_upload)
-            mega, spec = _pack_upload(batch)
-            dev_batch = jax.device_put(mega)
+            # TWO buffer transfers (coeff stream + everything else):
+            # per-leaf device_put pays per-transfer overhead (~3 ms each
+            # at the tunnel median); the jits re-slice the segments
+            batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
+            mega_c, spec_c = _pack_upload(batch_c)
+            mega_r, spec_r = _pack_upload(batch)
+            dev_c = jax.device_put(mega_c)
+            dev_r = jax.device_put(mega_r)
         with tracing.stage("gop.step_dispatch"):
-            (y, u, v), self.refs = self._step(key_frame, spec=spec)(
-                dev_batch, self.refs)
+            coeffs16 = _scatter_fn(self.G, self.mb_rows, self.mb_cols,
+                                   spec_c)(dev_c)
+            (y, u, v), self.refs = self._step(key_frame, spec=spec_r)(
+                dev_r, coeffs16, self.refs)
         return (y, u, v), show
 
     def decode_stream(self, payload_batches):
@@ -908,10 +989,15 @@ class BatchedGopDecoder:
             # pack + upload + dispatch all on the worker: the big memcpy
             # and the transfer wait both release the GIL, so they overlap
             # the main thread's parse of the next frame
-            mega, spec = _pack_upload(batch)
-            dev_batch = jax.device_put(mega)
-            out, self.refs = self._step(key_frame, spec=spec)(
-                dev_batch, self.refs)
+            batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
+            mega_c, spec_c = _pack_upload(batch_c)
+            mega_r, spec_r = _pack_upload(batch)
+            dev_c = jax.device_put(mega_c)
+            dev_r = jax.device_put(mega_r)
+            coeffs16 = _scatter_fn(self.G, self.mb_rows, self.mb_cols,
+                                   spec_c)(dev_c)
+            out, self.refs = self._step(key_frame, spec=spec_r)(
+                dev_r, coeffs16, self.refs)
             return out, show
 
         with ThreadPoolExecutor(1) as ex:

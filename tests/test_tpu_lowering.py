@@ -151,13 +151,21 @@ def test_full_decode_step_lowers_720p(monkeypatch):
     G = 8
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
-    from alfalfa_tpu.parallel.gop import _pack_upload
+    from alfalfa_tpu.parallel.gop import (_pack_upload, _COEFF_KEYS,
+                                          _scatter_fn)
+    R, C = dec.mb_rows, dec.mb_cols
     for fno in (0, 1):
         kf, batch, _flags, _show = dec.parse_frame_batch(
             [ivf.frame(fno)] * G)
-        mega, spec = _pack_upload(batch)
-        step = dec._step(kf, on_tpu=True, spec=spec)
+        batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
+        mega_c, spec_c = _pack_upload(batch_c)
+        mega_r, spec_r = _pack_upload(batch)
+        step = dec._step(kf, on_tpu=True, spec=spec_r)
         aval = lambda x: jax.ShapeDtypeStruct(np.shape(x),
                                               np.asarray(x).dtype)
         refs_avals = jax.tree.map(aval, dec.refs)
-        jax.export.export(step, platforms=["tpu"])(aval(mega), refs_avals)
+        coeffs_aval = jax.ShapeDtypeStruct((G, R, C, 25, 16), jnp.int16)
+        jax.export.export(jax.jit(lambda m: _scatter_fn(G, R, C, spec_c)(m)),
+                          platforms=["tpu"])(aval(mega_c))
+        jax.export.export(step, platforms=["tpu"])(
+            aval(mega_r), coeffs_aval, refs_avals)

@@ -25,14 +25,21 @@ jax.block_until_ready(y)
 dec = BatchedGopDecoder(ivf.width, ivf.height, G)
 parse_t, upload_t, step_t = [], [], []
 for p in payloads:
+    from alfalfa_tpu.parallel.gop import (_pack_upload, _COEFF_KEYS,
+                                          _scatter_fn)
     t0 = time.perf_counter()
     key_frame, batch, flags, show = dec.parse_frame_batch([p] * G)
     t1 = time.perf_counter()
-    dev_batch = jax.device_put(batch)      # one pytree transfer, as decode does
-    jax.block_until_ready(
-        [v for v in jax.tree.leaves(dev_batch)])
+    batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
+    mega_c, spec_c = _pack_upload(batch_c)
+    mega_r, spec_r = _pack_upload(batch)
+    dev_c = jax.device_put(mega_c)
+    dev_r = jax.device_put(mega_r)
+    jax.block_until_ready([dev_c, dev_r])
     t2 = time.perf_counter()
-    (y, u, v), dec.refs = dec._step(key_frame)(dev_batch, dec.refs)
+    coeffs16 = _scatter_fn(dec.G, dec.mb_rows, dec.mb_cols, spec_c)(dev_c)
+    (y, u, v), dec.refs = dec._step(key_frame, spec=spec_r)(
+        dev_r, coeffs16, dec.refs)
     jax.block_until_ready(y)
     t3 = time.perf_counter()
     parse_t.append(t1 - t0); upload_t.append(t2 - t1); step_t.append(t3 - t2)
