@@ -214,29 +214,38 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
     realtime = encoder.quality == "rt"
 
     header = make_inter_header(quant_indices, rebase_kf_header)
-    orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
-    mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
+    from alfalfa_tpu.util import tracing
+    with tracing.stage("enc.inter_inputs"):
+        orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
+        mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
 
-    co, sp, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
-        *planes, jnp.asarray(_scalars_for(quant_indices)),
-        mbc, ibc, mvc2p, pcost, sadcost, mvcost)
+    with tracing.stage("enc.inter_kernel"):
+        co, sp, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
+            *planes, jnp.asarray(_scalars_for(quant_indices)),
+            mbc, ibc, mvc2p, pcost, sadcost, mvcost)
 
     from . import device_fetch
     import jax
-    if sp is not None:
-        # one batched D2H transfer for everything the host needs
-        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
-        co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
-            .reshape(R, C, 400)
-    else:
-        md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
-        co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
-    md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
-    arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h, rv_h,
-                                      R, C, W, H)
-    out = finish_interframe(encoder, header, arrays, recon, orig, update)
+    with tracing.stage("enc.inter_fetch"):
+        if sp is not None:
+            # one batched D2H transfer for everything the host needs
+            sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get(
+                (sp, md, ry, ru, rv))
+            co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
+                .reshape(R, C, 400)
+        else:
+            md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
+            co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+    with tracing.stage("enc.inter_host"):
+        md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
+        arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h, rv_h,
+                                          R, C, W, H)
+        out = finish_interframe(encoder, header, arrays, recon, orig,
+                                update)
     if update:
-        _cache_device_refs(encoder, header, arrays, ry, ru, rv, interpret)
+        with tracing.stage("enc.inter_refcache"):
+            _cache_device_refs(encoder, header, arrays, ry, ru, rv,
+                               interpret)
     return out
 
 
