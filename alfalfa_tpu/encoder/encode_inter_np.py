@@ -356,20 +356,24 @@ def finish_interframe(encoder, header, arrays, recon, orig, update):
     # never the probability tables, so the state view can carry the
     # baseline tables
     from .encoder import worker_pool
+    from alfalfa_tpu.util import tracing
     counts_f = worker_pool().submit(count_token_branches, arrays)
     lf_state = DecoderState(W, H, encoder.state.probability_tables,
                             encoder.state.segmentation, None)
-    lf_level, filtered, lf_ssim = encoder._search_loopfilter(
-        header, arrays, lf_state, recon, orig, False)
+    with tracing.stage("enc.if_lf_search"):
+        lf_level, filtered, lf_ssim = encoder._search_loopfilter(
+            header, arrays, lf_state, recon, orig, False)
     header.loop_filter_level = lf_level
-    counts = counts_f.result()
+    with tracing.stage("enc.if_counts_join"):
+        counts = counts_f.result()
     header.token_prob_update = optimize_token_probs(
         counts, encoder.state.probability_tables.coeff_probs)
     frame_probs = encoder.state.probability_tables.copy()
     frame_probs.update(header)
 
     from .serializer import serialize_frame
-    payload = serialize_frame(header, arrays, frame_probs, False, W, H)
+    with tracing.stage("enc.if_serialize"):
+        payload = serialize_frame(header, arrays, frame_probs, False, W, H)
     quality = lf_ssim     # the search already scored the winning candidate
 
     if update:

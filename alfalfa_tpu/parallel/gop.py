@@ -241,6 +241,71 @@ def gop_rebase_chain(mesh, mb_rows, mb_cols, n_frames, axis="gop"):
     return jax.jit(fn)
 
 
+def rebase_chain_inputs_from_ivf(path, n_chunks, n_frames):
+    """Build gop_rebase_chain inputs from a REAL oracle-encoded stream:
+    decoded rasters as chunk content, the stream's own reference
+    selections / sub-MVs / SPLITMV layout / quantizer as the fixed
+    prediction structure (codec-typical distributions, VERDICT r3 item
+    8), and the keyframe reconstruction as the entry references.  Intra
+    MBs are mapped to ZEROMV-from-LAST — the chain's residue update is
+    inter-only (reencode_device._fn_core; the host loop re-encodes intra
+    positions in the full rebase path, reencode.py)."""
+    from alfalfa_tpu.decoder.decoder import Decoder
+    from alfalfa_tpu.decoder.parse import FrameParser
+    from alfalfa_tpu.bitstream.header import UncompressedChunk
+    from alfalfa_tpu.bitstream import tables as T
+    from alfalfa_tpu.util.ivf import IVFReader
+
+    ivf = IVFReader(path)
+    W, H = ivf.width, ivf.height
+    R, C = (H + 15) // 16, (W + 15) // 16
+    dec = Decoder(W, H)
+    rasters, metas, qis = [], [], []
+    for i in range(len(ivf)):
+        payload = ivf.frame(i)
+        chunk = UncompressedChunk(payload, W, H)
+        header, arrays, _ = FrameParser(dec.state.copy()).parse(chunk)
+        _show, raster = dec.decode_frame(payload)
+        rasters.append((raster.y.copy(), raster.u.copy(), raster.v.copy()))
+        if not chunk.key_frame:
+            metas.append((arrays.ref.copy(), arrays.sub_mv.copy(),
+                          arrays.uv_mv.copy(),
+                          (arrays.splitmv_pid >= 0).copy()))
+            qis.append(header.quant_indices)
+    kf_y, kf_u, kf_v = rasters[0]
+
+    def stack4(p):
+        return np.broadcast_to(p[None], (4,) + p.shape).copy()
+
+    oy = np.zeros((n_chunks, n_frames, R * 16, C * 16), np.int32)
+    ou = np.zeros((n_chunks, n_frames, R * 8, C * 8), np.int32)
+    ov = np.zeros((n_chunks, n_frames, R * 8, C * 8), np.int32)
+    refsel = np.zeros((n_chunks, n_frames, R, C), np.int32)
+    smv = np.zeros((n_chunks, n_frames, R, C, 4, 4, 2), np.int32)
+    uvmv = np.zeros((n_chunks, n_frames, R, C, 2, 2, 2), np.int32)
+    splitmv = np.zeros((n_chunks, n_frames, R, C), bool)
+    for d in range(n_chunks):
+        for f in range(n_frames):
+            k = (d * n_frames + f) % len(metas)
+            y, u, v = rasters[k + 1]
+            oy[d, f], ou[d, f], ov[d, f] = y, u, v
+            ref, sub_mv, uv_mv, sp = metas[k]
+            intra = ref == 0
+            refsel[d, f] = np.where(intra, 1, ref)      # intra -> LAST
+            smv[d, f] = np.where(intra[:, :, None, None, None], 0, sub_mv)
+            uvmv[d, f] = np.where(intra[:, :, None, None, None], 0, uv_mv)
+            splitmv[d, f] = sp & ~intra
+    from alfalfa_tpu.bitstream.tables import quantizer_values
+    qs = np.zeros((n_chunks, 8), np.int32)
+    for d in range(n_chunks):
+        qin = qis[d % len(qis)]
+        qv = qin.quantizer()
+        qs[d] = [qv["y_dc"], qv["y_ac"], qv["y2_dc"], qv["y2_ac"],
+                 qv["uv_dc"], qv["uv_ac"], 0, 0]
+    return (oy, ou, ov, refsel, smv, uvmv, splitmv, qs), \
+        (stack4(kf_y), stack4(kf_u), stack4(kf_v))
+
+
 # ---------------------------------------------------------------------------
 # Batched GOP decoding: ExCamera's chunk parallelism on ONE chip
 # ---------------------------------------------------------------------------

@@ -93,3 +93,33 @@ def test_mesh_rebase_chain_equals_serial():
     np.testing.assert_array_equal(
         nz, nz_ref.reshape(n_chunks, n_frames, n_mb))
     np.testing.assert_array_equal(exit_y, exit_ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_rebase_chain_real_content():
+    """The same chain-vs-serial byte equality on REAL oracle-encoded
+    320x240 content: decoded rasters, the stream's own MV fields /
+    SPLITMV layout / reference selections / quantizer (VERDICT r3 item
+    8 — random noise exercises the arithmetic, not codec-typical mode
+    and motion distributions).  Also logs per-hop wall time."""
+    import time
+    n_chunks, n_frames, R, C = 8, 2, 15, 20
+    mesh = gop.make_gop_mesh(jax.devices()[:n_chunks])
+    inputs, refs0 = gop.rebase_chain_inputs_from_ivf(
+        "tests/fixtures/inter_320x240_q40.ivf", n_chunks, n_frames)
+
+    fn = gop.gop_rebase_chain(mesh, R, C, n_frames)
+    t0 = time.perf_counter()
+    co, nz, exit_y = fn(*[jnp.asarray(x) for x in inputs],
+                        *[jnp.asarray(r) for r in refs0])
+    jax.block_until_ready(co)
+    dt = time.perf_counter() - t0
+    print(f"\nmesh rebase 320x240 x{n_chunks} chunks: {dt*1e3:.0f} ms "
+          f"({dt*1e3/n_chunks:.0f} ms/hop incl. compile)")
+
+    co_ref, nz_ref, exit_ref = _serial_oracle(inputs, refs0, R, C)
+    np.testing.assert_array_equal(
+        np.asarray(co), co_ref.reshape(n_chunks, n_frames, R * C, 400))
+    np.testing.assert_array_equal(
+        np.asarray(nz), nz_ref.reshape(n_chunks, n_frames, R * C))
+    np.testing.assert_array_equal(np.asarray(exit_y), exit_ref)

@@ -75,3 +75,40 @@ def test_rd_curve_parity(tmp_path):
     # the curve must be monotone in rate (sanity of the sweep itself)
     sizes = [o[0] for _, o, _ in rows]
     assert all(a > b for a, b in zip(sizes, sizes[1:]))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not XC_ENC.exists(), reason="oracle not built")
+def test_rd_curve_parity_720p(tmp_path):
+    """Same gate at the resolution the benchmark headline quotes
+    (VERDICT r3 item 7): a short 1280x720 clip across low/mid/high qi.
+    The host and device encoders are byte-identical (test_device_inter /
+    test_device_encode), so this also bounds the device path's quality."""
+    clip = [r.display()
+            for r in FilePlayer(str(FIXTURES / "inter_1280x720_q48.ivf"))][:4]
+    w, h = 1280, 720
+    y4m = tmp_path / "in.y4m"
+    write_y4m(str(y4m), clip, w, h)
+
+    def stats(path):
+        size = sum(len(p) for p in IVFReader(str(path)))
+        ss = [ssim(r.display()[0], f[0])
+              for r, f in zip(FilePlayer(str(path)), clip)]
+        return size, float(np.mean(ss))
+
+    for qi in (32, 48, 80):
+        ref_ivf = tmp_path / f"ref{qi}.ivf"
+        subprocess.run([str(XC_ENC), "-i", "y4m", "-o", str(ref_ivf),
+                        "--y-ac-qi", str(qi), str(y4m)],
+                       check=True, capture_output=True)
+        ours_ivf = tmp_path / f"ours{qi}.ivf"
+        enc = Encoder(w, h)
+        with IVFWriter(str(ours_ivf), "VP80", w, h, 1, 1, 0) as wr:
+            for f in clip:
+                wr.append_frame(enc.encode_with_quantizer(f, qi))
+        osz, ossim = stats(ours_ivf)
+        rsz, rssim = stats(ref_ivf)
+        assert ossim >= rssim - 0.005, \
+            f"qi={qi}: SSIM {ossim:.4f} < ref {rssim:.4f} - 0.005"
+        assert osz <= rsz * 1.02, \
+            f"qi={qi}: size {osz} > ref {rsz} * 1.02"
