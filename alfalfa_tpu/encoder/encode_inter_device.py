@@ -124,10 +124,15 @@ def _kernel_inputs(encoder, yuv, interpret):
         encoder.state.probability_tables.mv_probs)
     mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
 
-    return orig, (jnp.asarray(oy_u8), jnp.asarray(ou_u8),
-                  jnp.asarray(ov_u8), refy_p, refu_p, refv_p), \
-        (jnp.asarray(mbc), jnp.asarray(ibc), jnp.asarray(mvc2p),
-         jnp.asarray(pcost), jnp.asarray(sadcost), jnp.asarray(mvcost))
+    # planes + cost tables ride ONE packed H2D transfer (util/xfer.py):
+    # nine separate device_puts paid ~3 ms per-transfer overhead each at
+    # the tunnel median
+    from alfalfa_tpu.util.xfer import put_packed
+    (oy_d, ou_d, ov_d, mbc_d, ibc_d, mvc2p_d, pcost_d, sadcost_d,
+     mvcost_d) = put_packed((oy_u8, ou_u8, ov_u8,
+                             mbc, ibc, mvc2p, pcost, sadcost, mvcost))
+    return orig, (oy_d, ou_d, ov_d, refy_p, refu_p, refv_p), \
+        (mbc_d, ibc_d, mvc2p_d, pcost_d, sadcost_d, mvcost_d)
 
 
 def _scalars_for(quant_indices):
@@ -226,15 +231,16 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
 
     from . import device_fetch
     import jax
+    from alfalfa_tpu.util.xfer import get_packed
     with tracing.stage("enc.inter_fetch"):
         if sp is not None:
-            # one batched D2H transfer for everything the host needs
-            sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get(
+            # ONE packed D2H transfer for everything the host needs
+            sp_h, md_h, ry_h, ru_h, rv_h = get_packed(
                 (sp, md, ry, ru, rv))
             co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
                 .reshape(R, C, 400)
         else:
-            md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
+            md_h, ry_h, ru_h, rv_h = get_packed((md, ry, ru, rv))
             co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
     with tracing.stage("enc.inter_host"):
         md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
@@ -311,14 +317,15 @@ def encode_interframe_device_multiqp(encoders, yuv, quant_list, update=True,
 
     co, sp, md, ry, ru, rv = fn(*planes, scalars, mbc, ibc, mvc2p, pcost,
                                 sadcost, mvcost)
+    from alfalfa_tpu.util.xfer import get_packed
     if sp is not None:
-        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
+        sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
         idx, val, cnt = sp_h
         co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]), co[i],
                                         R * C * 400)
                    for i in range(n)]
     else:
-        co_all, md_h, ry_h, ru_h, rv_h = jax.device_get((co, md, ry, ru, rv))
+        co_all, md_h, ry_h, ru_h, rv_h = get_packed((co, md, ry, ru, rv))
         co_rows = [co_all[i].reshape(-1).astype(np.int16) for i in range(n)]
 
     results = []

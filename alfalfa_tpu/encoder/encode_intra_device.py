@@ -18,6 +18,7 @@ from alfalfa_tpu.state.decoder_state import Raster
 from .costs import Costs
 
 _COSTS = None
+_BCOST_DEV = None
 
 
 def _tables():
@@ -140,12 +141,20 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
     costs = _tables()
     mbc = np.zeros((1, 8), np.int32)
     mbc[0, :5] = np.asarray(costs.mbmode_costs[0][:5], np.int64)
-    btab = np.asarray(costs.bmode_costs, np.int64).reshape(100, 10)
-    bhi = jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16)
-    blo = jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16)
+    global _BCOST_DEV
+    if _BCOST_DEV is None:
+        # constant keyframe B_PRED cost planes: upload once per process
+        btab = np.asarray(costs.bmode_costs, np.int64).reshape(100, 10)
+        _BCOST_DEV = (
+            jnp.asarray((btab >> 8).astype(np.float32), jnp.bfloat16),
+            jnp.asarray((btab & 255).astype(np.float32), jnp.bfloat16))
+    bhi, blo = _BCOST_DEV
 
-    args = (jnp.asarray(oy_u8), jnp.asarray(ou_u8), jnp.asarray(ov_u8),
-            jnp.asarray(scalars), jnp.asarray(mbc), bhi, blo)
+    # planes + scalars ride ONE packed H2D transfer (util/xfer.py)
+    from alfalfa_tpu.util.xfer import put_packed
+    oy_d, ou_d, ov_d, sc_d, mbc_d = put_packed(
+        (oy_u8, ou_u8, ov_u8, scalars, mbc))
+    args = (oy_d, ou_d, ov_d, sc_d, mbc_d, bhi, blo)
     if trellis_probs is not None:
         from alfalfa_tpu.ops import trellis_pallas as TRP
         tcpm = TRP.token_costs_pm(trellis_probs)
@@ -157,13 +166,15 @@ def encode_keyframe_device(oplanes, width, height, q, rate_mult, dist_mult,
         R, C, interpret, trellis=trellis_probs is not None)(*args)
 
     from . import device_fetch
+    from alfalfa_tpu.util.xfer import get_packed
     import jax
     if sp is not None:
-        sp_h, md_h, ry_h, ru_h, rv_h = jax.device_get((sp, md, ry, ru, rv))
+        # ONE packed D2H transfer (util/xfer.py) instead of per-leaf gets
+        sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
         co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
             .reshape(R, C, 400)
     else:
-        md_h, ry_h, ru_h, rv_h = jax.device_get((md, ry, ru, rv))
+        md_h, ry_h, ru_h, rv_h = get_packed((md, ry, ru, rv))
         co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
     md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
     ry_h = np.asarray(ry_h).reshape(R, C, 256)
