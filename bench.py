@@ -79,8 +79,9 @@ def our_fps(clip, frames):
         want = json.load(fh)[os.path.basename(clip)]["yuv_sha1"]
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
     digests = [hashlib.sha1() for _ in range(G)]
-    for p in payloads:
-        (y, u, v), show = dec.decode_frame_batch([p] * G)
+    # the gate runs decode_stream — the SAME pipelined path the timed loop
+    # uses — so bit_exact certifies the path being timed (VERDICT r4 item 5)
+    for (y, u, v), show in dec.decode_stream([p] * G for p in payloads):
         ya, ua, va = np.asarray(y), np.asarray(u), np.asarray(v)
         for g in range(G):
             if show[g]:
@@ -334,8 +335,7 @@ def main():
                        "(tunnel dropped?); partial stderr above")
 
 
-def inner_main():
-    sys.path.insert(0, REPO)
+def _host_desc():
     try:
         model = ""
         with open("/proc/cpuinfo") as f:
@@ -343,9 +343,14 @@ def inner_main():
                 if line.startswith("model name"):
                     model = line.split(":", 1)[1].strip()
                     break
-        print(f"host: {os.cpu_count()} cpus, {model}", file=sys.stderr)
+        return f"{os.cpu_count()} cpus, {model}"
     except OSError:
-        pass
+        return "unknown"
+
+
+def inner_main():
+    sys.path.insert(0, REPO)
+    print(f"host: {_host_desc()}", file=sys.stderr)
     from alfalfa_tpu.util.ivf import IVFReader
 
     frames = IVFReader(CLIP).frame_count
@@ -384,6 +389,10 @@ def inner_main():
         "vs_baseline": round(ours / ref, 3) if ref else None,
         "gops_in_lockstep": best_g,
         "bit_exact": bit_exact,
+        # encode secondaries below compare one TPU chip against ONE core of
+        # THIS host — absolute xc-enc ms varies ~4x across bench hosts
+        # (r2 multi-core host: 202 ms/KF; r4 1-core 2.1 GHz host: 875 ms)
+        "host": _host_desc(),
         "baseline_note": ("reference fps is decode-only: per-run spawn/IO "
                           f"overhead {ref_overhead_ms:.0f} ms measured on a "
                           "1-frame cut and subtracted"
