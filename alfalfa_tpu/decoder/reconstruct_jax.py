@@ -474,8 +474,18 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
 
     The fold is chunked so each kernel invocation's slabs + temporaries
     fit the ~16 MB VMEM core budget (720p G=8 needs 17 MB unfolded); the
-    chunks share one compiled kernel when evenly sized."""
-    from alfalfa_tpu.ops import wavefront_pallas
+    chunks share one compiled kernel when evenly sized.
+
+    Layout: pixel-major slabs by default (ops/wavefront_pm.py — pixel
+    index on sublanes, batch*rows on lanes, full lane utilization in the
+    filter math); ALFALFA_PM=0 selects the legacy lane-major kernel
+    (ops/wavefront_pallas.py) for on-chip A/B."""
+    import os
+    pm = os.environ.get("ALFALFA_PM", "1") != "0"
+    if pm:
+        from alfalfa_tpu.ops import wavefront_pm
+    else:
+        from alfalfa_tpu.ops import wavefront_pallas
 
     R, C, G = mb_rows, mb_cols, n_gops
 
@@ -518,6 +528,9 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
             y = y.reshape((gs, R * (nd + 2)) + P)[:, :R * nd]
             y = y.reshape((gs, R, nd) + P)
             y = jnp.pad(y, ((0, 0), (0, Rp - R), (0, 0)) + pP)
+            if pm and len(P) == 1:
+                # pixel-major: pixel dim to sublanes, storage rows to lanes
+                return y.transpose((2, 3, 0, 1)).reshape((nd, P[0], L))
             return y.transpose((2, 0, 1) + tuple(range(3, 3 + len(P)))) \
                 .reshape((nd, L) + P)
 
@@ -527,15 +540,18 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
         masks = {k: jnp.asarray(sched_b[k]) for k in
                  ("valid", "has_row", "has_col", "last_col")}
 
+        # per-MB parameter words: (nd, L, k) lane-major / (nd, k, L)
+        # pixel-major (param index on sublanes)
+        prm_axis = 1 if pm else -1
         head = jnp.stack(
             [i16s(ymode[sl]), i16s(uvmode[sl]), i16s(has_nonzero[sl]),
              i16s(intra_mask_full[sl]), masks["valid"].astype(jnp.int16),
              masks["has_row"].astype(jnp.int16),
              masks["has_col"].astype(jnp.int16),
-             masks["last_col"].astype(jnp.int16)], axis=-1)
-        prm = jnp.concatenate(
-            [head, i16s(bmode[sl].reshape(gs, R, C, 16)),
-             jnp.zeros((nd, L, 8), jnp.int16)], axis=-1)
+             masks["last_col"].astype(jnp.int16)], axis=prm_axis)
+        bmode_sk = i16s(bmode[sl].reshape(gs, R, C, 16))
+        pad8 = jnp.zeros((nd, 8, L) if pm else (nd, L, 8), jnp.int16)
+        prm = jnp.concatenate([head, bmode_sk, pad8], axis=prm_axis)
 
         apply_f = masks["valid"] & (skew(lf_level[sl]) > 0)
         lfprm = jnp.stack([
@@ -545,9 +561,11 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
             (apply_f & ~skew(lf_skip_sb[sl])).astype(jnp.int16),
             (apply_f & masks["has_col"]).astype(jnp.int16),
             (apply_f & masks["has_row"]).astype(jnp.int16),
-        ], axis=-1)
+        ], axis=prm_axis)
 
-        B_y, B_u, B_v = wavefront_pallas.wavefront_frame_batch(
+        wavefront = (wavefront_pm.wavefront_frame_batch_pm if pm
+                     else wavefront_pallas.wavefront_frame_batch)
+        B_y, B_u, B_v = wavefront(
             i16s(y_tiles[sl].reshape(gs, R, C, 256)),
             i16s(u_tiles[sl].reshape(gs, R, C, 64)),
             i16s(v_tiles[sl].reshape(gs, R, C, 64)),
@@ -561,6 +579,8 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
         def unskew(B, S):
             # inverse of the dense skew: transpose + reshape through the
             # width-(nd+2) view, then untile
+            if pm:
+                B = B.transpose(0, 2, 1)    # (nd, P, L) -> (nd, L, P)
             P = B.shape[2:]
             y = B.reshape((nd, gs, Rp) + P).transpose(
                 (1, 2, 0) + tuple(range(3, 3 + len(P))))[:, :R]

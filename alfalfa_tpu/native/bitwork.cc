@@ -584,10 +584,10 @@ int vp8_parse_tokens_mt(int threads,
  *
  * Sparse output is a COMPACT STREAM: the host->device link costs ~10 ms
  * of client CPU per MB transferred, so nonzero coefficients ship as
- * 3 bytes each — a u16 index DELTA (global index g*R*C*400 + mb*400 +
+ * 2 bytes each — a u8 index DELTA (global index g*R*C*400 + mb*400 +
  * block*16 + pos, strictly ascending; coefficients are emitted in
  * position order) and an i8 value — plus two small escape lists for
- * deltas > 65535 and |value| > 127: (position-in-stream, extra) pairs
+ * deltas > 255 and |value| > 127: (position-in-stream, extra) pairs
  * the device scatters before its prefix-sum.  Output is written into
  * per-frame segments [seg_base[g], seg_base[g+1]); the FIRST delta of
  * each segment is relative to that frame's base element g*R*C*400 - 1
@@ -612,7 +612,7 @@ static bool parse_tokens_range(
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
                          const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-                         uint16_t *sp_delta, int8_t *sp_val,
+                         uint8_t *sp_delta, int8_t *sp_val,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
@@ -653,12 +653,12 @@ static bool parse_tokens_range(
       if (p >= lim) { overflow = true; return; }
       const int64_t idx = base_elem + i;
       int64_t d = idx - last;
-      if (d > 65535) {
+      if (d > 255) {
         if (desc_pos_g[g] >= esc_lim) { overflow = true; return; }
         desc_pos[desc_pos_g[g]] = (int32_t)p;
-        desc_extra[desc_pos_g[g]] = (int32_t)(d - 65535);
+        desc_extra[desc_pos_g[g]] = (int32_t)(d - 255);
         desc_pos_g[g]++;
-        d = 65535;
+        d = 255;
       }
       int v = tmp[i];
       if (v < -128 || v > 127) {
@@ -668,7 +668,7 @@ static bool parse_tokens_range(
         vesc_pos_g[g]++;
         v = 0;
       }
-      sp_delta[p] = (uint16_t)d;
+      sp_delta[p] = (uint8_t)d;
       sp_val[p] = (int8_t)v;
       last = idx;
       p++;
@@ -837,7 +837,7 @@ int vp8_parse_tokens_gop(int G, int mb_rows, int mb_cols,
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
                          const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-                         uint16_t *sp_delta, int8_t *sp_val,
+                         uint8_t *sp_delta, int8_t *sp_val,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
@@ -861,7 +861,7 @@ int vp8_parse_tokens_gop_mt(int threads, int G, int mb_rows, int mb_cols,
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
                          const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-                         uint16_t *sp_delta, int8_t *sp_val,
+                         uint8_t *sp_delta, int8_t *sp_val,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {
@@ -911,7 +911,7 @@ void *vp8_parse_tokens_gop_mt_start(
                          const int32_t *nparts, const int32_t *part_base,
                          const uint8_t *coeff_probs, const uint8_t *skip,
                          const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-                         uint16_t *sp_delta, int8_t *sp_val,
+                         uint8_t *sp_delta, int8_t *sp_val,
                          int32_t *desc_pos, int32_t *desc_extra,
                          int32_t *vesc_pos, int16_t *vesc_val,
                          int64_t *seg_meta) {

@@ -251,14 +251,16 @@ def _gop_buffers(su, dense_g, scale):
     G = su["G"]
     caps = [min(dense_g, scale * b + 4096) if scale else dense_g
             for b in su["frame_bytes"]]
-    ecaps = [c // 32 + 256 for c in caps]
+    # u8 deltas escape at >255 (~1.5% of records on typical q48 content;
+    # was ~0.05% with the old u16 threshold) — size the lists for ~6%
+    ecaps = [c // 16 + 256 for c in caps]
     seg_meta = np.zeros(6 * G + 2, np.int64)
     np.cumsum(caps, out=seg_meta[1:G + 1])
     np.cumsum(ecaps, out=seg_meta[2 * G + 2:3 * G + 2])
     cap = int(seg_meta[G])
     ecap = int(seg_meta[3 * G + 1])
     return dict(seg_meta=seg_meta,
-                sp_delta=np.empty(cap, np.uint16),
+                sp_delta=np.empty(cap, np.uint8),
                 sp_val=np.empty(cap, np.int8),
                 desc_pos=np.empty(ecap, np.int32),
                 desc_extra=np.empty(ecap, np.int32),
@@ -289,7 +291,7 @@ def _gop_compact(G, felems, bufs):
     vcounts = seg_meta[4 * G + 2:5 * G + 2]
     lasts = seg_meta[5 * G + 2:6 * G + 2]
     n = int(counts.sum())
-    delta = np.empty(n, np.uint16)
+    delta = np.empty(n, np.uint8)
     val = np.empty(n, np.int8)
     dlists, vlists = [], []
     pos = 0
@@ -310,13 +312,13 @@ def _gop_compact(G, felems, bufs):
                 first += int(de[0])
             want = first - prev_last
             assert want >= 1
-            d16 = min(want, 65535)
-            delta[pos] = d16
+            d8 = min(want, 255)
+            delta[pos] = d8
             if dc and desc_pos[eb] == b:
-                de[0] = want - d16
-            elif want > 65535:
+                de[0] = want - d8
+            elif want > 255:
                 dp = np.concatenate([[pos], dp]).astype(np.int32)
-                de = np.concatenate([[want - 65535], de]) \
+                de = np.concatenate([[want - 255], de]) \
                     .astype(np.int32)
             prev_last = int(lasts[g])
         dlists.append((dp.astype(np.int32), de.astype(np.int32)))
@@ -340,10 +342,10 @@ def parse_tokens_gop(frame_parts, mb_rows, mb_cols, coeff_probs_list,
     has_nonzero_out: (G, R, C) u8, filled in place.
 
     Returns the COMPACT coefficient stream as a dict:
-      delta (n,) u16  — strictly positive global-index deltas; the first
+      delta (n,) u8   — strictly positive global-index deltas; the first
                         element is relative to index -1
       val   (n,) i8   — clamped values
-      desc_pos/desc_extra (m,) i32 — delta escapes (delta = 65535+extra)
+      desc_pos/desc_extra (m,) i32 — delta escapes (delta = 255+extra)
       vesc_pos (k,) i32 / vesc_val (k,) i16 — value escapes (replace)
     or None on parse failure.  Reconstruction: idx = cumsum(delta+esc)-1,
     ascending and unique.

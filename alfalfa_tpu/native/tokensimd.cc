@@ -548,9 +548,9 @@ int run_engine_pair(Lane *A, int na, Lane *B, int nb) {
 /* ---- phase B: records -> exact compact stream -------------------------
  * Reproduces bitwork.cc emit_block byte-for-byte: ascending dense order
  * within each MB (Y2 parsed first but emitted last), strictly-positive
- * u16 deltas with escape lists, per-segment counts in seg_meta. */
+ * u8 deltas with escape lists, per-segment counts in seg_meta. */
 struct EmitCtx {
-  uint16_t *sp_delta;
+  uint8_t *sp_delta;
   int8_t *sp_val;
   int32_t *desc_pos;
   int32_t *desc_extra;
@@ -563,12 +563,12 @@ struct EmitCtx {
 inline void emit_one(EmitCtx &E, int64_t idx, int v) {
   if (E.p >= E.lim) { E.overflow = true; return; }
   int64_t d = idx - E.last;
-  if (d > 65535) {
+  if (d > 255) {
     if (E.epos_d >= E.esc_lim) { E.overflow = true; return; }
     E.desc_pos[E.epos_d] = (int32_t)E.p;
-    E.desc_extra[E.epos_d] = (int32_t)(d - 65535);
+    E.desc_extra[E.epos_d] = (int32_t)(d - 255);
     E.epos_d++;
-    d = 65535;
+    d = 255;
   }
   if (v < -128 || v > 127) {
     if (E.epos_v >= E.esc_lim) { E.overflow = true; return; }
@@ -577,7 +577,7 @@ inline void emit_one(EmitCtx &E, int64_t idx, int v) {
     E.epos_v++;
     v = 0;
   }
-  E.sp_delta[E.p] = (uint16_t)d;
+  E.sp_delta[E.p] = (uint8_t)d;
   E.sp_val[E.p] = (int8_t)v;
   E.last = idx;
   E.p++;
@@ -667,7 +667,7 @@ int vp8_parse_tokens_gop_simd(
     const uint8_t *data, const int64_t *off,
     const uint8_t *coeff_probs /* (G,4,8,3,11) */,
     const uint8_t *skip, const uint8_t *y2_coded, uint8_t *has_nonzero_out,
-    uint16_t *sp_delta, int8_t *sp_val,
+    uint8_t *sp_delta, int8_t *sp_val,
     int32_t *desc_pos, int32_t *desc_extra,
     int32_t *vesc_pos, int16_t *vesc_val,
     int64_t *seg_meta) {

@@ -371,6 +371,30 @@ _COEFF_KEYS = ("coeff_delta", "coeff_val8", "desc_pos", "desc_extra",
                "vesc_pos", "vesc_val")
 
 
+def _upload_merged(batch):
+    """ONE H2D transfer per step: [fixed-size step segments | variable-
+    capacity coefficient stream] in a single uint8 buffer.  The interconnect
+    charges ~10 ms fixed per transfer (ROUND4.md), so the former two
+    device_puts cost a frame-budget's worth of wall at G=8.  The coefficient
+    spec's offsets are rebased past the fixed region, the scatter jit reads
+    them straight out of the merged buffer (it recompiles cheaply per
+    capacity bucket), and the big step jit receives a FIXED-size device
+    slice so capacity changes never recompile it."""
+    mega, spec_r, spec_c, off = _pack_merged(batch)
+    dev = jax.device_put(mega)
+    return dev, dev[:off], spec_r, spec_c
+
+
+def _pack_merged(batch):
+    """Host half of _upload_merged: one buffer + rebased specs."""
+    batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
+    mega_r, spec_r = _pack_upload(batch)
+    mega_c, spec_c = _pack_upload(batch_c)
+    off = mega_r.size
+    spec_c = tuple((k, d, s, o + off, n) for (k, d, s, o, n) in spec_c)
+    return np.concatenate([mega_r, mega_c]), spec_r, spec_c, off
+
+
 def _scatter_coeffs(G, R, C, coeff_delta, coeff_val8, desc_pos, desc_extra,
                     vesc_pos, vesc_val):
     """Compact coefficient stream -> dense (G, R, C, 25, 16) int16:
@@ -775,15 +799,15 @@ class BatchedGopDecoder:
             order = np.argsort(eidx, kind="stable")
             eidx, eval_ = eidx[order], eval_[order]
             d = np.diff(eidx, prepend=-1)
-            dpos = np.flatnonzero(d > 65535).astype(np.int32)
+            dpos = np.flatnonzero(d > 255).astype(np.int32)
             vpos = np.flatnonzero((eval_ < -128) | (eval_ > 127)) \
                 .astype(np.int32)
             batch_blocks = dict(
-                delta=np.minimum(d, 65535).astype(np.uint16),
+                delta=np.minimum(d, 255).astype(np.uint8),
                 val=np.where((eval_ < -128) | (eval_ > 127), 0, eval_)
                 .astype(np.int8),
                 desc_pos=dpos,
-                desc_extra=(d[dpos] - 65535).astype(np.int32),
+                desc_extra=(d[dpos] - 255).astype(np.int32),
                 vesc_pos=vpos, vesc_val=eval_[vpos].astype(np.int16))
         cs = batch_blocks
         n_nz = len(cs["delta"])
@@ -807,7 +831,7 @@ class BatchedGopDecoder:
         cap = bucket125(n_nz, 1 << 15)
         # pad deltas of 1 keep the reconstructed indices ascending and
         # unique, walking into the scratch slots past the dense layout
-        coeff_delta = np.ones(cap, np.uint16)
+        coeff_delta = np.ones(cap, np.uint8)
         coeff_val8 = np.zeros(cap, np.int8)
         coeff_delta[:n_nz] = cs["delta"]
         coeff_val8[:n_nz] = cs["val"]
@@ -1023,17 +1047,10 @@ class BatchedGopDecoder:
         with tracing.stage("gop.parse"):
             key_frame, batch, flags, show = self.parse_frame_batch(payloads)
         with tracing.stage("gop.upload"):
-            # TWO buffer transfers (coeff stream + everything else):
-            # per-leaf device_put pays per-transfer overhead (~3 ms each
-            # at the tunnel median); the jits re-slice the segments
-            batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
-            mega_c, spec_c = _pack_upload(batch_c)
-            mega_r, spec_r = _pack_upload(batch)
-            dev_c = jax.device_put(mega_c)
-            dev_r = jax.device_put(mega_r)
+            dev, dev_r, spec_r, spec_c = _upload_merged(batch)
         with tracing.stage("gop.step_dispatch"):
             coeffs16 = _scatter_fn(self.G, self.mb_rows, self.mb_cols,
-                                   spec_c)(dev_c)
+                                   spec_c)(dev)
             (y, u, v), self.refs = self._step(key_frame, spec=spec_r)(
                 dev_r, coeffs16, self.refs)
         return (y, u, v), show
@@ -1054,13 +1071,9 @@ class BatchedGopDecoder:
             # pack + upload + dispatch all on the worker: the big memcpy
             # and the transfer wait both release the GIL, so they overlap
             # the main thread's parse of the next frame
-            batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
-            mega_c, spec_c = _pack_upload(batch_c)
-            mega_r, spec_r = _pack_upload(batch)
-            dev_c = jax.device_put(mega_c)
-            dev_r = jax.device_put(mega_r)
+            dev, dev_r, spec_r, spec_c = _upload_merged(batch)
             coeffs16 = _scatter_fn(self.G, self.mb_rows, self.mb_cols,
-                                   spec_c)(dev_c)
+                                   spec_c)(dev)
             out, self.refs = self._step(key_frame, spec=spec_r)(
                 dev_r, coeffs16, self.refs)
             return out, show

@@ -28,6 +28,19 @@ def test_wavefront_kernel_lowers():
             z(8))
 
 
+def test_wavefront_pm_kernel_lowers():
+    """The pixel-major wavefront (ops/wavefront_pm.py, the default batch
+    decode kernel) must cross-lower: pixel index on sublanes, storage
+    rows on lanes."""
+    from alfalfa_tpu.ops import wavefront_pm as WPM
+    L = 2 * 16
+    nd = 2 * (R - 1) + C
+    z = lambda p: jax.ShapeDtypeStruct((nd, p, L), jnp.int16)
+    _export(lambda *a: WPM.wavefront_frame_batch_pm(*a, interpret=False),
+            z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
+            z(8))
+
+
 def test_kf_encode_kernel_lowers():
     from alfalfa_tpu.encoder import encode_intra_device as EID
     kf = EID._kf_fn(R, C, False)
@@ -126,6 +139,7 @@ def test_wavefront_kernel_lowers_bench_geometry(G):
     does pin the trace-level kernel shape; the backend-compile gate is the
     bench itself (bit_exact) plus tools/probe_dynrow.py on hardware."""
     from alfalfa_tpu.ops import wavefront_pallas as WP
+    from alfalfa_tpu.ops import wavefront_pm as WPM
     Rb, Cb = 45, 80
     Rp = 48
     # reconstruct_core_batch folds at most ~1024 sublanes per invocation
@@ -136,6 +150,10 @@ def test_wavefront_kernel_lowers_bench_geometry(G):
     _export(lambda *a: WP.wavefront_frame_batch(*a, interpret=False),
             z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
             z(8))
+    zp = lambda p: jax.ShapeDtypeStruct((nd, p, GRp), jnp.int16)
+    _export(lambda *a: WPM.wavefront_frame_batch_pm(*a, interpret=False),
+            zp(256), zp(64), zp(64), zp(32), zp(256), zp(256), zp(64),
+            zp(64), zp(8))
 
 
 @pytest.mark.slow
@@ -151,21 +169,18 @@ def test_full_decode_step_lowers_720p(monkeypatch):
     G = 8
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
-    from alfalfa_tpu.parallel.gop import (_pack_upload, _COEFF_KEYS,
-                                          _scatter_fn)
+    from alfalfa_tpu.parallel.gop import _upload_merged, _scatter_fn
     R, C = dec.mb_rows, dec.mb_cols
     for fno in (0, 1):
         kf, batch, _flags, _show = dec.parse_frame_batch(
             [ivf.frame(fno)] * G)
-        batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
-        mega_c, spec_c = _pack_upload(batch_c)
-        mega_r, spec_r = _pack_upload(batch)
+        dev, dev_r, spec_r, spec_c = _upload_merged(batch)
         step = dec._step(kf, on_tpu=True, spec=spec_r)
         aval = lambda x: jax.ShapeDtypeStruct(np.shape(x),
                                               np.asarray(x).dtype)
         refs_avals = jax.tree.map(aval, dec.refs)
         coeffs_aval = jax.ShapeDtypeStruct((G, R, C, 25, 16), jnp.int16)
         jax.export.export(jax.jit(lambda m: _scatter_fn(G, R, C, spec_c)(m)),
-                          platforms=["tpu"])(aval(mega_c))
+                          platforms=["tpu"])(aval(dev))
         jax.export.export(step, platforms=["tpu"])(
-            aval(mega_r), coeffs_aval, refs_avals)
+            aval(dev_r), coeffs_aval, refs_avals)

@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from alfalfa_tpu.util.ivf import IVFReader
-from alfalfa_tpu.parallel.gop import (BatchedGopDecoder, _pack_upload,
-                                      _scatter_fn, _COEFF_KEYS)
+from alfalfa_tpu.parallel.gop import (BatchedGopDecoder, _pack_merged,
+                                      _scatter_fn)
 
 CLIP = "tests/fixtures/inter_1280x720_q48.ivf"
 G = int(os.environ.get("G", "8"))
@@ -37,35 +37,34 @@ for _ in range(3):
     packed = []
     for p in payloads:
         key_frame, batch, flags, show = d.parse_frame_batch([p] * G)
-        batch_c = {k: batch.pop(k) for k in _COEFF_KEYS}
-        mega_c, spec_c = _pack_upload(batch_c)
-        mega_r, spec_r = _pack_upload(batch)
-        packed.append((key_frame, mega_c, spec_c, mega_r, spec_r))
+        mega, spec_r, spec_c, off = _pack_merged(batch)
+        packed.append((key_frame, mega, spec_r, spec_c, off))
     best_host = min(best_host, time.perf_counter() - t0)
 print(f"host parse+pack: {best_host*1000:.1f} ms "
       f"({best_host*1000/n:.1f}/step, {best_host*1000/n/G:.2f}/frame)")
+mb = sum(p[1].size for p in packed) / n / 1e6
+print(f"upload bytes: {mb:.2f} MB/step ({mb*1000/G:.0f} KB/frame)")
 
-# upload-only
+# upload-only (ONE merged transfer per step)
 best_up = float("inf")
 for _ in range(3):
     t0 = time.perf_counter()
-    bufs = [(jax.device_put(mc), jax.device_put(mr))
-            for _, mc, _, mr, _ in packed]
-    jax.block_until_ready([b for pair in bufs for b in pair])
+    bufs = [jax.device_put(mega) for _, mega, _, _, _ in packed]
+    jax.block_until_ready(bufs)
     best_up = min(best_up, time.perf_counter() - t0)
 print(f"upload: {best_up*1000:.1f} ms ({best_up*1000/n:.1f}/step)")
 
-# device-only: scatter + step chained, fence with scalar fetch
+# device-only: fixed-slice + scatter + step chained, fence w/ scalar fetch
 R, C = dec.mb_rows, dec.mb_cols
 best_dev = float("inf")
 for _ in range(3):
     refs0 = dec.refs
     t0 = time.perf_counter()
     refs = refs0
-    for (key_frame, _mc, spec_c, _mr, spec_r), (dc, dr) in zip(packed, bufs):
-        coeffs16 = _scatter_fn(G, R, C, spec_c)(dc)
-        (y, u, v), refs = dec._step(key_frame, spec=spec_r)(dr, coeffs16,
-                                                            refs)
+    for (key_frame, _m, spec_r, spec_c, off), dv in zip(packed, bufs):
+        coeffs16 = _scatter_fn(G, R, C, spec_c)(dv)
+        (y, u, v), refs = dec._step(key_frame, spec=spec_r)(dv[:off],
+                                                            coeffs16, refs)
     _ = float(jnp.ravel(y)[0])
     best_dev = min(best_dev, time.perf_counter() - t0)
 print(f"device scatter+step+fence: {best_dev*1000:.1f} ms "
