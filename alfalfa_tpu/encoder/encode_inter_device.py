@@ -36,10 +36,12 @@ def _ps_rowperm(S):
     return perm
 
 
-def _inter_raw(R, C, realtime, interpret, sparse=False):
+def _inter_raw(R, C, realtime, interpret, sparse=False, trellis=False):
     """The un-jitted kernel wrapper (vmap-able over the scalars arg).
     With ``sparse``, also returns the compact coefficient triple so the
-    D2H fetch skips the dense (R, C, 400) tile (device_fetch)."""
+    D2H fetch skips the dense (R, C, 400) tile (device_fetch).  With
+    ``trellis``, f takes a trailing (64, 36) token-cost table and runs
+    the --two-pass trellis DP for intra-coded MBs in-kernel."""
     from alfalfa_tpu.ops import enc_inter_pallas as EK
     from . import device_fetch
 
@@ -50,7 +52,7 @@ def _inter_raw(R, C, realtime, interpret, sparse=False):
 
     def f(oy_u8, ou_u8, ov_u8,
           refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
-          sadcost, mvcost):
+          sadcost, mvcost, *tct):
         import jax.numpy as jnp
         # one uint8 upload per plane; the kernel's three layouts
         # (row-major tile / subblock-major / phase-split) are device-side
@@ -65,7 +67,8 @@ def _inter_raw(R, C, realtime, interpret, sparse=False):
         co, md, ry, ru, rv = EK.encode_inter_frame(
             oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
             refy_p, refu_p, refv_p, scalars, mbc, ibc, mvc2p, pcost,
-            sadcost, mvcost, realtime, interpret=interpret)
+            sadcost, mvcost, realtime, interpret=interpret,
+            token_costs=tct[0] if trellis else None)
         sp = device_fetch.compact(co.reshape(-1), cap) if sparse else None
         return (co, sp, md, ry.astype(jnp.uint8).reshape(R, C, 256),
                 ru.astype(jnp.uint8).reshape(R, C, 64),
@@ -74,14 +77,14 @@ def _inter_raw(R, C, realtime, interpret, sparse=False):
     return f
 
 
-def _inter_fn(R, C, realtime, interpret):
+def _inter_fn(R, C, realtime, interpret, trellis=False):
     from . import device_fetch
     sparse = device_fetch.enabled()
-    key = (R, C, realtime, interpret, sparse)
+    key = (R, C, realtime, interpret, sparse, trellis)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     import jax
-    f = _inter_raw(R, C, realtime, interpret, sparse)
+    f = _inter_raw(R, C, realtime, interpret, sparse, trellis)
     fn = jax.jit(f) if not interpret else f
     _FN_CACHE[key] = fn
     return fn
@@ -224,10 +227,25 @@ def encode_interframe_device(encoder, yuv, quant_indices, update,
         orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
         mbc, ibc, mvc2p, pcost, sadcost, mvcost = tables
 
+    # --two-pass: trellis-quantize intra MBs in-kernel (host twin:
+    # encode_inter_np trellis_ctx; the reference interframe path is
+    # FIRST_PASS-only, encode_inter.cc:614-622)
+    two_pass = getattr(encoder, "two_pass", False)
+    tct_arg = ()
+    if two_pass:
+        from alfalfa_tpu.ops import trellis_pallas as TRP
+        tcpm = TRP.token_costs_pm(
+            encoder.state.probability_tables.coeff_probs)
+        order = (T.BLOCK_Y_WITHOUT_Y2, T.BLOCK_Y_AFTER_Y2,
+                 T.BLOCK_UV, T.BLOCK_Y2)
+        tct_arg = (jnp.asarray(
+            np.concatenate([tcpm[bt] for bt in order], axis=0)),)
+
     with tracing.stage("enc.inter_kernel"):
-        co, sp, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret)(
+        co, sp, md, ry, ru, rv = _inter_fn(R, C, realtime, interpret,
+                                           trellis=two_pass)(
             *planes, jnp.asarray(_scalars_for(quant_indices)),
-            mbc, ibc, mvc2p, pcost, sadcost, mvcost)
+            mbc, ibc, mvc2p, pcost, sadcost, mvcost, *tct_arg)
 
     from . import device_fetch
     import jax

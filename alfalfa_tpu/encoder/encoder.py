@@ -317,10 +317,11 @@ class Encoder:
         return payload, quality
 
     def _encode_interframe(self, yuv, quant_indices, update):
-        if self.device_encode and not self.two_pass:
+        if self.device_encode:
             # whole MB raster loop (motion search + mode decision +
             # residues + reconstruction) on-chip, bit-identical to the
-            # host loop (tests/test_device_inter.py)
+            # host loop (tests/test_device_inter.py); --two-pass runs
+            # the trellis DP for intra MBs inside the same kernel
             from .encode_inter_device import encode_interframe_device
             return encode_interframe_device(self, yuv, quant_indices, update)
         from . import encode_inter_np

@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from alfalfa_tpu.ops.intra_pallas import _sb_predict_all, _lane, _bcast
 from alfalfa_tpu.ops import enc_transforms_pallas as ET
+from alfalfa_tpu.ops import trellis_pallas as TRP
+from alfalfa_tpu.ops.enc_intra_pallas import _zz_pm, _zz_nat, _set_lane
 from alfalfa_tpu.ops.sixtap_pallas import (PACKED_ROWS, LANES, PAD,
                                            SIXTAP_TABLE)
 
@@ -252,7 +254,7 @@ def _chroma_mv(v):
     return jnp.sign(v) * ((a + 4) >> 3)
 
 
-def _inter_kernel(R, C, W, H, realtime,
+def _inter_kernel(R, C, W, H, realtime, trellis,
                   # SMEM:
                   sc_ref, mbc_ref, ibc_ref, mvc2p_ref, pcost_ref,
                   sadc_ref, mvcost_ref, taps_ref,
@@ -260,14 +262,26 @@ def _inter_kernel(R, C, W, H, realtime,
                   refy_ref, refu_ref, refv_ref,
                   t2b_ref, b2t_ref, t2b8_ref, b2t8_ref,
                   psB_ref, psM_ref, psB8_ref, psM8_ref,
-                  # streams (per MB row):
-                  oyt_ref, oyb_ref, oyps_ref, out_ref, ovt_ref,
-                  oub_ref, ovb_ref,
-                  # outputs (per MB row):
-                  co_ref, md_ref, ry_ref, ru_ref, rv_ref,
-                  # scratch:
-                  rec_y, rec_u, rec_v, ring):
+                  *rest):
+    if trellis:
+        (tct_ref, pmy_ref, pmyi_ref, pmuv_ref, pmuvi_ref,
+         oyt_ref, oyb_ref, oyps_ref, out_ref, ovt_ref, oub_ref, ovb_ref,
+         co_ref, md_ref, ry_ref, ru_ref, rv_ref,
+         rec_y, rec_u, rec_v, ring, anz) = rest
+    else:
+        (oyt_ref, oyb_ref, oyps_ref, out_ref, ovt_ref, oub_ref, ovb_ref,
+         co_ref, md_ref, ry_ref, ru_ref, rv_ref,
+         rec_y, rec_u, rec_v, ring) = rest
     r = pl.program_id(0)
+
+    if trellis:
+        # above-row post-trellis nonzero context plane (TrellisContext
+        # semantics: only intra MBs ever set their slots; lanes
+        # [0:4 y bottom row, 4:6 u bottom, 6:8 v bottom, 8 y2 nz,
+        #  9 y2 valid]).  Zeroed at frame start; persists across rows.
+        @pl.when(r == 0)
+        def _():
+            anz[...] = jnp.zeros(anz.shape, anz.dtype)
 
     q_ydc, q_yac = sc_ref[0, 0], sc_ref[0, 1]
     q_y2dc, q_y2ac = sc_ref[0, 2], sc_ref[0, 3]
@@ -275,7 +289,12 @@ def _inter_kernel(R, C, W, H, realtime,
     rmult, dmult = sc_ref[0, 6], sc_ref[0, 7]
     sad_weight = sc_ref[0, 8]
 
-    def mb_body(c, _):
+    def mb_body(c, lnz):
+        # lnz (trellis): left MB's post-trellis nonzero state, carried
+        # along the row [0:4 y right col, 4:6 u right, 6:8 v right,
+        # 8 y2 nz, 9 y2 valid]; ignored (scalar 0) otherwise.
+        if trellis:
+            arow = _vrow(anz, c)           # (1, 16) above-MB nz state
         # ---------------- census (scalar; parse.py mv_census) ----------
         cr, ar = r & 1, (r + 1) & 1
         s0 = jnp.int32(0)
@@ -525,10 +544,16 @@ def _inter_kernel(R, C, W, H, realtime,
 
             co_u, rec_u_t = chroma_code(_vrow_s(oub_ref, c), pu_t)
             co_v, rec_v_t = chroma_code(_vrow_s(ovb_ref, c), pv_t)
-            return (co_ac, co_u, co_v, y2q[:, 0:16], jnp.int32(1),
-                    bmode, jnp.zeros((1, 16), jnp.int32),
-                    jnp.int32(0),          # uvmode unused for inter
-                    rec_t, rec_u_t, rec_v_t, cmx, cmy)
+            out = (co_ac, co_u, co_v, y2q[:, 0:16], jnp.int32(1),
+                   bmode, jnp.zeros((1, 16), jnp.int32),
+                   jnp.int32(0),          # uvmode unused for inter
+                   rec_t, rec_u_t, rec_v_t, cmx, cmy)
+            if trellis:
+                # inter MBs never trellis-quantize (the host mirrors the
+                # reference's FIRST_PASS interframe path) — their context
+                # slots stay zero and the y2 chain passes through
+                out = out + (jnp.zeros((1, 24), jnp.int32),)
+            return out
 
         def encode_intra():
             # full intra MB with interframe costs (encode_intra_np
@@ -552,16 +577,32 @@ def _inter_kernel(R, C, W, H, realtime,
                 [e0] + [_lane(lcol, 4 * b - 1) for b in range(1, 4)],
                 axis=1)
 
+            if trellis:
+                # entry contexts (host TrellisContext semantics): above
+                # MB bottom row / left MB right column, zero off-frame or
+                # when the neighbor was inter-coded (its slots were never
+                # written)
+                ynz_abv4 = arow[:, 0:4]
+                ynz_left4 = lnz[:, 0:4]
+                unz_abv, unz_left = arow[:, 4:6], lnz[:, 4:6]
+                vnz_abv, vnz_left = arow[:, 6:8], lnz[:, 6:8]
+
             def bpred_band(_i, carry):
-                (prev_bottom, out_recon, out_co, out_bm, rate_a, dist_a,
-                 lc_roll, al_roll, oyb_roll) = carry
+                if trellis:
+                    (prev_bottom, out_recon, out_co, out_bm, rate_a,
+                     dist_a, lc_roll, al_roll, oyb_roll,
+                     prev_nz, lnz_roll, out_nzc) = carry
+                else:
+                    (prev_bottom, out_recon, out_co, out_bm, rate_a,
+                     dist_a, lc_roll, al_roll, oyb_roll) = carry
                 lcb = lc_roll[:, 0:4]
                 al_first = al_roll[:, 0:1]
                 osb_band = oyb_roll[:, 0:64]
                 above20 = jnp.concatenate([prev_bottom, ar4], axis=1)
                 rows = [jnp.zeros((1, 16), jnp.int32)] * 4
-                bm_list, co_list = [], []
+                bm_list, co_list, nz_list = [], [], []
                 block_prev = None
+                last_nz = None
                 for sc in range(4):
                     above4 = above20[:, sc * 4:sc * 4 + 4]
                     arr = above20[:, (sc + 1) * 4:(sc + 1) * 4 + 4]
@@ -590,7 +631,22 @@ def _inter_kernel(R, C, W, H, realtime,
                     bm_list.append(jnp.broadcast_to(bm, (1, 1)))
                     rate_a = rate_a + brate
                     dist_a = dist_a + bsse
-                    qc = ET.quantize(ET.fdct(osb - psel), q_ydc, q_yac)
+                    co_nat = ET.fdct(osb - psel)
+                    if trellis:
+                        # B_PRED: no Y2, first_index 0, context from the
+                        # post-trellis nz of up (previous band, carried)
+                        # / left (previous subblock or left MB)
+                        up_nz = prev_nz[:, sc:sc + 1]
+                        left_nz = lnz_roll[:, 0:1] if sc == 0 else last_nz
+                        ctxb = up_nz + left_nz
+                        qpm, nzb = TRP.trellis_quantize_pm(
+                            _zz_pm(co_nat), tct_ref, 0, 0, ctxb, q_ydc,
+                            q_yac, rmult, dmult, 1)
+                        qc = _zz_nat(qpm)
+                        last_nz = nzb.astype(jnp.int32)
+                        nz_list.append(last_nz)
+                    else:
+                        qc = ET.quantize(co_nat, q_ydc, q_yac)
                     co_list.append(qc)
                     resd = ET.idct(ET.dequantize(qc, q_ydc, q_yac))
                     blk = jnp.clip(psel + resd, 0, 255)
@@ -612,18 +668,31 @@ def _inter_kernel(R, C, W, H, realtime,
                     axis=1)
                 roll = lambda x, n: jnp.concatenate(
                     [x[:, n:], x[:, :n]], axis=1)
-                return (rows[3], out_recon, out_co, out_bm,
+                base = (rows[3], out_recon, out_co, out_bm,
                         rate_a, dist_a, roll(lc_roll, 4),
                         roll(al_roll, 1), roll(oyb_roll, 64))
+                if trellis:
+                    band_nz = jnp.concatenate(nz_list, axis=1)   # (1, 4)
+                    out_nzc = jnp.concatenate(
+                        [out_nzc[:, 1:], band_nz[:, 3:4]], axis=1)
+                    base = base + (band_nz, roll(lnz_roll, 1), out_nzc)
+                return base
 
             z256 = jnp.zeros((1, 256), jnp.int32)
-            (_, bpred_recon, bpred_co, bpred_bm, bpred_rate,
-             bpred_dist, _, _, _) = jax.lax.fori_loop(
-                0, 4, bpred_band,
-                (a16, z256, z256, jnp.zeros((1, 16), jnp.int32),
-                 mbc_ref[0, B_PRED] * jnp.ones((), jnp.int32),
-                 jnp.int32(0),
-                 lcol, al_roll0, oy_b))
+            init = (a16, z256, z256, jnp.zeros((1, 16), jnp.int32),
+                    mbc_ref[0, B_PRED] * jnp.ones((), jnp.int32),
+                    jnp.int32(0),
+                    lcol, al_roll0, oy_b)
+            if trellis:
+                init = init + (ynz_abv4, ynz_left4,
+                               jnp.zeros((1, 4), jnp.int32))
+                (_, bpred_recon, bpred_co, bpred_bm, bpred_rate,
+                 bpred_dist, _, _, _, bp_bnz, _, bp_colnz) = \
+                    jax.lax.fori_loop(0, 4, bpred_band, init)
+            else:
+                (_, bpred_recon, bpred_co, bpred_bm, bpred_rate,
+                 bpred_dist, _, _, _) = jax.lax.fori_loop(
+                    0, 4, bpred_band, init)
             bpred_cost = _rdc(bpred_rate, bpred_dist, rmult, dmult)
 
             # whole-MB: reuse screening results (same math)
@@ -634,9 +703,59 @@ def _inter_kernel(R, C, W, H, realtime,
             is_dc = (li % 16) == 0
             walsh = jnp.concatenate(
                 [_lane(co_full, 16 * b) for b in range(16)], axis=1)
-            wco_ac = ET.quantize(jnp.where(is_dc, 0, co_full), q_ydc,
-                                 q_yac)
-            y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
+            if trellis:
+                def sel3(ctx, v0, v1, v2):
+                    return jnp.where(ctx == 0, v0,
+                                     jnp.where(ctx == 1, v1, v2))
+
+                # whole-mode luma: one DP over all 16 subblocks, both
+                # start-level walk-forwards + all three entry-context
+                # costs precomputed, per-subblock choice resolved in
+                # raster order (enc_intra_pallas pattern at Rp=1)
+                wpm = TRP.permute_wide(jnp.where(is_dc, 0, co_full),
+                                       pmy_ref[...])
+                finalW, storesW = TRP.trellis_nodes(
+                    wpm, tct_ref, 16, 1, q_ydc, q_yac, rmult, dmult, 16)
+                zc = jnp.zeros((1, 16), jnp.int32)
+                outW0, nzW0 = TRP.trellis_walk(storesW, zc, 1, 16)
+                outW1, nzW1 = TRP.trellis_walk(storesW, zc + 1, 1, 16)
+                cw = [TRP.final_costs(finalW, tct_ref, 17, zc + k,
+                                      rmult, dmult) for k in range(3)]
+                nzW0i = nzW0.astype(jnp.int32)
+                nzW1i = nzW1.astype(jnp.int32)
+                chW, nzW = zc, zc
+                for b in range(16):
+                    sr_, sc_ = b // 4, b % 4
+                    up_nz = (nzW[:, b - 4:b - 3] if sr_
+                             else ynz_abv4[:, sc_:sc_ + 1])
+                    lf_nz = (nzW[:, b - 1:b] if sc_
+                             else ynz_left4[:, sr_:sr_ + 1])
+                    ctx = up_nz + lf_nz
+                    c0 = sel3(ctx, cw[0][0][:, b:b + 1],
+                              cw[1][0][:, b:b + 1], cw[2][0][:, b:b + 1])
+                    c1 = sel3(ctx, cw[0][1][:, b:b + 1],
+                              cw[1][1][:, b:b + 1], cw[2][1][:, b:b + 1])
+                    chb = (c1 < c0).astype(jnp.int32)
+                    nzb = jnp.where(chb == 1, nzW1i[:, b:b + 1],
+                                    nzW0i[:, b:b + 1])
+                    chW = _set_lane(chW, b, chb, 16)
+                    nzW = _set_lane(nzW, b, nzb, 16)
+                wout_pm = jnp.where(jnp.tile(chW, (1, 16)) == 1,
+                                    outW1, outW0)
+                wco_ac = TRP.permute_wide(wout_pm, pmyi_ref[...])
+
+                # Y2: context from the above/left chains (inter MBs and
+                # B_PRED MBs pass the chain through untouched)
+                y2ctx = (arow[:, 8:9] * arow[:, 9:10]
+                         + lnz[:, 8:9] * lnz[:, 9:10])
+                y2pm, y2nzb = TRP.trellis_quantize_pm(
+                    _zz_pm(ET.fwht(walsh)), tct_ref, 48, 0, y2ctx,
+                    q_y2dc, q_y2ac, rmult, dmult, 1)
+                y2q = _zz_nat(y2pm)
+            else:
+                wco_ac = ET.quantize(jnp.where(is_dc, 0, co_full), q_ydc,
+                                     q_yac)
+                y2q = ET.quantize(ET.fwht(walsh), q_y2dc, q_y2ac)
             yd = ET.dequantize(wco_ac, q_ydc, q_yac)
             dc_rec = ET.iwht(ET.dequantize(y2q, q_y2dc, q_y2ac))
             dc_expand = jnp.zeros((1, 256), jnp.int32)
@@ -692,23 +811,117 @@ def _inter_kernel(R, C, W, H, realtime,
                 pv_sel = jnp.where(bet, pv[m], pv_sel)
                 ucost = jnp.where(bet, dist, ucost)
 
-            def chroma_code(ob, pt):
-                pb = _permute(pt, t2b8_ref[...])
-                qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
-                resd = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
-                rec = _permute(jnp.clip(pb + resd, 0, 255), b2t8_ref[...])
-                return qc, rec
+            if trellis:
+                # chroma: one DP over the 8 subblocks of both planes;
+                # the two planes' 2x2 context chains are independent
+                pbu = _permute(pu_sel, t2b8_ref[...])
+                pbv = _permute(pv_sel, t2b8_ref[...])
+                obu = _vrow_s(oub_ref, c)
+                obv = _vrow_s(ovb_ref, c)
+                uv_nat = jnp.concatenate(
+                    [ET.fdct(obu - pbu), ET.fdct(obv - pbv)], axis=1)
+                uvpm = TRP.permute_wide(uv_nat, pmuv_ref[...])
+                finalU, storesU = TRP.trellis_nodes(
+                    uvpm, tct_ref, 32, 0, q_uvdc, q_uvac, rmult, dmult, 8)
+                z8 = jnp.zeros((1, 8), jnp.int32)
+                outU0, nzU0 = TRP.trellis_walk(storesU, z8, 0, 8)
+                outU1, nzU1 = TRP.trellis_walk(storesU, z8 + 1, 0, 8)
+                cu = [TRP.final_costs(finalU, tct_ref, 32, z8 + k,
+                                      rmult, dmult) for k in range(3)]
+                nzU0i = nzU0.astype(jnp.int32)
+                nzU1i = nzU1.astype(jnp.int32)
+                chU, nzU = z8, z8
+                for pos in range(4):
+                    sr_, sc_ = pos // 2, pos % 2
+                    for p in range(2):
+                        b = p * 4 + pos
+                        abv = (unz_abv, vnz_abv)[p]
+                        lft = (unz_left, vnz_left)[p]
+                        up_nz = (nzU[:, b - 2:b - 1] if sr_
+                                 else abv[:, sc_:sc_ + 1])
+                        lf_nz = (nzU[:, b - 1:b] if sc_
+                                 else lft[:, sr_:sr_ + 1])
+                        ctx = up_nz + lf_nz
+                        c0 = sel3(ctx, cu[0][0][:, b:b + 1],
+                                  cu[1][0][:, b:b + 1],
+                                  cu[2][0][:, b:b + 1])
+                        c1 = sel3(ctx, cu[0][1][:, b:b + 1],
+                                  cu[1][1][:, b:b + 1],
+                                  cu[2][1][:, b:b + 1])
+                        chb = (c1 < c0).astype(jnp.int32)
+                        nzb = jnp.where(chb == 1, nzU1i[:, b:b + 1],
+                                        nzU0i[:, b:b + 1])
+                        chU = _set_lane(chU, b, chb, 8)
+                        nzU = _set_lane(nzU, b, nzb, 8)
+                uvout_pm = jnp.where(jnp.tile(chU, (1, 16)) == 1,
+                                     outU1, outU0)
+                uv_q = TRP.permute_wide(uvout_pm, pmuvi_ref[...])
+                co_u, co_v = uv_q[:, 0:64], uv_q[:, 64:128]
 
-            co_u, rec_u_t = chroma_code(_vrow_s(oub_ref, c), pu_sel)
-            co_v, rec_v_t = chroma_code(_vrow_s(ovb_ref, c), pv_sel)
-            return (co_y, co_u, co_v, co_y2, jnp.int32(0),
-                    ymode, bm_out, uvmode,
-                    rec_t, rec_u_t, rec_v_t, jnp.int32(0), jnp.int32(0))
+                def chroma_recon(qc, pb):
+                    resd = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+                    return _permute(jnp.clip(pb + resd, 0, 255),
+                                    b2t8_ref[...])
+
+                rec_u_t = chroma_recon(co_u, pbu)
+                rec_v_t = chroma_recon(co_v, pbv)
+            else:
+                def chroma_code(ob, pt):
+                    pb = _permute(pt, t2b8_ref[...])
+                    qc = ET.quantize(ET.fdct(ob - pb), q_uvdc, q_uvac)
+                    resd = ET.idct(ET.dequantize(qc, q_uvdc, q_uvac))
+                    rec = _permute(jnp.clip(pb + resd, 0, 255),
+                                   b2t8_ref[...])
+                    return qc, rec
+
+                co_u, rec_u_t = chroma_code(_vrow_s(oub_ref, c), pu_sel)
+                co_v, rec_v_t = chroma_code(_vrow_s(ovb_ref, c), pv_sel)
+            out = (co_y, co_u, co_v, co_y2, jnp.int32(0),
+                   ymode, bm_out, uvmode,
+                   rec_t, rec_u_t, rec_v_t, jnp.int32(0), jnp.int32(0))
+            if trellis:
+                # post-trellis nonzero state for the right/down neighbors:
+                # [0:4 y right col, 4:8 y bottom row, 8:10 u right,
+                #  10:12 u bottom, 12:14 v right, 14:16 v bottom,
+                #  16 y2 nz, 17 y2 set (whole-mode only), pad]
+                wm_col = jnp.concatenate(
+                    [nzW[:, 3:4], nzW[:, 7:8], nzW[:, 11:12],
+                     nzW[:, 15:16]], axis=1)
+                ycol = jnp.where(use_b, bp_colnz, wm_col)
+                yrow = jnp.where(use_b, bp_bnz, nzW[:, 12:16])
+                ur = jnp.concatenate([nzU[:, 1:2], nzU[:, 3:4]], axis=1)
+                vr = jnp.concatenate([nzU[:, 5:6], nzU[:, 7:8]], axis=1)
+                y2set = jnp.where(use_b, jnp.zeros((1, 1), jnp.int32),
+                                  jnp.ones((1, 1), jnp.int32))
+                tnzv = jnp.concatenate(
+                    [ycol, yrow, ur, nzU[:, 2:4], vr, nzU[:, 6:8],
+                     y2nzb.astype(jnp.int32), y2set,
+                     jnp.zeros((1, 6), jnp.int32)], axis=1)
+                out = out + (tnzv,)
+            return out
 
         inter_wins = bkind != 0
+        res = jax.lax.cond(inter_wins, encode_inter, encode_intra)
         (co_y, co_u, co_v, co_y2, _is_inter, out_mode, bm_out, uvmode,
-         rec_t, rec_u_t, rec_v_t, cmx, cmy) = jax.lax.cond(
-            inter_wins, encode_inter, encode_intra)
+         rec_t, rec_u_t, rec_v_t, cmx, cmy) = res[:13]
+        if trellis:
+            # nonzero-context state update: intra MBs publish their
+            # post-trellis nz; inter MBs zero the y/u/v slots (their plane
+            # slots are never written host-side) and pass the y2 chain
+            # through untouched
+            tnzv = res[13]
+            y2on = tnzv[:, 17:18] != 0
+            new_abv = jnp.concatenate(
+                [tnzv[:, 4:8], tnzv[:, 10:12], tnzv[:, 14:16],
+                 jnp.where(y2on, tnzv[:, 16:17], arow[:, 8:9]),
+                 jnp.where(y2on, 1, arow[:, 9:10]),
+                 jnp.zeros((1, 6), jnp.int32)], axis=1)
+            _vrow_store(anz, c, new_abv)
+            lnz_new = jnp.concatenate(
+                [tnzv[:, 0:4], tnzv[:, 8:10], tnzv[:, 12:14],
+                 jnp.where(y2on, tnzv[:, 16:17], lnz[:, 8:9]),
+                 jnp.where(y2on, 1, lnz[:, 9:10]),
+                 jnp.zeros((1, 6), jnp.int32)], axis=1)
 
         coeffs = jnp.concatenate([co_y, co_u, co_v, co_y2], axis=1)
         nz = jnp.any(coeffs != 0)
@@ -731,9 +944,10 @@ def _inter_kernel(R, C, W, H, realtime,
         ring[cr, c, 1] = jnp.where(inter_wins, bmvy, 0)
         ring[cr, c, 2] = jnp.where(inter_wins, 1, 0)
         ring[cr, c, 3] = out_mode
-        return 0
+        return lnz_new if trellis else 0
 
-    jax.lax.fori_loop(0, C, mb_body, 0)
+    jax.lax.fori_loop(0, C, mb_body,
+                      jnp.zeros((1, 16), jnp.int32) if trellis else 0)
 
 
 def _tile_col16(t):
@@ -789,7 +1003,8 @@ def _ps_to_lane8(ps, B_ref, M_ref):
 def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
                        refy_p, refu_p, refv_p,
                        scalars, mb_costs, ib_costs, mvc2p, pcost, sadcost,
-                       mvcost, realtime, interpret=False):
+                       mvcost, realtime, interpret=False,
+                       token_costs=None):
     """Run the inter-encode raster kernel.
 
     oy_t/oy_b: (R, C, 256) i16 original luma tiles (row-major / block
@@ -804,6 +1019,13 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
              rec_y (R, C, 256) i16, rec_u, rec_v (R, C, 64) i16).
     md lanes: [ymode, uvmode, is_inter, nz, mvx, mvy, cmx, cmy,
                bmode x16, pad x8].
+
+    token_costs: optional (64, 36) int32 position-major trellis token
+    cost table (rows [Y_noY2 0:16, Y_afterY2 16:32, UV 32:48, Y2 48:64]);
+    when set, intra-coded MBs run the --two-pass trellis DP on device
+    (inter MBs keep plain quantization, mirroring the host/reference
+    FIRST_PASS interframe path; encoder.cc:220-408, encode_inter.cc:
+    614-622).
     """
     R, C = oy_t.shape[:2]
     H, W = R * 16, C * 16
@@ -836,8 +1058,20 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
     Hp4y, Wpy = refy_p.shape
     Hp4c, Wpc = refu_p.shape
 
+    trellis = token_costs is not None
+    tr_specs, tr_args, tr_scratch = [], [], []
+    if trellis:
+        pmy, pmyi = TRP.pm_perm(16)
+        pmuv, pmuvi = TRP.pm_perm(8)
+        tr_specs = [smem((64, 36)), const((256, 256)), const((256, 256)),
+                    const((128, 128)), const((128, 128))]
+        tr_args = [jnp.asarray(token_costs, jnp.int32),
+                   pmy, pmyi, pmuv, pmuvi]
+        tr_scratch = [pltpu.VMEM((Cp, 16), jnp.int32)]
+
     outs = pl.pallas_call(
-        functools.partial(_inter_kernel, R, C, W, H, bool(realtime)),
+        functools.partial(_inter_kernel, R, C, W, H, bool(realtime),
+                          trellis),
         grid=(R,),
         # SMEM inputs are all >= 2-D: under the fused-QP vmap the batch
         # axis lands in front and Mosaic only accepts batched blocks whose
@@ -850,10 +1084,11 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
                   const((256, 256)), const((256, 256)),
                   const((64, 64)), const((64, 64)),
                   const((16, 256)), const((16, 256)),
-                  const((8, 64)), const((8, 64)),
-                  stream(Cp, 256), stream(Cp, 256), stream(Cp, 16, 16),
-                  stream(Cp, 64), stream(Cp, 64), stream(Cp, 64),
-                  stream(Cp, 64)],
+                  const((8, 64)), const((8, 64))]
+        + tr_specs
+        + [stream(Cp, 256), stream(Cp, 256), stream(Cp, 16, 16),
+           stream(Cp, 64), stream(Cp, 64), stream(Cp, 64),
+           stream(Cp, 64)],
         out_specs=(stream(Cp, 400), stream(Cp, 32), stream(Cp, 256),
                    stream(Cp, 64), stream(Cp, 64)),
         out_shape=(jax.ShapeDtypeStruct((R, Cp, 400), jnp.int16),
@@ -864,7 +1099,7 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
         scratch_shapes=[pltpu.VMEM((RC8, 256), jnp.int16),
                         pltpu.VMEM((RC8, 64), jnp.int16),
                         pltpu.VMEM((RC8, 64), jnp.int16),
-                        pltpu.SMEM((2, C, 4), jnp.int32)],
+                        pltpu.SMEM((2, C, 4), jnp.int32)] + tr_scratch,
         interpret=interpret,
     )(jnp.asarray(scalars, jnp.int32)[None],
       jnp.asarray(mb_costs, jnp.int32)[None],
@@ -876,5 +1111,6 @@ def encode_inter_frame(oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b,
       refy_p, refu_p, refv_p, t2b, b2t, t2b8, b2t8,
       jnp.asarray(psB, jnp.bfloat16), jnp.asarray(psM, jnp.float32),
       jnp.asarray(psB8, jnp.bfloat16), jnp.asarray(psM8, jnp.float32),
+      *tr_args,
       oy_t, oy_b, oy_ps, ou_t, ov_t, ou_b, ov_b)
     return tuple(o[:, :C] for o in outs)

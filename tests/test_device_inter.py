@@ -11,16 +11,22 @@ from gen_inputs import gen_clip
 from alfalfa_tpu.encoder import Encoder
 
 
-@pytest.mark.parametrize("quality,qi,size", [
-    ("best", 40, (80, 48)),
-    ("rt", 64, (80, 48)),
-    ("rt", 48, (76, 44)),     # non-MB-multiple: partial edge MBs
+@pytest.mark.parametrize("quality,qi,size,two_pass", [
+    ("best", 40, (80, 48), False),
+    ("rt", 64, (80, 48), False),
+    ("rt", 48, (76, 44), False),  # non-MB-multiple: partial edge MBs
+    # --two-pass: the in-kernel trellis DP for intra MBs must match the
+    # host TrellisContext path byte for byte (VERDICT r4 item 6)
+    ("best", 40, (80, 48), True),
+    ("best", 72, (76, 44), True),
 ])
-def test_device_interframe_bit_identical(quality, qi, size):
+def test_device_interframe_bit_identical(quality, qi, size, two_pass):
     w, h = size
     clip = gen_clip(w, h, 4, seed=31)
-    host = Encoder(w, h, device_encode=False, quality=quality)
-    dev = Encoder(w, h, device_encode=True, quality=quality)
+    host = Encoder(w, h, device_encode=False, quality=quality,
+                   two_pass=two_pass)
+    dev = Encoder(w, h, device_encode=True, quality=quality,
+                  two_pass=two_pass)
     for i, f in enumerate(clip):
         kf = i == 0
         ph = host.encode_with_quantizer(f, qi, key_frame=kf)

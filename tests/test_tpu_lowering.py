@@ -52,15 +52,17 @@ def test_kf_encode_kernel_lowers():
             z((100, 10), jnp.bfloat16), z((100, 10), jnp.bfloat16))
 
 
-@pytest.mark.parametrize("realtime", [True, False])
-def test_inter_encode_kernel_lowers(realtime):
+@pytest.mark.parametrize("realtime,trellis", [(True, False), (False, False),
+                                              (False, True)])
+def test_inter_encode_kernel_lowers(realtime, trellis):
     from alfalfa_tpu.encoder.encode_inter_device import _inter_raw
     from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
     H, W = R * 16, C * 16
     ry = pack_refs32(pad_refs(jnp.zeros((H, W), jnp.uint8)))
     ru = pack_refs32(pad_refs(jnp.zeros((H // 2, W // 2), jnp.uint8)))
-    f = _inter_raw(R, C, realtime, False)
+    f = _inter_raw(R, C, realtime, False, trellis=trellis)
     z = jax.ShapeDtypeStruct
+    extra = (z((64, 36), jnp.int32),) if trellis else ()
     _export(f,
             z((R, C, 256), jnp.uint8),
             z((R, C, 64), jnp.uint8), z((R, C, 64), jnp.uint8),
@@ -68,7 +70,7 @@ def test_inter_encode_kernel_lowers(realtime):
             z(ru.shape, jnp.int32),
             z((16,), jnp.int32), z((8,), jnp.int32), z((16,), jnp.int32),
             z((6, 4), jnp.int32), z((256,), jnp.int32),
-            z((256,), jnp.int32), z((4, 1024), jnp.int32))
+            z((256,), jnp.int32), z((4, 1024), jnp.int32), *extra)
 
 
 def test_lf_pack_lowers(monkeypatch):

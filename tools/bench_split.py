@@ -45,7 +45,11 @@ print(f"host parse+pack: {best_host*1000:.1f} ms "
 mb = sum(p[1].size for p in packed) / n / 1e6
 print(f"upload bytes: {mb:.2f} MB/step ({mb*1000/G:.0f} KB/frame)")
 
-# upload-only (ONE merged transfer per step)
+# upload-only (ONE merged transfer per step).  The tunnel charges ~55 ms
+# the FIRST time it sees each buffer shape (per-shape handshake) and
+# ~1.3 ms/1.5MB warm — warm every shape first so the number reflects the
+# steady state the pipelined decode actually runs at.
+jax.block_until_ready([jax.device_put(mega) for _, mega, _, _, _ in packed])
 best_up = float("inf")
 for _ in range(3):
     t0 = time.perf_counter()
