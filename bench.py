@@ -77,6 +77,14 @@ def our_fps(clip, frames):
     with open(os.path.join(REPO, "tests", "fixtures",
                            "manifest.json")) as fh:
         want = json.load(fh)[os.path.basename(clip)]["yuv_sha1"]
+    # compile pass on the MAIN thread: under axon, a first-ever jit
+    # compile issued from decode_stream's worker thread wedges the client
+    # (fetches of its outputs never complete); decode_frame_batch compiles
+    # the same step jits main-thread, after which the stream is safe
+    dec = BatchedGopDecoder(ivf.width, ivf.height, G)
+    for p in payloads:
+        dec.decode_frame_batch([p] * G)
+
     dec = BatchedGopDecoder(ivf.width, ivf.height, G)
     digests = [hashlib.sha1() for _ in range(G)]
     # the gate runs decode_stream — the SAME pipelined path the timed loop
@@ -319,7 +327,10 @@ def main():
                          env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
                          start_new_session=True)
     try:
-        out, _ = p.communicate(timeout=3000)
+        # budget: a cold compile cache costs ~13 min before the first
+        # number (axon remote compiles currently miss the persistent
+        # jax cache across processes)
+        out, _ = p.communicate(timeout=5400)
     except subprocess.TimeoutExpired:
         import signal as _sig
         try:
