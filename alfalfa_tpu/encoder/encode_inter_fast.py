@@ -1,0 +1,272 @@
+"""Fast device interframe encode: split decision/math pipeline for the
+Salsify real-time path (salsify-sender.cc:160-170, 33 ms/frame budget).
+
+The serial raster kernel (encode_inter_device.py -> enc_inter_pallas)
+is bit-exact vs the host loop but pays ~60-90 us per macroblock: every
+op runs on one MB's (1, 256) tile.  This module restructures the frame
+TPU-first:
+
+1. decisions  — ops/enc_decide_pallas.py: the truly-serial chain (MV
+   census over committed neighbors, ZEROMV/NEARESTMV/NEARMV/NEWMV
+   evaluation with the exact diamond search) runs as a slim raster
+   kernel that emits only (is_inter, mode, mv) per MB.
+2. dense math — ops/enc_batch.py + the decoder's own batched MC
+   (ops/sixtap_pallas.mc_tiles_packed) and residual machinery
+   (ops/transforms.residuals_from_coeffs): prediction, forward
+   DCT/WHT, quantization and decoder-exact reconstruction for ALL
+   macroblocks at once, full VPU/MXU width.
+3. host patch — macroblocks where intra won (rare in P frames) are
+   re-encoded exactly by the host intra encoder in raster order
+   (encode_intra_np.encode_intra_mb), patching arrays/recon before
+   serialization; the patched tiles are scattered back into the
+   device reconstruction so the cached reference stays decode-exact.
+
+Divergence vs the host rt loop (gated by tests/test_fast_inter.py):
+whole-MB intra SCREENING uses source instead of in-loop recon
+neighbors, so the intra/inter choice can differ on a few MBs; the
+emitted bitstream is always valid VP8 and reconstruction is
+decoder-exact (the decode gates assert it).
+
+Enable with ALFALFA_FAST_INTER=1 (the Salsify sender turns it on by
+default); quality must be "rt".
+"""
+import os
+
+import numpy as np
+
+from alfalfa_tpu.decoder import reconstruct_np
+from alfalfa_tpu.bitstream import tables as T
+from .encode_inter_np import make_inter_header, finish_interframe
+from .encode_intra_np import encode_intra_mb
+from .encode_inter_device import (_kernel_inputs, _scalars_for,
+                                  _outputs_to_frame, _cache_device_refs,
+                                  _ps_rowperm)
+from .costs import rd_multipliers
+
+_FN_CACHE = {}
+
+
+def enabled():
+    return os.environ.get("ALFALFA_FAST_INTER", "0") == "1"
+
+
+def _res_mb_y(rblocks, R, C):
+    return rblocks.reshape(R, C, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(R, C, 16, 16)
+
+
+def _res_mb_uv(rblocks, R, C):
+    return rblocks.reshape(R, C, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(R, C, 8, 8)
+
+
+def _blocks_of(diff, S):
+    """(R, C, S, S) -> (R, C, (S//4)**2, 4, 4) raster-ordered subblocks."""
+    R, C = diff.shape[:2]
+    n = S // 4
+    return diff.reshape(R, C, n, 4, n, 4).transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(R, C, n * n, 4, 4)
+
+
+def _fast_raw(R, C, interpret, sparse):
+    """Un-jitted fast-path function; same signature family as
+    encode_inter_device._inter_raw (realtime is implied)."""
+    import jax
+    import jax.numpy as jnp
+    from alfalfa_tpu.ops import enc_batch as EB
+    from alfalfa_tpu.ops import enc_decide_pallas as EDP
+    from alfalfa_tpu.ops import sixtap_pallas as SP
+    from alfalfa_tpu.ops import sixtap, transforms
+    from . import device_fetch
+
+    cap = device_fetch.cap_for(R * C * 400)
+    rp16 = _ps_rowperm(16)
+    W, H = C * 16, R * 16
+
+    def f(oy_u8, ou_u8, ov_u8, refy_p, refu_p, refv_p, scalars,
+          mbc, ibc, mvc2p, pcost, sadcost, mvcost):
+        oy_t = oy_u8.astype(jnp.int16)
+        oy_ps = oy_t.reshape(R, C, 16, 16)[:, :, rp16, :]
+        rmult, dmult = scalars[6], scalars[7]
+        icost = EB.intra_screen_source(oy_t, mbc.astype(jnp.int32),
+                                       rmult, dmult)
+        md8 = EDP.decide_inter_frame(
+            oy_ps, refy_p, scalars, icost, mvc2p, pcost, sadcost, mvcost,
+            realtime=True, interpret=interpret)
+
+        is_inter = md8[:, :, 0] != 0
+        mode = md8[:, :, 1].astype(jnp.int32)
+        mvx = jnp.where(is_inter, md8[:, :, 2].astype(jnp.int32), 0)
+        mvy = jnp.where(is_inter, md8[:, :, 3].astype(jnp.int32), 0)
+        cmx = EB.chroma_mv(mvx)
+        cmy = EB.chroma_mv(mvy)
+
+        sub_mv = jnp.broadcast_to(
+            jnp.stack([mvx, mvy], -1)[:, :, None, None, :],
+            (R, C, 4, 4, 2))
+        uv_mv = jnp.broadcast_to(
+            jnp.stack([cmx, cmy], -1)[:, :, None, None, :],
+            (R, C, 2, 2, 2))
+        sel = jnp.zeros((R, C), jnp.int32)
+
+        if not interpret and jax.default_backend() == "tpu":
+            def mc(ref_p, mv, S):
+                refs4 = jnp.broadcast_to(ref_p, (4,) + ref_p.shape)
+                return SP.mc_tiles_packed(refs4, (H if S == 16 else H // 2),
+                                          (W if S == 16 else W // 2),
+                                          sel, mv, S)
+        else:
+            def mc(ref_p, mv, S):
+                return sixtap._predict_prepadded(
+                    SP.unpack_refs32(ref_p)[None], sel, mv, S,
+                    (H if S == 16 else H // 2),
+                    (W if S == 16 else W // 2), SP.PAD)
+
+        pred_y = mc(refy_p, sub_mv, 16)                  # (R, C, 16, 16)
+        pred_u = mc(refu_p, uv_mv, 8)
+        pred_v = mc(refv_p, uv_mv, 8)
+
+        oy_tiles = oy_t.reshape(R, C, 16, 16).astype(jnp.int32)
+        ou_tiles = ou_u8.astype(jnp.int32).reshape(R, C, 8, 8)
+        ov_tiles = ov_u8.astype(jnp.int32).reshape(R, C, 8, 8)
+
+        ydct = EB.fdct_blocks(_blocks_of(oy_tiles - pred_y, 16))
+        walsh = ydct[..., 0]                             # (R, C, 16)
+        qy = EB.quantize_blocks(ydct.at[..., 0].set(0),
+                                scalars[0], scalars[1])
+        y2 = EB.quantize_blocks(EB.fwht_blocks(walsh),
+                                scalars[2], scalars[3])
+        qu = EB.quantize_blocks(EB.fdct_blocks(
+            _blocks_of(ou_tiles - pred_u, 8)), scalars[4], scalars[5])
+        qv = EB.quantize_blocks(EB.fdct_blocks(
+            _blocks_of(ov_tiles - pred_v, 8)), scalars[4], scalars[5])
+        coeffs = jnp.concatenate(
+            [qy, qu, qv, y2[:, :, None, :]], axis=2)     # (R, C, 25, 16)
+        coeffs = jnp.where(is_inter[:, :, None, None], coeffs, 0)
+        nz = jnp.any(coeffs != 0, axis=(2, 3))
+
+        qf = {k: jnp.full((R, C), scalars[i], jnp.int32)
+              for i, k in enumerate(("y_dc", "y_ac", "y2_dc", "y2_ac",
+                                     "uv_dc", "uv_ac"))}
+        res = transforms.residuals_from_coeffs(coeffs, qf, is_inter)
+        res = jnp.where(nz[:, :, None, None, None], res, 0)
+        rec_y = jnp.clip(pred_y + _res_mb_y(res[:, :, 0:16], R, C), 0, 255)
+        rec_u = jnp.clip(pred_u + _res_mb_uv(res[:, :, 16:20], R, C), 0, 255)
+        rec_v = jnp.clip(pred_v + _res_mb_uv(res[:, :, 20:24], R, C), 0, 255)
+        m = is_inter[:, :, None, None]
+        rec_y = jnp.where(m, rec_y, 0)
+        rec_u = jnp.where(m, rec_u, 0)
+        rec_v = jnp.where(m, rec_v, 0)
+
+        ii = is_inter.astype(jnp.int32)
+        md = jnp.stack([mode * ii, jnp.zeros_like(ii), ii,
+                        nz.astype(jnp.int32), mvx, mvy, cmx, cmy],
+                       axis=-1)
+        md = jnp.concatenate(
+            [md, jnp.zeros((R, C, 24), jnp.int32)], axis=-1) \
+            .astype(jnp.int16)
+
+        co = coeffs.reshape(R, C, 400).astype(jnp.int16)
+        sp = device_fetch.compact(co.reshape(-1), cap) if sparse else None
+        return (co, sp, md,
+                rec_y.astype(jnp.uint8).reshape(R, C, 256),
+                rec_u.astype(jnp.uint8).reshape(R, C, 64),
+                rec_v.astype(jnp.uint8).reshape(R, C, 64))
+
+    return f
+
+
+def _fast_fn(R, C, interpret):
+    from . import device_fetch
+    sparse = device_fetch.enabled()
+    key = (R, C, interpret, sparse)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    f = _fast_raw(R, C, interpret, sparse)
+    fn = jax.jit(f) if not interpret else f
+    _FN_CACHE[key] = fn
+    return fn
+
+
+def _patch_intra_host(encoder, arrays, recon, orig, quant_indices):
+    """Exact host intra encode for the MBs the decision kernel scored
+    intra, in raster order (each sees the patched recon of earlier intra
+    neighbors; inter neighbors are already decoder-exact)."""
+    q = {k: int(v) for k, v in quant_indices.quantizer().items()}
+    rate_mult, dist_mult = rd_multipliers(q["y_ac"])
+    R, C = encoder.mb_rows, encoder.mb_cols
+    patched = []
+    intra = np.asarray(arrays.ref == T.CURRENT_FRAME)
+    if not intra.any():
+        return patched
+    planes = (orig.y, orig.u, orig.v)
+    for r, c in zip(*np.nonzero(intra)):
+        encode_intra_mb(planes, recon, arrays, int(r), int(c), q,
+                        rate_mult, dist_mult, interframe=True)
+        arrays.ref[r, c] = T.CURRENT_FRAME
+        patched.append((int(r), int(c)))
+    return patched
+
+
+def encode_interframe_fast(encoder, yuv, quant_indices, update,
+                           rebase_kf_header=None, interpret=False):
+    """Encode one rt interframe with the split decision/dense pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from alfalfa_tpu.util import tracing
+    from alfalfa_tpu.util.xfer import get_packed
+    from . import device_fetch
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    W, H = encoder.width, encoder.height
+    R, C = encoder.mb_rows, encoder.mb_cols
+    assert encoder.quality == "rt", "fast path is the rt design point"
+
+    header = make_inter_header(quant_indices, rebase_kf_header)
+    with tracing.stage("enc.fast_inputs"):
+        orig, planes, tables = _kernel_inputs(encoder, yuv, interpret)
+
+    with tracing.stage("enc.fast_kernel"):
+        co, sp, md, ry, ru, rv = _fast_fn(R, C, interpret)(
+            *planes, jnp.asarray(_scalars_for(quant_indices)), *tables)
+
+    with tracing.stage("enc.fast_fetch"):
+        if sp is not None:
+            sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
+            co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
+                .reshape(R, C, 400)
+        else:
+            md_h, ry_h, ru_h, rv_h = get_packed((md, ry, ru, rv))
+            co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+
+    with tracing.stage("enc.fast_host"):
+        md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
+        arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h, rv_h,
+                                          R, C, W, H)
+        patched = _patch_intra_host(encoder, arrays, recon, orig,
+                                    quant_indices)
+        out = finish_interframe(encoder, header, arrays, recon, orig,
+                                update)
+    if update:
+        with tracing.stage("enc.fast_refcache"):
+            if patched:
+                rr = jnp.asarray([p[0] for p in patched])
+                cc = jnp.asarray([p[1] for p in patched])
+                yt = np.stack([recon.y[r * 16:(r + 1) * 16,
+                                       c * 16:(c + 1) * 16].reshape(256)
+                               for r, c in patched])
+                ut = np.stack([recon.u[r * 8:(r + 1) * 8,
+                                       c * 8:(c + 1) * 8].reshape(64)
+                               for r, c in patched])
+                vt = np.stack([recon.v[r * 8:(r + 1) * 8,
+                                       c * 8:(c + 1) * 8].reshape(64)
+                               for r, c in patched])
+                ry = ry.at[rr, cc].set(jnp.asarray(yt, jnp.uint8))
+                ru = ru.at[rr, cc].set(jnp.asarray(ut, jnp.uint8))
+                rv = rv.at[rr, cc].set(jnp.asarray(vt, jnp.uint8))
+            _cache_device_refs(encoder, header, arrays, ry, ru, rv,
+                               interpret)
+    return out

@@ -318,6 +318,15 @@ class Encoder:
 
     def _encode_interframe(self, yuv, quant_indices, update):
         if self.device_encode:
+            if self.quality == "rt":
+                from . import encode_inter_fast
+                if encode_inter_fast.enabled():
+                    # split decision/dense pipeline — the Salsify 33 ms
+                    # design point (ALFALFA_FAST_INTER=1; quality-gated
+                    # by tests/test_fast_inter.py, not bit-exact vs the
+                    # host loop)
+                    return encode_inter_fast.encode_interframe_fast(
+                        self, yuv, quant_indices, update)
             # whole MB raster loop (motion search + mode decision +
             # residues + reconstruction) on-chip, bit-identical to the
             # host loop (tests/test_device_inter.py); --two-pass runs
