@@ -209,6 +209,81 @@ def _patch_intra_host(encoder, arrays, recon, orig, quant_indices):
     return patched
 
 
+def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
+                                   interpret=False):
+    """The Salsify speculative pair through the fast path: ONE vmapped
+    dispatch over the quantizer scalars (decisions + dense math for both
+    candidates share every upload; salsify-sender.cc:490-518)."""
+    import jax
+    import jax.numpy as jnp
+    from alfalfa_tpu.util.xfer import get_packed
+    from . import device_fetch
+
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    enc0 = encoders[0]
+    W, H = enc0.width, enc0.height
+    R, C = enc0.mb_rows, enc0.mb_cols
+    n = len(quant_list)
+
+    orig, planes, tables = _kernel_inputs(enc0, yuv, interpret)
+    scalars = jnp.asarray(np.stack([_scalars_for(qi) for qi in quant_list]))
+
+    sparse = device_fetch.enabled()
+    key = (R, C, interpret, n, sparse, "multiqp")
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        vf = jax.vmap(_fast_raw(R, C, interpret, sparse),
+                      in_axes=(None,) * 6 + (0,) + (None,) * 6)
+        fn = vf if interpret else jax.jit(vf)
+        _FN_CACHE[key] = fn
+
+    co, sp, md, ry, ru, rv = fn(*planes, scalars, *tables)
+    if sp is not None:
+        sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
+        idx, val, cnt = sp_h
+        co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]), co[i],
+                                        R * C * 400)
+                   for i in range(n)]
+    else:
+        co_all, md_h, ry_h, ru_h, rv_h = get_packed((co, md, ry, ru, rv))
+        co_rows = [co_all[i].reshape(-1).astype(np.int16)
+                   for i in range(n)]
+
+    results = []
+    for i, (enc, qi) in enumerate(zip(encoders, quant_list)):
+        header = make_inter_header(qi, None)
+        arrays, recon = _outputs_to_frame(
+            co_rows[i].reshape(R, C, 400),
+            md_h[i].reshape(R, C, 32).astype(np.int32),
+            ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
+        patched = _patch_intra_host(enc, arrays, recon, orig, qi)
+        results.append(finish_interframe(enc, header, arrays, recon, orig,
+                                         update))
+        if update:
+            ryi, rui, rvi = ry[i], ru[i], rv[i]
+            if patched:
+                import jax.numpy as jnp
+                rr = jnp.asarray([p[0] for p in patched])
+                cc = jnp.asarray([p[1] for p in patched])
+                yt = np.stack([recon.y[r * 16:(r + 1) * 16,
+                                       c * 16:(c + 1) * 16].reshape(256)
+                               for r, c in patched])
+                ut = np.stack([recon.u[r * 8:(r + 1) * 8,
+                                       c * 8:(c + 1) * 8].reshape(64)
+                               for r, c in patched])
+                vt = np.stack([recon.v[r * 8:(r + 1) * 8,
+                                       c * 8:(c + 1) * 8].reshape(64)
+                               for r, c in patched])
+                ryi = ryi.at[rr, cc].set(jnp.asarray(yt, jnp.uint8))
+                rui = rui.at[rr, cc].set(jnp.asarray(ut, jnp.uint8))
+                rvi = rvi.at[rr, cc].set(jnp.asarray(vt, jnp.uint8))
+            _cache_device_refs(enc, header, arrays, ryi, rui, rvi,
+                               interpret)
+    return results
+
+
 def encode_interframe_fast(encoder, yuv, quant_indices, update,
                            rebase_kf_header=None, interpret=False):
     """Encode one rt interframe with the split decision/dense pipeline."""

@@ -9,6 +9,7 @@ fragment + pace it out, and track receiver state from ACKs.
 Modes: "s2" (both speculative encodes in parallel threads), "s1" (lazy
 second encode), "conventional" (single encode, AIMD-ish quantizer control).
 """
+import os
 import socket as _socket
 import sys
 import threading
@@ -105,6 +106,7 @@ def do_encode_jobs_fused(jobs):
     every plane upload (salsify-sender.cc:490-518 runs them as two
     threads; on TPU the QP axis is data parallelism)."""
     from alfalfa_tpu.bitstream.header import QuantIndices
+    from alfalfa_tpu.encoder import encode_inter_fast
     from alfalfa_tpu.encoder.encode_inter_device import (
         encode_interframe_device_multiqp)
 
@@ -113,7 +115,11 @@ def do_encode_jobs_fused(jobs):
     qis = [j[3] for j in jobs]
     source_minihash = encoders[0].minihash()
     t0 = time.monotonic()
-    results = encode_interframe_device_multiqp(
+    fused = encode_interframe_device_multiqp
+    if (encode_inter_fast.enabled()
+            and all(e.quality == "rt" for e in encoders)):
+        fused = encode_inter_fast.encode_interframe_fast_multiqp
+    results = fused(
         encoders, raster, [QuantIndices(y_ac_qi=int(q)) for q in qis])
     ms = int((time.monotonic() - t0) * 1000)
     outs = []
@@ -143,6 +149,11 @@ class SalsifySender:
         self.drop_frames_while_busy = drop_frames_while_busy
 
         w, h = frame_input.display_width, frame_input.display_height
+        # real-time budget (33 ms at 720p, salsify-sender.cc:160-170):
+        # default the interframe encodes onto the fast split-pipeline
+        # device path (encoder/encode_inter_fast.py); set
+        # ALFALFA_FAST_INTER=0 to force the bit-exact raster kernel
+        os.environ.setdefault("ALFALFA_FAST_INTER", "1")
         base_encoder = Encoder(w, h, quality="rt")
         self.initial_state = base_encoder.minihash()
         self.encoders = {self.initial_state: base_encoder}

@@ -54,6 +54,37 @@ def test_fast_inter_decodes_exactly(size, qi, monkeypatch):
     _roundtrip(clip, w, h, qi, True, monkeypatch)
 
 
+def test_fast_inter_multiqp_decodes_exactly(monkeypatch):
+    """The fused speculative pair (one vmapped dispatch over the QP axis)
+    must produce two independently decode-exact streams."""
+    import copy
+    from alfalfa_tpu.bitstream.header import QuantIndices
+    from alfalfa_tpu.encoder.encode_inter_fast import (
+        encode_interframe_fast_multiqp)
+
+    monkeypatch.setenv("ALFALFA_FAST_INTER", "1")
+    w, h = 80, 48
+    clip = gen_clip(w, h, 3, seed=23)
+    enc = Encoder(w, h, device_encode=True, quality="rt")
+    kf = enc.encode_with_quantizer(clip[0], 60, key_frame=True)
+    encs = [enc, copy.deepcopy(enc)]
+    quants = [QuantIndices(y_ac_qi=56), QuantIndices(y_ac_qi=72)]
+    results = encode_interframe_fast_multiqp(encs, clip[1], quants)
+    assert len(results) == 2
+    for e, (payload, _q) in zip(encs, results):
+        dec = Decoder(w, h)
+        dec.decode_frame(kf)
+        dec.decode_frame(payload)
+        assert np.array_equal(np.asarray(dec.references.last.y),
+                              np.asarray(e.references.last.y))
+        assert np.array_equal(np.asarray(dec.references.last.u),
+                              np.asarray(e.references.last.u))
+        assert np.array_equal(np.asarray(dec.references.last.v),
+                              np.asarray(e.references.last.v))
+    # distinct quantizers must yield distinct streams
+    assert results[0][0] != results[1][0]
+
+
 def test_fast_inter_rd_parity(monkeypatch):
     """Sizes and SSIM vs the bit-exact rt encoder on the same clip."""
     w, h, qi = 80, 48, 56

@@ -36,9 +36,9 @@ def test_wavefront_pm_kernel_lowers():
     L = 2 * 16
     nd = 2 * (R - 1) + C
     z = lambda p: jax.ShapeDtypeStruct((nd, p, L), jnp.int16)
+    z2 = lambda p: jax.ShapeDtypeStruct((nd, p, 2 * L), jnp.int16)
     _export(lambda *a: WPM.wavefront_frame_batch_pm(*a, interpret=False),
-            z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
-            z(8))
+            z(256), z2(64), z(32), z(256), z(256), z2(64), z(8))
 
 
 def test_kf_encode_kernel_lowers():
@@ -71,6 +71,29 @@ def test_inter_encode_kernel_lowers(realtime, trellis):
             z((16,), jnp.int32), z((8,), jnp.int32), z((16,), jnp.int32),
             z((6, 4), jnp.int32), z((256,), jnp.int32),
             z((256,), jnp.int32), z((4, 1024), jnp.int32), *extra)
+
+
+def test_fast_inter_kernel_lowers():
+    """The fast rt path (decisions-only kernel + dense batched math,
+    encoder/encode_inter_fast.py) must cross-lower at QCIF and the 720p
+    bench geometry."""
+    from alfalfa_tpu.encoder.encode_inter_fast import _fast_raw
+    from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+    z = jax.ShapeDtypeStruct
+    for r_, c_ in ((R, C), (45, 80)):
+        h, w = r_ * 16, c_ * 16
+        ry = pack_refs32(pad_refs(jnp.zeros((h, w), jnp.uint8)))
+        ru = pack_refs32(pad_refs(jnp.zeros((h // 2, w // 2), jnp.uint8)))
+        f = _fast_raw(r_, c_, False, False)
+        _export(f,
+                z((r_, c_, 256), jnp.uint8),
+                z((r_, c_, 64), jnp.uint8), z((r_, c_, 64), jnp.uint8),
+                z(ry.shape, jnp.int32), z(ru.shape, jnp.int32),
+                z(ru.shape, jnp.int32),
+                z((16,), jnp.int32), z((8,), jnp.int32),
+                z((16,), jnp.int32), z((6, 4), jnp.int32),
+                z((256,), jnp.int32), z((256,), jnp.int32),
+                z((4, 1024), jnp.int32))
 
 
 def test_lf_pack_lowers(monkeypatch):
@@ -153,9 +176,9 @@ def test_wavefront_kernel_lowers_bench_geometry(G):
             z(256), z(64), z(64), z(32), z(256), z(256), z(64), z(64),
             z(8))
     zp = lambda p: jax.ShapeDtypeStruct((nd, p, GRp), jnp.int16)
+    zp2 = lambda p: jax.ShapeDtypeStruct((nd, p, 2 * GRp), jnp.int16)
     _export(lambda *a: WPM.wavefront_frame_batch_pm(*a, interpret=False),
-            zp(256), zp(64), zp(64), zp(32), zp(256), zp(256), zp(64),
-            zp(64), zp(8))
+            zp(256), zp2(64), zp(32), zp(256), zp(256), zp2(64), zp(8))
 
 
 @pytest.mark.slow
