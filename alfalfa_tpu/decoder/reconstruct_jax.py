@@ -563,18 +563,31 @@ def reconstruct_core_batch(mb_rows, mb_cols, n_gops, key_frame,
             (apply_f & masks["has_row"]).astype(jnp.int16),
         ], axis=prm_axis)
 
-        wavefront = (wavefront_pm.wavefront_frame_batch_pm if pm
-                     else wavefront_pallas.wavefront_frame_batch)
-        B_y, B_u, B_v = wavefront(
-            i16s(y_tiles[sl].reshape(gs, R, C, 256)),
-            i16s(u_tiles[sl].reshape(gs, R, C, 64)),
-            i16s(v_tiles[sl].reshape(gs, R, C, 64)),
-            prm,
-            i16s(res_y[sl].reshape(gs, R, C, 256)),
-            i16s(res[sl, :, :, 0:16].reshape(gs, R, C, 256)),
-            i16s(res_u[sl].reshape(gs, R, C, 64)),
-            i16s(res_v[sl].reshape(gs, R, C, 64)),
-            lfprm)
+        if pm:
+            # fused chroma: U and V ride one (nd, 64, 2L) slab
+            cat = lambda u, v: jnp.concatenate([u, v], axis=2)
+            B_y, B_uv = wavefront_pm.wavefront_frame_batch_pm(
+                i16s(y_tiles[sl].reshape(gs, R, C, 256)),
+                cat(i16s(u_tiles[sl].reshape(gs, R, C, 64)),
+                    i16s(v_tiles[sl].reshape(gs, R, C, 64))),
+                prm,
+                i16s(res_y[sl].reshape(gs, R, C, 256)),
+                i16s(res[sl, :, :, 0:16].reshape(gs, R, C, 256)),
+                cat(i16s(res_u[sl].reshape(gs, R, C, 64)),
+                    i16s(res_v[sl].reshape(gs, R, C, 64))),
+                lfprm)
+            B_u, B_v = B_uv[:, :, :L], B_uv[:, :, L:]
+        else:
+            B_y, B_u, B_v = wavefront_pallas.wavefront_frame_batch(
+                i16s(y_tiles[sl].reshape(gs, R, C, 256)),
+                i16s(u_tiles[sl].reshape(gs, R, C, 64)),
+                i16s(v_tiles[sl].reshape(gs, R, C, 64)),
+                prm,
+                i16s(res_y[sl].reshape(gs, R, C, 256)),
+                i16s(res[sl, :, :, 0:16].reshape(gs, R, C, 256)),
+                i16s(res_u[sl].reshape(gs, R, C, 64)),
+                i16s(res_v[sl].reshape(gs, R, C, 64)),
+                lfprm)
 
         def unskew(B, S):
             # inverse of the dense skew: transpose + reshape through the

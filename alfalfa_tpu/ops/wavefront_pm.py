@@ -241,10 +241,27 @@ def _bpred_tile(a16, ar4, e0, lcol, bm, rb, nz):
 # kernel phases
 # ---------------------------------------------------------------------------
 
-def _intra_phase(d, prm_ref, dy_ref, du_ref, dv_ref,
-                 r16_ref, rb_ref, ru_ref, rv_ref,
-                 ring_y, ring_u, ring_v, cs_y, cs_u, rep_y, rep_u):
-    """Intra-predict diagonal d into the ring (intra_pallas semantics)."""
+def _cat2(x):
+    """Duplicate along lanes for the fused-UV layout: (k, L) -> (k, 2L).
+    L is vreg-aligned in practice, so the concat is free tiling.  Mosaic
+    cannot relayout i1 vectors (bitcast_vreg i1->i32 fails), so boolean
+    masks ride the concat as int32 and are re-compared after."""
+    if x.dtype == jnp.bool_:
+        xi = x.astype(jnp.int32)
+        return jnp.concatenate([xi, xi], axis=-1) != 0
+    return jnp.concatenate([x, x], axis=-1)
+
+
+def _intra_phase(d, prm_ref, dy_ref, duv_ref,
+                 r16_ref, rb_ref, ruv_ref,
+                 ring_y, ring_uv, cs_y, cs_u, rep_y, rep_u):
+    """Intra-predict diagonal d into the ring (intra_pallas semantics).
+
+    U and V ride ONE (64, 2L) slab (lane = plane*L + storage row): the
+    chroma prediction/filter math runs once over both planes.  Lane
+    shifts crossing the plane boundary land on a frame's row-0 lane,
+    which has_row already masks — the same mechanism that isolates the
+    folded GOP batch."""
     pm = prm_ref[0].astype(jnp.int32)              # (32, L)
     col = lambda k: pm[k:k + 1]
     ymode, uvmode = col(0), col(1)
@@ -256,8 +273,7 @@ def _intra_phase(d, prm_ref, dy_ref, du_ref, dv_ref,
     any_b = jnp.any(write & (ymode == B_PRED))
 
     cur_y = dy_ref[0].astype(jnp.int32)
-    cur_u = du_ref[0].astype(jnp.int32)
-    cur_v = dv_ref[0].astype(jnp.int32)
+    cur_uv = duv_ref[0].astype(jnp.int32)          # (64, 2L)
 
     s1, s2, s3 = (d + RING - 1) % RING, (d + RING - 2) % RING, \
         (d + RING - 3) % RING
@@ -270,17 +286,13 @@ def _intra_phase(d, prm_ref, dy_ref, du_ref, dv_ref,
     ar_row = _shift_lanes(ring_y[s1][240:244].astype(jnp.int32))
     al_c = _shift_lanes(ring_y[s3][248:256].astype(jnp.int32))[7:8]
     lcol_raw = _mm(cs_y, ring_y[s1])               # (16, L)
-    abv_u = _shift_lanes(ring_u[s2][56:64].astype(jnp.int32))
-    al_u = _shift_lanes(ring_u[s3][56:64].astype(jnp.int32))[7:8]
-    lcol_u = _mm(cs_u, ring_u[s1])
-    abv_v = _shift_lanes(ring_v[s2][56:64].astype(jnp.int32))
-    al_v = _shift_lanes(ring_v[s3][56:64].astype(jnp.int32))[7:8]
-    lcol_v = _mm(cs_u, ring_v[s1])
+    abv_uv = _shift_lanes(ring_uv[s2][56:64].astype(jnp.int32))
+    al_uv = _shift_lanes(ring_uv[s3][56:64].astype(jnp.int32))[7:8]
+    lcol_uv = _mm(cs_u, ring_uv[s1])               # (8, 2L)
 
     r16 = r16_ref[0].astype(jnp.int32)
     rb = rb_ref[0].astype(jnp.int32)
-    ru = ru_ref[0].astype(jnp.int32)
-    rv = rv_ref[0].astype(jnp.int32)
+    ruv = ruv_ref[0].astype(jnp.int32)
 
     def compute(_):
         a16 = jnp.where(hrow, abv_row, 127)
@@ -298,24 +310,21 @@ def _intra_phase(d, prm_ref, dy_ref, du_ref, dv_ref,
             lambda x: x, whole)
         new_y = jnp.where((ymode == B_PRED), bt, whole)
 
-        def chroma(abv, al2, lraw, res):
-            a8 = jnp.where(hrow, abv, 127)
-            ce0 = jnp.where(hrow & hcol, al2, jnp.where(hrow, 129, 127))
-            cl = jnp.where(hcol, lraw, 129)
-            p = _whole_predict(a8, cl, ce0, hrow, hcol, uvmode, 8, rep_u)
-            return jnp.clip(p + jnp.where(nz, res, 0), 0, 255)
-
-        new_u = chroma(abv_u, al_u, lcol_u, ru)
-        new_v = chroma(abv_v, al_v, lcol_v, rv)
+        hrow2, hcol2 = _cat2(hrow), _cat2(hcol)
+        a8 = jnp.where(hrow2, abv_uv, 127)
+        ce0 = jnp.where(hrow2 & hcol2, al_uv,
+                        jnp.where(hrow2, 129, 127))
+        cl = jnp.where(hcol2, lcol_uv, 129)
+        p = _whole_predict(a8, cl, ce0, hrow2, hcol2, _cat2(uvmode), 8,
+                           rep_u)
+        new_uv = jnp.clip(p + jnp.where(_cat2(nz), ruv, 0), 0, 255)
         return (jnp.where(write, new_y, cur_y),
-                jnp.where(write, new_u, cur_u),
-                jnp.where(write, new_v, cur_v))
+                jnp.where(_cat2(write), new_uv, cur_uv))
 
-    out_y, out_u, out_v = jax.lax.cond(
-        any_intra, compute, lambda _: (cur_y, cur_u, cur_v), 0)
+    out_y, out_uv = jax.lax.cond(
+        any_intra, compute, lambda _: (cur_y, cur_uv), 0)
     ring_y[d % RING] = out_y.astype(jnp.int16)
-    ring_u[d % RING] = out_u.astype(jnp.int16)
-    ring_v[d % RING] = out_v.astype(jnp.int16)
+    ring_uv[d % RING] = out_uv.astype(jnp.int16)
 
 
 def _edge(groups, limit, blimit, thresh, mb_edge, do):
@@ -338,15 +347,12 @@ def _edge(groups, limit, blimit, thresh, mb_edge, do):
     return out
 
 
-def _lf_phase(e, lfprm_ref, tp, ring, S):
+def _lf_phase(e, prms, tp, ring, S):
     """Loop-filter diagonal e (reference pass order loopfilter.cc:133-154:
-    MB left edge, interior V edges, MB top edge, interior H edges)."""
-    p = lfprm_ref[0].astype(jnp.int32)     # (8, L)
-    col = lambda k: p[k:k + 1]
-    interior, mb_lim, sb_lim, hev_t = col(1), col(2), col(3), col(4)
-    do_sb = col(5) != 0
-    do_left = col(6) != 0
-    do_top = col(7) != 0
+    MB left edge, interior V edges, MB top edge, interior H edges).
+    prms: pre-extracted (interior, mb_lim, sb_lim, hev_t, do_sb, do_left,
+    do_top), each (1, lanes-of-ring)."""
+    interior, mb_lim, sb_lim, hev_t, do_sb, do_left, do_top = prms
 
     se, s1, s2 = e % RING, (e + RING - 1) % RING, (e + RING - 2) % RING
     cur = ring[se].astype(jnp.int32)       # (P, L)
@@ -395,41 +401,45 @@ def _lf_phase(e, lfprm_ref, tp, ring, S):
 
 def _wave_kernel(nd, prm_ref, lfprm_ref, tpy_ref, tpu_ref,
                  csy_ref, csu_ref, repy_ref, repu_ref,
-                 dy_ref, du_ref, dv_ref, r16_ref, rb_ref, ru_ref, rv_ref,
-                 oy_ref, ou_ref, ov_ref,
-                 ring_y, ring_u, ring_v):
+                 dy_ref, duv_ref, r16_ref, rb_ref, ruv_ref,
+                 oy_ref, ouv_ref,
+                 ring_y, ring_uv):
     d = pl.program_id(0)
 
     @pl.when(d < nd)
     def _():
-        _intra_phase(d, prm_ref, dy_ref, du_ref, dv_ref,
-                     r16_ref, rb_ref, ru_ref, rv_ref,
-                     ring_y, ring_u, ring_v,
+        _intra_phase(d, prm_ref, dy_ref, duv_ref,
+                     r16_ref, rb_ref, ruv_ref,
+                     ring_y, ring_uv,
                      csy_ref[...], csu_ref[...], repy_ref[...], repu_ref[...])
 
     @pl.when((d >= 3) & (d < nd + 3))
     def _():
         e = d - 3
-        _lf_phase(e, lfprm_ref, tpy_ref[...], ring_y, 16)
-        _lf_phase(e, lfprm_ref, tpu_ref[...], ring_u, 8)
-        _lf_phase(e, lfprm_ref, tpu_ref[...], ring_v, 8)
+        p = lfprm_ref[0].astype(jnp.int32)     # (8, L)
+        col = lambda k: p[k:k + 1]
+        prms = (col(1), col(2), col(3), col(4),
+                col(5) != 0, col(6) != 0, col(7) != 0)
+        _lf_phase(e, prms, tpy_ref[...], ring_y, 16)
+        _lf_phase(e, tuple(_cat2(x) for x in prms), tpu_ref[...],
+                  ring_uv, 8)
 
     # emit diagonal d-5 (final after LF(d-3) touched it as "top")
     oy_ref[0] = ring_y[(d - 5) % RING]
-    ou_ref[0] = ring_u[(d - 5) % RING]
-    ov_ref[0] = ring_v[(d - 5) % RING]
+    ouv_ref[0] = ring_uv[(d - 5) % RING]
 
 
-def wavefront_frame_batch_pm(dy, du, dv, prm, r16, rb, ru, rv, lfprm,
+def wavefront_frame_batch_pm(dy, duv, prm, r16, rb, ruv, lfprm,
                              interpret=None):
     """Run the merged intra + loop-filter wavefront, pixel-major.
 
-    dy/du/dv: (n_diags, P, L) int16 stage-B tiles — PIXEL index on the
-    sublane axis, storage rows (GOP batch folded: L = G * R_pad) on lanes;
+    dy: (n_diags, 256, L) int16 stage-B luma tiles — PIXEL index on the
+    sublane axis, storage rows (GOP batch folded: L = G * R_pad) on
+    lanes; duv: (n_diags, 64, 2L) fused chroma (lane = plane*L + row);
     prm: (n_diags, 32, L) int16 (intra param words on sublanes); r16/rb:
-    (n_diags, 256, L) Y residuals (assembled / subblock layouts); ru/rv
-    chroma; lfprm: (n_diags, 8, L).  Returns the decoded + filtered
-    (n_diags, P, L) planes.
+    (n_diags, 256, L) Y residuals (assembled / subblock layouts); ruv:
+    (n_diags, 64, 2L); lfprm: (n_diags, 8, L).  Returns the decoded +
+    filtered luma (n_diags, 256, L) and fused chroma (n_diags, 64, 2L).
 
     interpret=None autodetects: off-TPU the kernel runs in Pallas
     interpret mode so the TPU decode path is testable anywhere.
@@ -448,22 +458,26 @@ def wavefront_frame_batch_pm(dy, du, dv, prm, r16, rb, ru, rv, lfprm,
         (1, P, L), lambda d: (jnp.maximum(d - 5, 0), 0, 0),
         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    at2 = lambda P: pl.BlockSpec(
+        (1, P, 2 * L), lambda d: (jnp.minimum(d, nd - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out2 = pl.BlockSpec(
+        (1, 64, 2 * L), lambda d: (jnp.maximum(d - 5, 0), 0, 0),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_wave_kernel, nd),
         grid=(n_steps,),
         in_specs=[at_d(32), at_lf, full, full, full, full, full, full,
-                  at_d(256), at_d(64), at_d(64),
-                  at_d(256), at_d(256), at_d(64), at_d(64)],
-        out_specs=(out_at(256), out_at(64), out_at(64)),
+                  at_d(256), at2(64),
+                  at_d(256), at_d(256), at2(64)],
+        out_specs=(out_at(256), out2),
         out_shape=(jax.ShapeDtypeStruct((nd, 256, L), jnp.int16),
-                   jax.ShapeDtypeStruct((nd, 64, L), jnp.int16),
-                   jax.ShapeDtypeStruct((nd, 64, L), jnp.int16)),
+                   jax.ShapeDtypeStruct((nd, 64, 2 * L), jnp.int16)),
         scratch_shapes=[pltpu.VMEM((RING, 256, L), jnp.int16),
-                        pltpu.VMEM((RING, 64, L), jnp.int16),
-                        pltpu.VMEM((RING, 64, L), jnp.int16)],
+                        pltpu.VMEM((RING, 64, 2 * L), jnp.int16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(prm.astype(jnp.int16), lfprm.astype(jnp.int16),
       _t_perm(16), _t_perm(8), _colsel(16, 15), _colsel(8, 7),
-      _rep_mat(16), _rep_mat(8), dy, du, dv, r16, rb, ru, rv)
+      _rep_mat(16), _rep_mat(8), dy, duv, r16, rb, ruv)

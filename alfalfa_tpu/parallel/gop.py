@@ -1064,7 +1064,13 @@ class BatchedGopDecoder:
         thread parses i+1 — wall time per step becomes
         max(parse, upload+dispatch) instead of their sum.  On a 1-core
         host the worker's device_put mostly waits on the interconnect
-        with the GIL released, so the overlap is real."""
+        with the GIL released, so the overlap is real.
+
+        Axon caveat: a FIRST-EVER jit compile issued from the worker
+        thread wedges the tunnel client (dispatch "succeeds" but fetches
+        of its outputs never complete).  Callers on the axon backend
+        should run one decode_frame_batch pass first so the step jits
+        compile on the main thread (bench.py does)."""
         from concurrent.futures import ThreadPoolExecutor
 
         def submit(key_frame, batch, show):
