@@ -201,12 +201,139 @@ def _patch_intra_host(encoder, arrays, recon, orig, quant_indices):
     if not intra.any():
         return patched
     planes = (orig.y, orig.u, orig.v)
+    skip_bpred = os.environ.get("ALFALFA_FAST_BPRED", "0") != "1"
     for r, c in zip(*np.nonzero(intra)):
         encode_intra_mb(planes, recon, arrays, int(r), int(c), q,
-                        rate_mult, dist_mult, interframe=True)
+                        rate_mult, dist_mult, interframe=True,
+                        skip_bpred=skip_bpred)
         arrays.ref[r, c] = T.CURRENT_FRAME
         patched.append((int(r), int(c)))
     return patched
+
+
+_LF_CACHE = {}
+
+
+def _lf_filter_and_pack_fn(R, C, interpret):
+    """Jitted: loop-filter the device recon tiles at the given level and
+    return BOTH the filtered (H, W) planes (the next host-visible
+    reference, materialized lazily by Raster.to_host) and the padded+
+    packed MC layout (the next frame's on-device reference) — one filter
+    pass, zero host round trips."""
+    key = (R, C, interpret)
+    if key in _LF_CACHE:
+        return _LF_CACHE[key]
+    import jax
+    from alfalfa_tpu.decoder import reconstruct_jax as RJ
+    from alfalfa_tpu.ops.sixtap_pallas import pad_refs, pack_refs32
+
+    def f(ry_t, ru_t, rv_t, lf_params):
+        on_tpu = jax.default_backend() == "tpu" and not interpret
+        y, u, v = RJ.loopfilter_tiles(ry_t, ru_t, rv_t, lf_params, R, C,
+                                      on_tpu=on_tpu)
+        return (y, u, v, pack_refs32(pad_refs(y)), pack_refs32(pad_refs(u)),
+                pack_refs32(pad_refs(v)))
+
+    fn = f if interpret else jax.jit(f)
+    _LF_CACHE[key] = fn
+    return fn
+
+
+# steady-state frames reuse the previous loop-filter level (the
+# reference persists it under REALTIME_QUALITY, encoder.cc:164-166);
+# every Nth frame re-climbs +-1 on host to track content drift
+_LF_RECLIMB_PERIOD = 16
+
+
+def _finish_fast(encoder, header, arrays, recon, orig, update,
+                 ry, ru, rv, interpret):
+    """finish_interframe with the loop-filter stage on DEVICE: reuses the
+    persisted rt filter level, filters the (scatter-patched) device recon
+    once, and arms both the host-visible reference Raster (device-backed,
+    lazy) and the packed device reference — the host never filters or
+    SSIMs in steady state.  Falls back to the host search on re-climb
+    frames and whenever segmentation is active."""
+    import numpy as np_
+    import jax.numpy as jnp
+    from alfalfa_tpu.util import tracing
+    from alfalfa_tpu.decoder import reconstruct_jax as RJ
+    from alfalfa_tpu.state.decoder_state import (DecoderState, Raster,
+                                                 FilterAdjustments)
+
+    W, H = encoder.width, encoder.height
+    R, C = encoder.mb_rows, encoder.mb_cols
+    nframe = getattr(encoder, "_fast_frame_no", 0)
+    encoder._fast_frame_no = nframe + 1
+    reclimb = (encoder.last_loop_filter_level is None
+               or nframe % _LF_RECLIMB_PERIOD == 0
+               or encoder.state.segmentation is not None)
+    if reclimb:
+        return finish_interframe(encoder, header, arrays, recon, orig,
+                                 update)
+
+    from .encoder import calc_prob, worker_pool
+    from .serializer import count_token_branches, optimize_token_probs
+    from alfalfa_tpu.bitstream.header import ModeRefLFDeltaUpdate
+
+    refs = encoder.references
+    no_skip = int(arrays.has_nonzero.sum())
+    header.prob_skip_false = calc_prob(no_skip, arrays.has_nonzero.size)
+    arrays.skip_coeff[:] = ~arrays.has_nonzero
+
+    n_intra = int((arrays.ref == T.CURRENT_FRAME).sum())
+    n_last = int((arrays.ref == T.LAST_FRAME).sum())
+    total = arrays.ref.size
+    p = calc_prob(n_intra, total)
+    if p > 0:
+        header.prob_inter = p
+    p = calc_prob(n_last, n_last)
+    if p > 0:
+        header.prob_references_last = p
+
+    counts_f = worker_pool().submit(count_token_branches, arrays)
+
+    header.mode_lf_adjustments_enabled = True
+    header.mode_lf_adjustments = ModeRefLFDeltaUpdate([0] * 4, [0] * 4)
+    lf_level = encoder.last_loop_filter_level
+    header.loop_filter_level = lf_level
+    with tracing.stage("enc.fast_lf_device"):
+        state_view = DecoderState(W, H, encoder.state.probability_tables,
+                                  None, FilterAdjustments.create(header))
+        lf_params = RJ._frame_lf_params(header, arrays, state_view,
+                                        key_frame=False)
+        fy, fu, fv, py, pu, pv = _lf_filter_and_pack_fn(R, C, interpret)(
+            ry, ru, rv,
+            tuple(jnp.asarray(np_.asarray(x)) for x in lf_params))
+    filtered = Raster(W, H, fy, fu, fv)
+
+    with tracing.stage("enc.if_counts_join"):
+        counts = counts_f.result()
+    header.token_prob_update = optimize_token_probs(
+        counts, encoder.state.probability_tables.coeff_probs)
+    frame_probs = encoder.state.probability_tables.copy()
+    frame_probs.update(header)
+
+    from .serializer import serialize_frame
+    with tracing.stage("enc.if_serialize"):
+        payload = serialize_frame(header, arrays, frame_probs, False, W, H)
+    quality = encoder.last_ssim   # steady state reuses the last score
+
+    if update:
+        encoder.state.probability_tables = frame_probs.copy()
+        encoder.state.filter_adjustments = FilterAdjustments.create(header)
+        if header.update_segmentation is None:
+            encoder.state.segmentation = None
+        refs.last = filtered
+        if header.refresh_golden_frame:
+            refs.golden = filtered
+        if header.refresh_alternate_frame:
+            refs.alternative = filtered
+        encoder.last_loop_filter_level = lf_level
+        if (header.update_segmentation is None
+                and encoder.state.segmentation is None):
+            encoder._dev_refs = (py, pu, pv)
+            encoder._dev_refs_for = refs.last
+    return payload, quality
 
 
 def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
@@ -259,26 +386,13 @@ def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
             md_h[i].reshape(R, C, 32).astype(np.int32),
             ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
         patched = _patch_intra_host(enc, arrays, recon, orig, qi)
-        results.append(finish_interframe(enc, header, arrays, recon, orig,
-                                         update))
-        if update:
-            ryi, rui, rvi = ry[i], ru[i], rv[i]
-            if patched:
-                import jax.numpy as jnp
-                rr = jnp.asarray([p[0] for p in patched])
-                cc = jnp.asarray([p[1] for p in patched])
-                yt = np.stack([recon.y[r * 16:(r + 1) * 16,
-                                       c * 16:(c + 1) * 16].reshape(256)
-                               for r, c in patched])
-                ut = np.stack([recon.u[r * 8:(r + 1) * 8,
-                                       c * 8:(c + 1) * 8].reshape(64)
-                               for r, c in patched])
-                vt = np.stack([recon.v[r * 8:(r + 1) * 8,
-                                       c * 8:(c + 1) * 8].reshape(64)
-                               for r, c in patched])
-                ryi = ryi.at[rr, cc].set(jnp.asarray(yt, jnp.uint8))
-                rui = rui.at[rr, cc].set(jnp.asarray(ut, jnp.uint8))
-                rvi = rvi.at[rr, cc].set(jnp.asarray(vt, jnp.uint8))
+        ryi, rui, rvi = ry[i], ru[i], rv[i]
+        if patched:
+            ryi, rui, rvi = _scatter_patches(recon, patched, ryi, rui, rvi)
+        results.append(_finish_fast(enc, header, arrays, recon, orig,
+                                    update, ryi, rui, rvi, interpret))
+        if update and getattr(enc, "_dev_refs_for", None) \
+                is not enc.references.last:
             _cache_device_refs(enc, header, arrays, ryi, rui, rvi,
                                interpret)
     return results
@@ -323,25 +437,36 @@ def encode_interframe_fast(encoder, yuv, quant_indices, update,
                                           R, C, W, H)
         patched = _patch_intra_host(encoder, arrays, recon, orig,
                                     quant_indices)
-        out = finish_interframe(encoder, header, arrays, recon, orig,
-                                update)
-    if update:
+        if patched:
+            ry, ru, rv = _scatter_patches(recon, patched, ry, ru, rv)
+        out = _finish_fast(encoder, header, arrays, recon, orig, update,
+                           ry, ru, rv, interpret)
+    if update and getattr(encoder, "_dev_refs_for", None) \
+            is not encoder.references.last:
+        # re-climb frames fall back to finish_interframe, which does not
+        # arm the device reference cache — do it here
         with tracing.stage("enc.fast_refcache"):
-            if patched:
-                rr = jnp.asarray([p[0] for p in patched])
-                cc = jnp.asarray([p[1] for p in patched])
-                yt = np.stack([recon.y[r * 16:(r + 1) * 16,
-                                       c * 16:(c + 1) * 16].reshape(256)
-                               for r, c in patched])
-                ut = np.stack([recon.u[r * 8:(r + 1) * 8,
-                                       c * 8:(c + 1) * 8].reshape(64)
-                               for r, c in patched])
-                vt = np.stack([recon.v[r * 8:(r + 1) * 8,
-                                       c * 8:(c + 1) * 8].reshape(64)
-                               for r, c in patched])
-                ry = ry.at[rr, cc].set(jnp.asarray(yt, jnp.uint8))
-                ru = ru.at[rr, cc].set(jnp.asarray(ut, jnp.uint8))
-                rv = rv.at[rr, cc].set(jnp.asarray(vt, jnp.uint8))
             _cache_device_refs(encoder, header, arrays, ry, ru, rv,
                                interpret)
     return out
+
+
+def _scatter_patches(recon, patched, ry, ru, rv):
+    """Scatter the host-re-encoded intra MB tiles back into the device
+    reconstruction so the on-device loop filter / reference cache sees
+    decode-exact pixels."""
+    import jax.numpy as jnp
+    rr = jnp.asarray([p[0] for p in patched])
+    cc = jnp.asarray([p[1] for p in patched])
+    yt = np.stack([recon.y[r * 16:(r + 1) * 16,
+                           c * 16:(c + 1) * 16].reshape(256)
+                   for r, c in patched])
+    ut = np.stack([recon.u[r * 8:(r + 1) * 8,
+                           c * 8:(c + 1) * 8].reshape(64)
+                   for r, c in patched])
+    vt = np.stack([recon.v[r * 8:(r + 1) * 8,
+                           c * 8:(c + 1) * 8].reshape(64)
+                   for r, c in patched])
+    return (ry.at[rr, cc].set(jnp.asarray(yt, jnp.uint8)),
+            ru.at[rr, cc].set(jnp.asarray(ut, jnp.uint8)),
+            rv.at[rr, cc].set(jnp.asarray(vt, jnp.uint8)))

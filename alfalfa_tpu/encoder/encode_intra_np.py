@@ -46,10 +46,15 @@ def _predict_b(plane, col4, row4, mode):
 
 
 def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
-                    interframe=False, bmode_costs_ctx=None, trellis=None):
+                    interframe=False, bmode_costs_ctx=None, trellis=None,
+                    skip_bpred=False):
     """Encode one intra macroblock against the current reconstruction;
     writes coefficients/modes into ``arrays`` and the reconstructed pixels
-    into ``recon`` (the decoder-identical reconstruction)."""
+    into ``recon`` (the decoder-identical reconstruction).
+
+    skip_bpred: evaluate only the four whole-MB modes (the fast rt
+    interframe path's latency trade — the 16-subblock B_PRED search is
+    ~10x the cost of the whole-mode scan; encode_inter_fast.py)."""
     oy, ou, ov = orig
     mode_cost_idx = 1 if interframe else 0
 
@@ -60,7 +65,7 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
     bpred_modes = np.zeros((4, 4), np.int8)
     saved_y = recon.y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16].copy()
 
-    for sr in range(4):
+    for sr in range(0 if skip_bpred else 4):
         for sc in range(4):
             col4, row4 = c * 4 + sc, r * 4 + sr
             osb = oy[row4 * 4:row4 * 4 + 4, col4 * 4:col4 * 4 + 4]
@@ -111,7 +116,8 @@ def encode_intra_mb(orig, recon, arrays, r, c, q, rate_mult, dist_mult,
             blk[:] = pred
             R.idct_add(dq, blk)
 
-    bpred_cost = rdcost(bpred_rate, bpred_dist, rate_mult, dist_mult)
+    bpred_cost = (1 << 62 if skip_bpred
+                  else rdcost(bpred_rate, bpred_dist, rate_mult, dist_mult))
     bpred_recon = recon.y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16].copy()
     recon.y[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = saved_y
 
