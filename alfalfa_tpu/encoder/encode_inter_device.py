@@ -23,6 +23,7 @@ from .encode_inter_np import (MVComponentCostTable, SAD_PER_BIT16,
                               finish_interframe)
 
 _FN_CACHE = {}
+_TABLE_CACHE = {}
 
 
 def _ps_rowperm(S):
@@ -115,27 +116,33 @@ def _kernel_inputs(encoder, yuv, interpret):
         refu_p = pack_refs32(pad_refs(jnp.asarray(refs.last.u)))
         refv_p = pack_refs32(pad_refs(jnp.asarray(refs.last.v)))
 
-    costs = _tables()
-    mbc = np.zeros(8, np.int32)
-    mbc[:5] = np.asarray(costs.mbmode_costs[1][:5], np.int64)
-    ibc = np.zeros(16, np.int32)
-    ibc[:10] = np.asarray(costs.inter_bmode_costs, np.int64)
-    mvc2p = np.asarray(T.MV_COUNTS_TO_PROBS, np.int32)
-    pcost = np.asarray(PROB_COST, np.int32)
-    sadcost = np.asarray(_MV_SAD_COST, np.int32)
-    mv_table = MVComponentCostTable(
-        encoder.state.probability_tables.mv_probs)
-    mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
-
-    # planes + cost tables ride ONE packed H2D transfer (util/xfer.py):
-    # nine separate device_puts paid ~3 ms per-transfer overhead each at
-    # the tunnel median
     from alfalfa_tpu.util.xfer import put_packed
-    (oy_d, ou_d, ov_d, mbc_d, ibc_d, mvc2p_d, pcost_d, sadcost_d,
-     mvcost_d) = put_packed((oy_u8, ou_u8, ov_u8,
-                             mbc, ibc, mvc2p, pcost, sadcost, mvcost))
-    return orig, (oy_d, ou_d, ov_d, refy_p, refu_p, refv_p), \
-        (mbc_d, ibc_d, mvc2p_d, pcost_d, sadcost_d, mvcost_d)
+    # the rd/census/prob-cost tables are per-STATE constants: everything
+    # but mvcost is compile-time static, and mvcost depends only on the
+    # persistent MV probabilities (which our encoder never updates
+    # in-stream).  Upload once per distinct mv_probs content and keep the
+    # device handles — per-frame H2D then carries only the source planes.
+    mvp = np.asarray(encoder.state.probability_tables.mv_probs)
+    tkey = mvp.tobytes()
+    cached = _TABLE_CACHE.get(tkey)
+    if cached is None:
+        costs = _tables()
+        mbc = np.zeros(8, np.int32)
+        mbc[:5] = np.asarray(costs.mbmode_costs[1][:5], np.int64)
+        ibc = np.zeros(16, np.int32)
+        ibc[:10] = np.asarray(costs.inter_bmode_costs, np.int64)
+        mvc2p = np.asarray(T.MV_COUNTS_TO_PROBS, np.int32)
+        pcost = np.asarray(PROB_COST, np.int32)
+        sadcost = np.asarray(_MV_SAD_COST, np.int32)
+        mv_table = MVComponentCostTable(
+            encoder.state.probability_tables.mv_probs)
+        mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
+        cached = put_packed((mbc, ibc, mvc2p, pcost, sadcost, mvcost))
+        _TABLE_CACHE.clear()     # one entry: states share mv_probs
+        _TABLE_CACHE[tkey] = cached
+
+    oy_d, ou_d, ov_d = put_packed((oy_u8, ou_u8, ov_u8))
+    return orig, (oy_d, ou_d, ov_d, refy_p, refu_p, refv_p), cached
 
 
 def _scalars_for(quant_indices):

@@ -388,7 +388,8 @@ def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
         patched = _patch_intra_host(enc, arrays, recon, orig, qi)
         ryi, rui, rvi = ry[i], ru[i], rv[i]
         if patched:
-            ryi, rui, rvi = _scatter_patches(recon, patched, ryi, rui, rvi)
+            ryi, rui, rvi = _scatter_patches(recon, patched, ryi, rui, rvi,
+                                             interpret)
         results.append(_finish_fast(enc, header, arrays, recon, orig,
                                     update, ryi, rui, rvi, interpret))
         if update and getattr(enc, "_dev_refs_for", None) \
@@ -438,7 +439,8 @@ def encode_interframe_fast(encoder, yuv, quant_indices, update,
         patched = _patch_intra_host(encoder, arrays, recon, orig,
                                     quant_indices)
         if patched:
-            ry, ru, rv = _scatter_patches(recon, patched, ry, ru, rv)
+            ry, ru, rv = _scatter_patches(recon, patched, ry, ru, rv,
+                                          interpret)
         out = _finish_fast(encoder, header, arrays, recon, orig, update,
                            ry, ru, rv, interpret)
     if update and getattr(encoder, "_dev_refs_for", None) \
@@ -451,22 +453,57 @@ def encode_interframe_fast(encoder, yuv, quant_indices, update,
     return out
 
 
-def _scatter_patches(recon, patched, ry, ru, rv):
+_SCATTER_CACHE = {}
+_SCATTER_BUCKETS = (64, 512, 4096)
+
+
+def _scatter_fn(K, interpret):
+    """Jitted fixed-capacity tile scatter: variable-length eager scatters
+    would trigger a fresh (remote, multi-second) XLA compile per distinct
+    intra-MB count — pad to one of three capacity buckets instead and
+    mask the padding by writing back the gathered original tiles."""
+    key = (K, interpret)
+    if key in _SCATTER_CACHE:
+        return _SCATTER_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    def f(ry, ru, rv, idx, px):
+        rr, cc = idx[:, 0], idx[:, 1]
+        valid = idx[:, 2:3] != 0
+        yt = jnp.where(valid, px[:, :256], ry[rr, cc])
+        ut = jnp.where(valid, px[:, 256:320], ru[rr, cc])
+        vt = jnp.where(valid, px[:, 320:384], rv[rr, cc])
+        return (ry.at[rr, cc].set(yt.astype(jnp.uint8)),
+                ru.at[rr, cc].set(ut.astype(jnp.uint8)),
+                rv.at[rr, cc].set(vt.astype(jnp.uint8)))
+
+    fn = f if interpret else jax.jit(f)
+    _SCATTER_CACHE[key] = fn
+    return fn
+
+
+def _scatter_patches(recon, patched, ry, ru, rv, interpret=False):
     """Scatter the host-re-encoded intra MB tiles back into the device
     reconstruction so the on-device loop filter / reference cache sees
     decode-exact pixels."""
     import jax.numpy as jnp
-    rr = jnp.asarray([p[0] for p in patched])
-    cc = jnp.asarray([p[1] for p in patched])
-    yt = np.stack([recon.y[r * 16:(r + 1) * 16,
-                           c * 16:(c + 1) * 16].reshape(256)
-                   for r, c in patched])
-    ut = np.stack([recon.u[r * 8:(r + 1) * 8,
-                           c * 8:(c + 1) * 8].reshape(64)
-                   for r, c in patched])
-    vt = np.stack([recon.v[r * 8:(r + 1) * 8,
-                           c * 8:(c + 1) * 8].reshape(64)
-                   for r, c in patched])
-    return (ry.at[rr, cc].set(jnp.asarray(yt, jnp.uint8)),
-            ru.at[rr, cc].set(jnp.asarray(ut, jnp.uint8)),
-            rv.at[rr, cc].set(jnp.asarray(vt, jnp.uint8)))
+    n = len(patched)
+    K = next(b for b in _SCATTER_BUCKETS if b >= n)
+    idx = np.zeros((K, 3), np.int32)
+    px = np.zeros((K, 384), np.uint8)
+    for i, (r, c) in enumerate(patched):
+        idx[i] = (r, c, 1)
+        px[i, :256] = recon.y[r * 16:(r + 1) * 16,
+                              c * 16:(c + 1) * 16].reshape(256)
+        px[i, 256:320] = recon.u[r * 8:(r + 1) * 8,
+                                 c * 8:(c + 1) * 8].reshape(64)
+        px[i, 320:384] = recon.v[r * 8:(r + 1) * 8,
+                                 c * 8:(c + 1) * 8].reshape(64)
+    # padding duplicates a REAL entry: XLA scatter order for duplicate
+    # indices is undefined, so every duplicate must carry identical data
+    # (a (0,0,invalid) pad row would race a genuine patch of MB (0,0))
+    idx[n:] = idx[0]
+    px[n:] = px[0]
+    return _scatter_fn(K, interpret)(ry, ru, rv, jnp.asarray(idx),
+                                     jnp.asarray(px))

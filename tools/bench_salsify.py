@@ -74,10 +74,49 @@ def run(fast, fused=False, n=N):
     return p50, p95
 
 
+def run_kernel_only(n=N):
+    """Isolate the device dispatch: time the jitted fast_fn alone,
+    fencing each iteration with a scalar fetch (the only trustworthy
+    fence over the axon tunnel — ROUND4.md tunnel facts)."""
+    os.environ["ALFALFA_FAST_INTER"] = "1"
+    import numpy as np
+    import jax.numpy as jnp
+    from alfalfa_tpu.encoder import Encoder
+    from alfalfa_tpu.encoder.encode_inter_fast import _fast_fn
+    from alfalfa_tpu.encoder.encode_inter_device import (_kernel_inputs,
+                                                         _scalars_for)
+    from alfalfa_tpu.bitstream.header import QuantIndices
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests", "fixtures"))
+    from gen_inputs import gen_clip
+
+    clip = list(gen_clip(W, H, 2, seed=11))
+    enc = Encoder(W, H, device_encode=True, quality="rt")
+    enc.encode_with_quantizer(clip[0], QI, key_frame=True)
+    qi = QuantIndices(y_ac_qi=QI)
+    orig, planes, tables = _kernel_inputs(enc, clip[1], False)
+    scalars = jnp.asarray(_scalars_for(qi))
+    fn = _fast_fn(enc.mb_rows, enc.mb_cols, False)
+    out = fn(*planes, scalars, *tables)       # compile
+    float(jnp.ravel(out[2])[0])
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*planes, scalars, *tables)
+        _ = float(jnp.ravel(out[2])[0])       # fence
+        times.append((time.perf_counter() - t0) * 1000)
+    p50, p95 = np.percentile(times, [50, 95])
+    print(f"salsify 720p kernel-only: p50={p50:.1f} ms p95={p95:.1f} ms "
+          f"min={min(times):.1f} (n={n}; includes one ~30 ms tunnel "
+          f"fetch RTT)", flush=True)
+
+
 if __name__ == "__main__":
     import jax
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if which in ("all", "kernel"):
+        run_kernel_only(max(6, N // 2))
     if which in ("all", "fast"):
         run(fast=True)
     if which in ("all", "fused"):
