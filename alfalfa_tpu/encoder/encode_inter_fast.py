@@ -68,19 +68,23 @@ def _blocks_of(diff, S):
         .reshape(R, C, n * n, 4, 4)
 
 
-def _fast_raw(R, C, interpret, sparse):
+def _fast_raw(R, C, interpret, sparse, fixup=True):
     """Un-jitted fast-path function; same signature family as
     encode_inter_device._inter_raw (realtime is implied)."""
     import jax
     import jax.numpy as jnp
     from alfalfa_tpu.ops import enc_batch as EB
     from alfalfa_tpu.ops import enc_decide_pallas as EDP
+    from alfalfa_tpu.ops import enc_intra_fixup_pallas as FIX
     from alfalfa_tpu.ops import sixtap_pallas as SP
     from alfalfa_tpu.ops import sixtap, transforms
+    from .encode_intra_device import _tile_perm
     from . import device_fetch
 
     cap = device_fetch.cap_for(R * C * 400)
     rp16 = _ps_rowperm(16)
+    _PERM16 = _tile_perm(16)
+    _PERM8 = _tile_perm(8)
     W, H = C * 16, R * 16
 
     def f(oy_u8, ou_u8, ov_u8, refy_p, refu_p, refv_p, scalars,
@@ -159,34 +163,101 @@ def _fast_raw(R, C, interpret, sparse):
         rec_v = jnp.where(m, rec_v, 0)
 
         ii = is_inter.astype(jnp.int32)
-        md = jnp.stack([mode * ii, jnp.zeros_like(ii), ii,
-                        nz.astype(jnp.int32), mvx, mvy, cmx, cmy],
+        co = coeffs.reshape(R, C, 400).astype(jnp.int16)
+        ry = rec_y.reshape(R, C, 256)
+        ru = rec_u.reshape(R, C, 64)
+        rv = rec_v.reshape(R, C, 64)
+        ymode = mode * ii
+        uvmode = jnp.zeros_like(ii)
+        nz32 = nz.astype(jnp.int32)
+
+        if fixup:
+            # intra-coded MBs: whole-mode encode on device against the
+            # final reconstruction (raster walk; inter MBs pass through)
+            oy_b = oy_t[:, :, _PERM16]
+            ou_t16 = ou_u8.astype(jnp.int16)
+            ov_t16 = ov_u8.astype(jnp.int16)
+            co_fix, md2, ry, ru, rv = FIX.intra_fixup_frame(
+                md8, oy_t, oy_b, ou_t16, ov_t16,
+                ou_t16[:, :, _PERM8], ov_t16[:, :, _PERM8],
+                ry, ru, rv, scalars, mbc.astype(jnp.int32),
+                interpret=interpret)
+            mi = is_inter[:, :, None]
+            co = jnp.where(mi, co, co_fix.astype(jnp.int16))
+            ymode = jnp.where(is_inter, ymode, md2[:, :, 0].astype(jnp.int32))
+            uvmode = jnp.where(is_inter, uvmode,
+                               md2[:, :, 1].astype(jnp.int32))
+            nz32 = jnp.where(is_inter, nz32, md2[:, :, 2].astype(jnp.int32))
+            ry, ru, rv = (a.astype(jnp.int32) for a in (ry, ru, rv))
+
+        md = jnp.stack([ymode, uvmode, ii, nz32, mvx, mvy, cmx, cmy],
                        axis=-1)
         md = jnp.concatenate(
             [md, jnp.zeros((R, C, 24), jnp.int32)], axis=-1) \
             .astype(jnp.int16)
 
-        co = coeffs.reshape(R, C, 400).astype(jnp.int16)
         sp = device_fetch.compact(co.reshape(-1), cap) if sparse else None
         return (co, sp, md,
-                rec_y.astype(jnp.uint8).reshape(R, C, 256),
-                rec_u.astype(jnp.uint8).reshape(R, C, 64),
-                rec_v.astype(jnp.uint8).reshape(R, C, 64))
+                ry.astype(jnp.uint8),
+                ru.astype(jnp.uint8),
+                rv.astype(jnp.uint8))
 
     return f
+
+
+def _fixup_enabled():
+    return os.environ.get("ALFALFA_FAST_FIXUP", "1") != "0"
 
 
 def _fast_fn(R, C, interpret):
     from . import device_fetch
     sparse = device_fetch.enabled()
-    key = (R, C, interpret, sparse)
+    fixup = _fixup_enabled()
+    key = (R, C, interpret, sparse, fixup)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
     import jax
-    f = _fast_raw(R, C, interpret, sparse)
+    f = _fast_raw(R, C, interpret, sparse, fixup)
     fn = jax.jit(f) if not interpret else f
     _FN_CACHE[key] = fn
     return fn
+
+
+def _arrays_only(co_h, md_h, R, C):
+    """FrameArrays from kernel outputs without materializing the
+    reconstruction (steady frames never need host pixels)."""
+    from alfalfa_tpu.decoder.parse import FrameArrays
+    arrays = FrameArrays(R, C)
+    arrays.coeffs[:] = co_h.reshape(R, C, 25, 16)
+    ymode = md_h[:, :, 0]
+    is_inter = md_h[:, :, 2] != 0
+    arrays.ymode[:] = ymode.astype(np.int8)
+    arrays.uvmode[:] = md_h[:, :, 1].astype(np.int8)
+    arrays.y2_coded[:] = is_inter | (ymode != T.B_PRED)
+    arrays.has_nonzero[:] = md_h[:, :, 3] != 0
+    arrays.bmode[:] = md_h[:, :, 8:24].reshape(R, C, 4, 4).astype(np.int8)
+    arrays.ref[:] = np.where(is_inter, T.LAST_FRAME, T.CURRENT_FRAME)
+    arrays.sub_mv[:, :, :, :, 0] = md_h[:, :, 4, None, None]
+    arrays.sub_mv[:, :, :, :, 1] = md_h[:, :, 5, None, None]
+    arrays.uv_mv[..., 0] = md_h[:, :, 6].reshape(
+        R, C, *([1] * (arrays.uv_mv.ndim - 3)))
+    arrays.uv_mv[..., 1] = md_h[:, :, 7].reshape(
+        R, C, *([1] * (arrays.uv_mv.ndim - 3)))
+    return arrays
+
+
+_IMPLIED_B = np.array((0, 2, 3, 1), np.int8)   # DC/V/H/TM -> implied bmode
+
+
+def _implied_bmodes(arrays):
+    """Whole-mode intra MBs carry the implied per-mode bmode values
+    (B_DC/B_VE/B_HE/B_TM) in arrays.bmode for serializer consistency."""
+    intra = np.asarray(arrays.ref == T.CURRENT_FRAME)
+    if not intra.any():
+        return
+    ym = np.clip(arrays.ymode, 0, 3).astype(np.int64)
+    imp = _IMPLIED_B[ym]                      # (R, C)
+    arrays.bmode[intra] = imp[intra][:, None, None]
 
 
 def _patch_intra_host(encoder, arrays, recon, orig, quant_indices):
@@ -245,14 +316,27 @@ def _lf_filter_and_pack_fn(R, C, interpret):
 _LF_RECLIMB_PERIOD = 16
 
 
+def _take_reclimb(encoder):
+    """Advance the fast-path frame counter and decide whether this frame
+    re-climbs the loop-filter level on host (first frame, every
+    _LF_RECLIMB_PERIOD-th frame, or whenever segmentation is active).
+    The driver calls this BEFORE the fetch: steady frames skip fetching
+    the reconstruction entirely."""
+    nframe = getattr(encoder, "_fast_frame_no", 0)
+    encoder._fast_frame_no = nframe + 1
+    return (encoder.last_loop_filter_level is None
+            or nframe % _LF_RECLIMB_PERIOD == 0
+            or encoder.state.segmentation is not None)
+
+
 def _finish_fast(encoder, header, arrays, recon, orig, update,
-                 ry, ru, rv, interpret):
+                 ry, ru, rv, interpret, reclimb):
     """finish_interframe with the loop-filter stage on DEVICE: reuses the
-    persisted rt filter level, filters the (scatter-patched) device recon
-    once, and arms both the host-visible reference Raster (device-backed,
-    lazy) and the packed device reference — the host never filters or
-    SSIMs in steady state.  Falls back to the host search on re-climb
-    frames and whenever segmentation is active."""
+    persisted rt filter level, filters the device recon once, and arms
+    both the host-visible reference Raster (device-backed, lazy) and the
+    packed device reference — the host never filters or SSIMs in steady
+    state.  Falls back to the host search on re-climb frames and
+    whenever segmentation is active."""
     import numpy as np_
     import jax.numpy as jnp
     from alfalfa_tpu.util import tracing
@@ -262,11 +346,6 @@ def _finish_fast(encoder, header, arrays, recon, orig, update,
 
     W, H = encoder.width, encoder.height
     R, C = encoder.mb_rows, encoder.mb_cols
-    nframe = getattr(encoder, "_fast_frame_no", 0)
-    encoder._fast_frame_no = nframe + 1
-    reclimb = (encoder.last_loop_filter_level is None
-               or nframe % _LF_RECLIMB_PERIOD == 0
-               or encoder.state.segmentation is not None)
     if reclimb:
         return finish_interframe(encoder, header, arrays, recon, orig,
                                  update)
@@ -367,7 +446,22 @@ def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
         _FN_CACHE[key] = fn
 
     co, sp, md, ry, ru, rv = fn(*planes, scalars, *tables)
-    if sp is not None:
+    fixup = _fixup_enabled()
+    reclimbs = [_take_reclimb(e) for e in encoders]
+    steady = fixup and not any(reclimbs)
+    if steady:
+        if sp is not None:
+            sp_h, md_h = get_packed((sp, md))
+            idx, val, cnt = sp_h
+            co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]),
+                                            co[i], R * C * 400)
+                       for i in range(n)]
+        else:
+            md_h = np.asarray(md)
+            co_rows = [np.asarray(co[i]).reshape(-1).astype(np.int16)
+                       for i in range(n)]
+        ry_h = ru_h = rv_h = None
+    elif sp is not None:
         sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
         idx, val, cnt = sp_h
         co_rows = [device_fetch.rebuild((idx[i], val[i], cnt[i]), co[i],
@@ -381,17 +475,26 @@ def encode_interframe_fast_multiqp(encoders, yuv, quant_list, update=True,
     results = []
     for i, (enc, qi) in enumerate(zip(encoders, quant_list)):
         header = make_inter_header(qi, None)
-        arrays, recon = _outputs_to_frame(
-            co_rows[i].reshape(R, C, 400),
-            md_h[i].reshape(R, C, 32).astype(np.int32),
-            ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
-        patched = _patch_intra_host(enc, arrays, recon, orig, qi)
+        md_i = np.asarray(md_h[i]).reshape(R, C, 32).astype(np.int32)
+        if steady:
+            arrays = _arrays_only(co_rows[i].reshape(R, C, 400), md_i,
+                                  R, C)
+            recon = None
+        else:
+            arrays, recon = _outputs_to_frame(
+                co_rows[i].reshape(R, C, 400), md_i,
+                ry_h[i], ru_h[i], rv_h[i], R, C, W, H)
         ryi, rui, rvi = ry[i], ru[i], rv[i]
-        if patched:
-            ryi, rui, rvi = _scatter_patches(recon, patched, ryi, rui, rvi,
-                                             interpret)
+        if fixup:
+            _implied_bmodes(arrays)
+        else:
+            patched = _patch_intra_host(enc, arrays, recon, orig, qi)
+            if patched:
+                ryi, rui, rvi = _scatter_patches(recon, patched,
+                                                 ryi, rui, rvi, interpret)
         results.append(_finish_fast(enc, header, arrays, recon, orig,
-                                    update, ryi, rui, rvi, interpret))
+                                    update, ryi, rui, rvi, interpret,
+                                    reclimbs[i]))
         if update and getattr(enc, "_dev_refs_for", None) \
                 is not enc.references.last:
             _cache_device_refs(enc, header, arrays, ryi, rui, rvi,
@@ -423,8 +526,23 @@ def encode_interframe_fast(encoder, yuv, quant_indices, update,
         co, sp, md, ry, ru, rv = _fast_fn(R, C, interpret)(
             *planes, jnp.asarray(_scalars_for(quant_indices)), *tables)
 
+    reclimb = _take_reclimb(encoder)
+    fixup = _fixup_enabled()
+    steady = fixup and not reclimb
     with tracing.stage("enc.fast_fetch"):
-        if sp is not None:
+        if steady:
+            # the host only serializes: coeffs + modes suffice; the
+            # reconstruction stays on device (LF + reference packing run
+            # there, references.last is a lazy device-backed Raster)
+            if sp is not None:
+                sp_h, md_h = get_packed((sp, md))
+                co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
+                    .reshape(R, C, 400)
+            else:
+                md_h = np.asarray(md)
+                co_h = np.asarray(co).reshape(R, C, 400).astype(np.int16)
+            ry_h = ru_h = rv_h = None
+        elif sp is not None:
             sp_h, md_h, ry_h, ru_h, rv_h = get_packed((sp, md, ry, ru, rv))
             co_h = device_fetch.rebuild(sp_h, co, R * C * 400) \
                 .reshape(R, C, 400)
@@ -434,15 +552,24 @@ def encode_interframe_fast(encoder, yuv, quant_indices, update,
 
     with tracing.stage("enc.fast_host"):
         md_h = np.asarray(md_h).reshape(R, C, 32).astype(np.int32)
-        arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h, rv_h,
-                                          R, C, W, H)
-        patched = _patch_intra_host(encoder, arrays, recon, orig,
-                                    quant_indices)
-        if patched:
-            ry, ru, rv = _scatter_patches(recon, patched, ry, ru, rv,
-                                          interpret)
+        if steady:
+            arrays = _arrays_only(co_h, md_h, R, C)
+            recon = None
+        else:
+            arrays, recon = _outputs_to_frame(co_h, md_h, ry_h, ru_h,
+                                              rv_h, R, C, W, H)
+        if fixup:
+            # intra MBs were whole-mode encoded on device; their bmodes
+            # are the implied per-whole-mode values
+            _implied_bmodes(arrays)
+        else:
+            patched = _patch_intra_host(encoder, arrays, recon, orig,
+                                        quant_indices)
+            if patched:
+                ry, ru, rv = _scatter_patches(recon, patched, ry, ru, rv,
+                                              interpret)
         out = _finish_fast(encoder, header, arrays, recon, orig, update,
-                           ry, ru, rv, interpret)
+                           ry, ru, rv, interpret, reclimb)
     if update and getattr(encoder, "_dev_refs_for", None) \
             is not encoder.references.last:
         # re-climb frames fall back to finish_interframe, which does not
