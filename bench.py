@@ -18,7 +18,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CLIP = os.path.join(REPO, "tests", "fixtures", "inter_1280x720_q48.ivf")
 ORACLE = os.path.join(REPO, "oracle", "build", "bin", "decode-to-stdout")
-G = int(os.environ.get("ALFALFA_BENCH_G", "8"))   # GOPs in lockstep; the
+G = int(os.environ.get("ALFALFA_BENCH_G", "16"))  # GOPs in lockstep; the
 # wavefront kernel's step count is batch-independent, so wider batches
 # amortize per-step overheads whenever the device step is the wall
 TRIALS = 3
@@ -187,8 +187,29 @@ def inter_encode_metric(clip):
             ref_ms = min(ms[1:])        # per-frame inter encode
     except Exception:
         pass
+    fast_best = None
+    try:
+        # the Salsify fast split pipeline (ALFALFA_FAST_INTER): decisions
+        # kernel + dense batched math + device intra fixup + device LF
+        os.environ["ALFALFA_FAST_INTER"] = "1"
+        enc = Encoder(W, H, device_encode=True, quality="rt")
+        enc.encode_with_quantizer(frames[0], 48, key_frame=True)
+        enc.encode_with_quantizer(frames[1], 48)     # compile fast step
+        enc.encode_with_quantizer(frames[2], 48)     # steady-state jits
+        fast_best = float("inf")
+        for f in frames[3:]:
+            t0 = time.perf_counter()
+            enc.encode_with_quantizer(f, 48)
+            fast_best = min(fast_best, time.perf_counter() - t0)
+    except Exception as e:
+        print(f"fast inter metric failed: {e!r}", file=sys.stderr)
+    finally:
+        os.environ.pop("ALFALFA_FAST_INTER", None)
+
     print(f"secondary: inter_encode_720p_device_ms={best * 1000:.0f} "
-          f"reference_ms={ref_ms and round(ref_ms)}", file=sys.stderr)
+          f"reference_ms={ref_ms and round(ref_ms)} "
+          f"fast_path_ms={fast_best and round(fast_best * 1000)}",
+          file=sys.stderr)
 
 
 def gop_scaling_metric():
@@ -376,7 +397,7 @@ def inner_main():
     if "ALFALFA_BENCH_G" not in os.environ:
         g = G
         spent = t_first
-        while g * 2 <= 32 and spent < 240:
+        while g * 2 <= 32 and spent < 360:
             try:
                 t0 = time.perf_counter()
                 ours2, exact2 = our_fps_at(CLIP, frames, g * 2)
