@@ -17,6 +17,7 @@
   dissect       bitstream analyzer (xc-dissect)
 """
 import argparse
+import os
 import sys
 
 
@@ -154,6 +155,12 @@ def cmd_enc(args):
     if args.y_ac_qi is not None and not 0 <= args.y_ac_qi <= 127:
         print("xc enc: error: y-ac-qi must be in [0, 127]", file=sys.stderr)
         return 2
+    if getattr(args, "fast", False):
+        if args.quality != "rt":
+            print("xc enc: error: --fast requires -q rt", file=sys.stderr)
+            return 2
+        os.environ["ALFALFA_FAST_INTER"] = "1"
+        args.device = True
     enc = Encoder(width, height, quality=args.quality,
                   two_pass=args.two_pass,
                   device_encode=(True if getattr(args, "device", False) else None))
@@ -753,6 +760,11 @@ def main(argv=None):
     p.add_argument("--device", action="store_true",
                    help="run the keyframe MB wavefront on the TPU "
                         "(bit-identical to the host path)")
+    p.add_argument("--fast", action="store_true",
+                   help="rt interframes via the fast split pipeline "
+                        "(ALFALFA_FAST_INTER=1; decode-exact, not "
+                        "bit-identical to the host loop; implies "
+                        "--device, requires -q rt)")
     p.add_argument("--two-pass", action="store_true",
                    help="second encoding pass with trellis quantization")
     p.add_argument("-O", "--output-state", default=None,
