@@ -8,27 +8,17 @@ import os
 # e.g. subprocesses spawned by tests, or CI without the tunnel) these
 # settings take effect and everything falls back to CPU/interpret paths.
 if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-    # plain CPU environment: the persistent compilation cache may hold
-    # XLA:CPU AOT executables compiled on a DIFFERENT machine — this
-    # shared vCPU migrates across hosts — and loading one can SEGFAULT
-    # (the loader warns "machine type ... doesn't match ... SIGILL";
-    # one entry crashed the whole suite, exit 139).  Key the CPU cache
-    # directory by the machine's CPU signature: same machine stays
-    # warm, a migrated host gets a fresh (safe) subdirectory.  TPU
-    # (axon) runs keep the default dir — Mosaic artifacts are
-    # machine-independent.
-    if "ALFALFA_JAX_CACHE" not in os.environ:
-        import hashlib
-        try:
-            with open("/proc/cpuinfo") as _f:
-                _sig = "".join(l for l in _f
-                               if l.startswith(("model name", "flags")))
-        except OSError:
-            _sig = "unknown"
-        _key = hashlib.sha1(_sig.encode()).hexdigest()[:12]
-        os.environ["ALFALFA_JAX_CACHE"] = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache", f"cpu-{_key}")
+    # plain CPU environment: loading persisted XLA:CPU AOT executables
+    # is unreliable here — the loader warns "machine type ... doesn't
+    # match ... SIGILL" (this shared vCPU migrates across hosts) and
+    # deserializing the big inter-encode executable SEGFAULTS the whole
+    # suite (exit 139 inside compilation_cache.get_executable_and_time)
+    # even for entries written moments earlier by the SAME machine.
+    # Disable the persistent cache off-TPU: in-process jit caching still
+    # works, each suite run just pays its own CPU compiles.  TPU (axon)
+    # runs keep the cache — Mosaic artifacts load reliably and are the
+    # expensive ones.
+    os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
