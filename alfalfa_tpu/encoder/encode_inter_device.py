@@ -138,7 +138,9 @@ def _kernel_inputs(encoder, yuv, interpret):
             encoder.state.probability_tables.mv_probs)
         mvcost = np.asarray(mv_table.table.reshape(4, 1024), np.int32)
         cached = put_packed((mbc, ibc, mvc2p, pcost, sadcost, mvcost))
-        _TABLE_CACHE.clear()     # one entry: states share mv_probs
+        # never evict: entries are ~30 KB of device memory and evicting
+        # live device buffers while async work may still reference them
+        # is not worth the savings
         _TABLE_CACHE[tkey] = cached
 
     oy_d, ou_d, ov_d = put_packed((oy_u8, ou_u8, ov_u8))

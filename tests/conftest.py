@@ -19,6 +19,16 @@ if not os.environ.get("PALLAS_AXON_POOL_IPS"):
     # runs keep the cache — Mosaic artifacts load reliably and are the
     # expensive ones.
     os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
+    # the XLA:CPU compile of the big serial inter kernel has crashed
+    # with SIGSEGV deep inside the compiler under full-suite conditions;
+    # give the main thread the full stack the kernel's recursion wants
+    try:
+        import resource
+        _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if _soft != resource.RLIM_INFINITY:
+            resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ImportError, ValueError, OSError):
+        pass
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
