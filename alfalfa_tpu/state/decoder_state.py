@@ -232,11 +232,21 @@ class Raster:
                       self.y.copy(), self.u.copy(), self.v.copy())
 
     def to_host(self):
-        """Materialize planes as numpy (no-op if already on host)."""
+        """Materialize planes as numpy (no-op if already on host).
+        Device-backed planes ride ONE packed transfer — three separate
+        np.asarray fetches cost three ~30 ms round trips on the axon
+        tunnel (util/xfer.py)."""
         if not isinstance(self.y, np.ndarray):
-            self.y = np.asarray(self.y)
-            self.u = np.asarray(self.u)
-            self.v = np.asarray(self.v)
+            try:
+                from alfalfa_tpu.util.xfer import get_packed
+                y, u, v = get_packed((self.y, self.u, self.v))
+                self.y = np.array(y)        # writable copies of the views
+                self.u = np.array(u)
+                self.v = np.array(v)
+            except Exception:
+                self.y = np.asarray(self.y)
+                self.u = np.asarray(self.u)
+                self.v = np.asarray(self.v)
         return self
 
     def hash(self):
